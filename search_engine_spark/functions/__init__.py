@@ -1,0 +1,1 @@
+"""PySpark-native search/analytics engine (rebuild of zerowei/Search-Engine capabilities)."""

@@ -1,0 +1,191 @@
+"""Text-analysis pipeline (reference operators A1-A9) as pure functions +
+vectorized pandas UDF factories.
+
+Parity targets (``/root/reference/src/main/java/edu/uci/ics/cs221/analysis/``):
+
+- A2 ``NaiveAnalyzer.java:13-15``     — lowercase + split on ``\\s+``.
+- A3 ``PunctuationTokenizer.java:19-49`` — whitespace split, ``, . ; ? !``
+  replaced by space, re-split, empties dropped, stop words removed.
+  (Golden behavior per the reference test suite: *all* empty tokens are
+  dropped — e.g. ``Team4PunctuationTokenizerTest.test3`` — and non-listed
+  punctuation like ``:`` or ``)`` is kept as token content —
+  ``Team2PunctuationTokenizerTest.test1/test3``.)
+- A4 ``StopWords.java:13-143``        — frozen 127-word list.
+- A5 ``PorterStemmer.java``           — see :mod:`.porter`.
+- A6 ``ComposableAnalyzer.java:13-23`` — tokenize then stem, one pass.
+- A9 positional tokenization (``InvertedIndexManager.java:169-180``) —
+  handled downstream in the posting builder (positions are token indices in
+  the analyzed token list).
+
+The only Spark-visible surface is :func:`make_analyzer_udf` /
+:func:`tokens_column` — a single Arrow-batched pandas UDF per analyzer; no
+per-row Python UDFs. A code-aware tokenizer (non-alphanumeric splits) covers
+the source-code payload of the north rule.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable, Iterable
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from .porter import porter_stem
+from .stopwords import STOP_WORDS
+
+Tokenizer = Callable[[str], list[str]]
+
+_PUNCT = ",.;?!"
+_PUNCT_TRANS = str.maketrans({c: " " for c in _PUNCT})
+
+
+def naive_tokenize(text: str) -> list[str]:
+    """A2: lowercase + whitespace split (NaiveAnalyzer.java:13-15).
+
+    Python ``str.split()`` drops empty tokens, which matches the effective
+    reference behavior on the golden corpus (no leading-whitespace docs in
+    fixtures; the punctuation pipeline drops empties anyway).
+    """
+    return text.lower().split()
+
+
+def punctuation_tokenize(text: str) -> list[str]:
+    """A3: naive split -> strip ``, . ; ? !`` -> re-split -> de-stop."""
+    out: list[str] = []
+    for token in text.lower().split():
+        if any(c in token for c in _PUNCT):
+            out.extend(token.translate(_PUNCT_TRANS).split())
+        else:
+            out.append(token)
+    return [t for t in out if t not in STOP_WORDS]
+
+
+_CODE_DELIMS = set(" \t\n\r.,;:!?(){}[]<>=+-*/%&|^~'\"`\\#@$")
+
+
+def code_tokenize(text: str) -> list[str]:
+    """Code-aware tokenizer for the source-code payload: lowercase, split on
+    non-``[a-z0-9_]`` runs, keep identifiers/keywords, drop stop words.
+
+    Same operator shape as A3 (SURVEY.md §2.2 note on code payloads).
+    """
+    out: list[str] = []
+    cur: list[str] = []
+    for ch in text.lower():
+        if ch.isalnum() or ch == "_":
+            cur.append(ch)
+        elif cur:
+            out.append("".join(cur))
+            cur = []
+    if cur:
+        out.append("".join(cur))
+    return [t for t in out if t not in STOP_WORDS]
+
+
+def porter_analyze(text: str, tokenize: Tokenizer = punctuation_tokenize) -> list[str]:
+    """A6 ComposableAnalyzer(PunctuationTokenizer, PorterStemmer)."""
+    return [porter_stem(t) for t in tokenize(text)]
+
+
+ANALYZERS: dict[str, Tokenizer] = {
+    "naive": naive_tokenize,
+    "punctuation": punctuation_tokenize,
+    "code": code_tokenize,
+    "porter": porter_analyze,
+    "porter_code": lambda text: [porter_stem(t) for t in code_tokenize(text)],
+}
+
+
+def get_analyzer(name: str) -> Tokenizer:
+    try:
+        return ANALYZERS[name]
+    except KeyError:
+        raise ValueError(f"unknown analyzer {name!r}; one of {sorted(ANALYZERS)}") from None
+
+
+def make_analyzer_udf(name: str):
+    """A1: Arrow-batched pandas UDF ``string -> array<string>``.
+
+    ``name`` (not the function) is captured so the closure pickles small;
+    the analyzer is resolved on the executor.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(ArrayType(StringType()))
+    def analyze(texts: pd.Series) -> pd.Series:
+        fn = get_analyzer(name)
+        return texts.map(lambda t: fn(t) if t is not None else [])
+
+    return analyze
+
+
+def tokens_column(col, analyzer: str = "porter"):
+    """tokens = analyze(col). Uses built-in expressions for the naive
+    analyzer (stays inside whole-stage codegen); pandas UDF otherwise."""
+    if analyzer == "naive":
+        return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != F.lit(""))
+    return make_analyzer_udf(analyzer)(col)
+
+
+# --- A7/A8: DP word-break tokenizer (optional operator) ---------------------
+
+
+class WordBreakTokenizer:
+    """A7: DP word-break maximizing sum of log-probabilities
+    (``WordBreakTokenizer.java:67-120``): O(n^2) splits over a frequency
+    dictionary; raises if the text cannot be fully segmented; stop words
+    removed from the result.
+
+    The dictionary is pluggable: ``{word: frequency}``. The reference ships
+    an 82k-entry English dictionary resource; tests here use a small fixture
+    (same algorithm, no data copied).
+    """
+
+    def __init__(self, freq_dict: dict[str, float]):
+        if not freq_dict:
+            raise ValueError("empty word-break dictionary")
+        total = float(sum(freq_dict.values()))
+        self._logp = {w.lower(): math.log(f / total) for w, f in freq_dict.items() if f > 0}
+        self._max_len = max(len(w) for w in self._logp)
+
+    def tokenize(self, text: str) -> list[str]:
+        s = text.lower()
+        # strip whitespace like the reference (it word-breaks contiguous text)
+        s = "".join(s.split())
+        n = len(s)
+        if n == 0:
+            return []
+        NEG = float("-inf")
+        best = [NEG] * (n + 1)
+        back = [-1] * (n + 1)
+        best[0] = 0.0
+        for i in range(1, n + 1):
+            lo = max(0, i - self._max_len)
+            for j in range(lo, i):
+                if best[j] == NEG:
+                    continue
+                w = s[j:i]
+                lp = self._logp.get(w)
+                if lp is not None and best[j] + lp > best[i]:
+                    best[i] = best[j] + lp
+                    back[i] = j
+        if best[n] == NEG:
+            raise ValueError(f"text cannot be word-broken: {text[:50]!r}")
+        toks: list[str] = []
+        i = n
+        while i > 0:
+            j = back[i]
+            toks.append(s[j:i])
+            i = j
+        toks.reverse()
+        return [t for t in toks if t not in STOP_WORDS]
+
+
+def term_positions(tokens: Iterable[str]) -> dict[str, list[int]]:
+    """A9: token list -> {term: sorted positions} (IIM:169-180)."""
+    pos: dict[str, list[int]] = {}
+    for i, t in enumerate(tokens):
+        pos.setdefault(t, []).append(i)
+    return pos

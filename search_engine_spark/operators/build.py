@@ -1,0 +1,294 @@
+"""Index construction (reference operators B1-B5, S8).
+
+Reference lifecycle (``InvertedIndexManager.java``): ``addDocument`` buffers
+per-term TreeMaps (IIM:163-201), ``flush`` writes a term-sorted segment
+triplet (IIM:301-328), ``mergeSegments`` sort-merges pairs (IIM:583-687).
+
+Spark-first rebuild — the whole build is ONE shuffle:
+
+    corpus (docId, content)
+      -> mapInPandas(posting_kernel)            # B1: tokenize + per-doc postings
+         (term, docId, tf, dl, positions)       #     no shuffle: per-doc local agg
+      -> salt heavy terms                       # skew: term -> (term, salt)
+      -> repartitionByRange(term, salt, docId)  # B2/B3: the one shuffle
+      -> sortWithinPandas(term, salt, docId)
+      -> mapInPandas(segment_encoder)           # S8: delta+varbyte packed rows
+      -> parquet segments/                      # term-sorted files => row-group
+                                                # min/max pushdown on `term`
+(term stats fall out of the packed rows with a cheap second-stage agg —
+no re-shuffle of raw postings.)
+
+Scale notes (100 TB):
+- postings never materialize per-token rows (no posexplode): the kernel
+  emits per-(doc,term) rows straight from Arrow batches.
+- heavy terms (code keywords: ``def``, ``return`` ...) are salted into
+  ``n_salts`` sub-lists BEFORE the range shuffle, so no reducer gets a
+  whole mega posting list; each salted sub-list keeps docId order, so the
+  delta codec stays valid; the query path unions salted rows.
+- dl (doc length) is denormalized into each packed row, so BM25 scoring
+  needs NO join against a doclens table at query time.
+- the build is batched by a pure function of docId (``batch_of``); each
+  batch commits atomically into the manifest -> resumable (see segments.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.analyzers import get_analyzer
+from ..functions.codec import varbyte_encode
+
+POSTINGS_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("docId", LongType(), False),
+        StructField("tf", IntegerType(), False),
+        StructField("dl", IntegerType(), False),
+        StructField("positions", ArrayType(IntegerType()), False),
+    ]
+)
+
+SEGMENT_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("salt", IntegerType(), False),
+        StructField("ndocs", IntegerType(), False),
+        StructField("sum_tf", LongType(), False),
+        StructField("max_tf", IntegerType(), False),
+        StructField("docids", BinaryType(), False),
+        StructField("tfs", BinaryType(), False),
+        StructField("dls", BinaryType(), False),
+        StructField("poslens", BinaryType(), True),
+        StructField("positions", BinaryType(), True),
+        StructField("block_last_docid", ArrayType(LongType()), False),
+        StructField("block_max_tf", ArrayType(IntegerType()), False),
+        # byte offsets of each block inside docids/tfs/dls — the delta chain
+        # restarts at every block, so a block is independently decodable
+        # (block-max WAND skips whole blocks without touching their bytes)
+        StructField("block_docid_off", ArrayType(IntegerType()), False),
+        StructField("block_tf_off", ArrayType(IntegerType()), False),
+        StructField("block_dl_off", ArrayType(IntegerType()), False),
+    ]
+)
+
+BLOCK_SIZE = 128  # postings per block-max block (Ding & Suel, SIGIR'11)
+
+
+def build_postings(corpus: DataFrame, analyzer: str = "porter") -> DataFrame:
+    """B1 (+A9): corpus -> (term, docId, tf, dl, positions).
+
+    One Arrow-batched kernel; per-batch work is pandas explode + C-level
+    groupby (no per-row Python in the Spark sense). Positions are indices
+    into the analyzed token list (IIM:169-180).
+    """
+
+    def kernel(batches):
+        fn = get_analyzer(analyzer)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            toks = pdf["content"].map(lambda t: fn(t) if t else [])
+            dls = toks.map(len).astype("int32")
+            ex = pd.DataFrame(
+                {"docId": pdf["docId"].values, "dl": dls.values, "term": toks.values}
+            )
+            ex = ex.explode("term", ignore_index=False)
+            ex = ex[ex["term"].notna()]
+            if len(ex) == 0:
+                continue
+            ex["pos"] = ex.groupby(level=0).cumcount().astype("int32")
+            g = (
+                ex.groupby(["docId", "dl", "term"], sort=False)["pos"]
+                .agg(list)
+                .reset_index()
+            )
+            yield pd.DataFrame(
+                {
+                    "term": g["term"],
+                    "docId": g["docId"].astype("int64"),
+                    "tf": g["pos"].map(len).astype("int32"),
+                    "dl": g["dl"].astype("int32"),
+                    "positions": g["pos"],
+                }
+            )
+
+    return corpus.select("docId", "content").mapInPandas(kernel, POSTINGS_SCHEMA)
+
+
+def heavy_terms(postings: DataFrame, threshold: int) -> list[str]:
+    """Skew detection: terms whose df exceeds `threshold`.
+
+    At 100 TB this would run on a sample (``postings.sample(0.001)``) with a
+    scaled threshold; at test scale exact counting is cheap. Returned list is
+    small (code keywords / stopword-like terms) and is broadcast.
+    """
+    rows = (
+        postings.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > threshold)
+        .select("term")
+        .collect()
+    )
+    return sorted(r[0] for r in rows)
+
+
+def salted(postings: DataFrame, heavy: list[str], n_salts: int) -> DataFrame:
+    """term -> (term, salt): heavy terms fan out over `n_salts` deterministic
+    salts (pure function of docId — resume-safe); light terms salt=0."""
+    if not heavy or n_salts <= 1:
+        return postings.withColumn("salt", F.lit(0))
+    is_heavy = F.col("term").isin(heavy)
+    return postings.withColumn(
+        "salt",
+        F.when(is_heavy, (F.pmod(F.col("docId"), F.lit(n_salts))).cast("int")).otherwise(
+            F.lit(0)
+        ),
+    )
+
+
+def _byte_lens(values: np.ndarray) -> np.ndarray:
+    """Varbyte byte-length per value (same thresholds as the encoder)."""
+    lens = np.ones(len(values), dtype=np.int64)
+    for k in range(1, 9):
+        lens += values >= (np.int64(1) << (7 * k))
+    return lens
+
+
+def _block_encoded(values: np.ndarray, bstarts: np.ndarray, delta: bool) -> tuple[bytes, list]:
+    """Encode `values` varbyte with the delta chain restarting at each block
+    start; returns (bytes, per-block byte offsets)."""
+    if delta:
+        d = values.copy()
+        d[1:] -= values[:-1]
+        d[bstarts] = values[bstarts]
+    else:
+        d = values
+    buf = varbyte_encode(d)
+    blens = _byte_lens(d)
+    cum = np.zeros(len(d) + 1, dtype=np.int64)
+    cum[1:] = np.cumsum(blens)
+    return buf, [int(cum[s]) for s in bstarts]
+
+
+def _encode_group(g: pd.DataFrame) -> tuple:
+    """Pack one (term, salt) group — rows already sorted by docId."""
+    docids = g["docId"].to_numpy(dtype=np.int64)
+    tfs = g["tf"].to_numpy(dtype=np.int64)
+    dls = g["dl"].to_numpy(dtype=np.int64)
+    ndocs = len(docids)
+    # positions: per-doc delta chains, one vectorized varbyte pass
+    pos_lists = g["positions"].tolist()
+    has_pos = pos_lists and pos_lists[0] is not None
+    if has_pos:
+        flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_lists])
+        counts = np.array([len(p) for p in pos_lists], dtype=np.int64)
+        starts = np.zeros(ndocs, dtype=np.int64)
+        starts[1:] = np.cumsum(counts)[:-1]
+        deltas = flat.copy()
+        deltas[1:] -= flat[:-1]
+        deltas[starts] = flat[starts]  # restart delta chain per doc
+        pos_bin = varbyte_encode(deltas)
+        per_doc_bytes = (
+            np.add.reduceat(_byte_lens(deltas), starts) if len(deltas) else np.zeros(0)
+        )
+        poslens_bin = varbyte_encode(per_doc_bytes.astype(np.int64))
+    else:
+        pos_bin = None
+        poslens_bin = None
+    nblocks = (ndocs + BLOCK_SIZE - 1) // BLOCK_SIZE
+    bstarts = np.arange(nblocks) * BLOCK_SIZE
+    block_last = docids[np.minimum(bstarts + BLOCK_SIZE - 1, ndocs - 1)]
+    block_max_tf = np.maximum.reduceat(tfs, bstarts) if ndocs else np.zeros(0)
+    docids_bin, docid_off = _block_encoded(docids, bstarts, delta=True)
+    tfs_bin, tf_off = _block_encoded(tfs, bstarts, delta=False)
+    dls_bin, dl_off = _block_encoded(dls, bstarts, delta=False)
+    return (
+        int(ndocs),
+        int(tfs.sum()),
+        int(tfs.max()),
+        docids_bin,
+        tfs_bin,
+        dls_bin,
+        poslens_bin,
+        pos_bin,
+        block_last.tolist(),
+        [int(x) for x in block_max_tf],
+        docid_off,
+        tf_off,
+        dl_off,
+    )
+
+
+def _segment_encoder(batches):
+    """S8 kernel: streaming per-partition encoder with carry-over so a
+    (term, salt) group split across Arrow batches is packed once."""
+    leftover: pd.DataFrame | None = None
+
+    cols = [
+        "term", "salt", "ndocs", "sum_tf", "max_tf", "docids", "tfs", "dls",
+        "poslens", "positions", "block_last_docid", "block_max_tf",
+        "block_docid_off", "block_tf_off", "block_dl_off",
+    ]
+
+    def pack(pdf: pd.DataFrame):
+        out = []
+        for (term, salt), g in pdf.groupby(["term", "salt"], sort=False):
+            out.append((term, salt) + _encode_group(g))
+        return pd.DataFrame(out, columns=cols)
+
+    for pdf in batches:
+        if leftover is not None:
+            pdf = pd.concat([leftover, pdf], ignore_index=True)
+            leftover = None
+        if len(pdf) == 0:
+            continue
+        last_term = pdf["term"].iloc[-1]
+        last_salt = pdf["salt"].iloc[-1]
+        tail = (pdf["term"] == last_term) & (pdf["salt"] == last_salt)
+        leftover = pdf[tail]
+        head = pdf[~tail]
+        if len(head):
+            yield pack(head)
+    if leftover is not None and len(leftover):
+        yield pack(leftover)
+
+
+def encode_segments(
+    postings: DataFrame,
+    num_segments: int,
+    heavy: list[str] | None = None,
+    n_salts: int = 8,
+) -> DataFrame:
+    """B2/B3 + S8: salted range shuffle -> in-partition sort -> packed rows.
+
+    Output carries ``seg = spark_partition_id`` — each range partition IS a
+    segment (term-sorted parquet file => row-group pushdown on `term`).
+    """
+    p = salted(postings, heavy or [], n_salts)
+    p = p.repartitionByRange(num_segments, "term", "salt").sortWithinPartitions(
+        "term", "salt", "docId"
+    )
+    packed = p.mapInPandas(_segment_encoder, SEGMENT_SCHEMA)
+    return packed.withColumn("seg", F.spark_partition_id())
+
+
+def term_stats_from_segments(segments: DataFrame) -> DataFrame:
+    """Q6-adjacent: (term, df, cf, max_tf) from packed rows — aggregates the
+    tiny packed relation, never re-shuffles raw postings."""
+    return segments.groupBy("term").agg(
+        F.sum("ndocs").cast("long").alias("df"),
+        F.sum("sum_tf").cast("long").alias("cf"),
+        F.max("max_tf").alias("max_tf"),
+    )

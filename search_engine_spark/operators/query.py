@@ -1,0 +1,135 @@
+"""Boolean / keyword / phrase query operators (reference Q1-Q7, Q12).
+
+Reference semantics (``InvertedIndexManager.java``):
+- Q2 ``searchQuery`` (IIM:697-739): keyword -> posting list -> docs; empty
+  keyword -> empty result.
+- Q3 ``searchAndQuery`` (IIM:747-819): hash-set intersection across terms.
+  Spark shape: count-matching aggregation (``countDistinct(term) == m``) —
+  one shuffle, beats iterated self-joins at scale (SURVEY.md §2.5).
+- Q4 ``searchOrQuery`` (IIM:827-903): doc-set union -> ``distinct``.
+- Q5 ``searchPhraseQuery`` (IIM:951-1101): positional intersection with
+  token-order offsets. The reference dedups repeated phrase tokens keeping
+  the LAST occurrence's offset (TreeMap, IIM:966-977) — mirrored here.
+- Q1 ``FullScanSearcher`` (FullScanSearcher.java:27-40): analyze-everything
+  scan; kept as the correctness oracle for the index path.
+
+All operators work on either a decoded-postings DataFrame (index path) or
+directly on the corpus (full-scan oracle path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.analyzers import get_analyzer, tokens_column
+
+
+def analyze_query(keywords: list[str], analyzer: str = "porter") -> list[str]:
+    """Reference query analysis: analyze each keyword, drop empties
+    (IIM:699-701, 1152-1160). Multi-token keywords keep all tokens."""
+    fn = get_analyzer(analyzer)
+    out: list[str] = []
+    for k in keywords:
+        out.extend(fn(k))
+    return out
+
+
+def postings_for(postings: DataFrame, terms: list[str]) -> DataFrame:
+    """S10 seek analog: predicate pushed to the term-sorted parquet scan."""
+    if not terms:
+        return postings.limit(0)
+    return postings.where(F.col("term").isin(terms))
+
+
+def search_keyword(postings: DataFrame, term: str) -> DataFrame:
+    """Q2: docIds containing `term` (already-analyzed)."""
+    return postings_for(postings, [term]).select("docId").distinct()
+
+
+def search_and(postings: DataFrame, terms: list[str]) -> DataFrame:
+    """Q3: docs containing ALL terms — set intersection as count-matching
+    aggregation. Distinct terms only (reference uses a set, IIM:756-760)."""
+    ts = sorted(set(terms))
+    if not ts:
+        return postings.select("docId").limit(0)
+    return (
+        postings_for(postings, ts)
+        .groupBy("docId")
+        .agg(F.countDistinct("term").alias("m"))
+        .where(F.col("m") == len(ts))
+        .select("docId")
+    )
+
+
+def search_or(postings: DataFrame, terms: list[str]) -> DataFrame:
+    """Q4: union of doc sets."""
+    ts = sorted(set(terms))
+    if not ts:
+        return postings.select("docId").limit(0)
+    return postings_for(postings, ts).select("docId").distinct()
+
+
+def phrase_offsets(terms: list[str]) -> dict[str, int]:
+    """Reference phrase dedup quirk (IIM:966-977): repeated tokens keep the
+    LAST position offset."""
+    return {t: i for i, t in enumerate(terms)}
+
+
+def search_phrase(postings_pos: DataFrame, terms: list[str]) -> DataFrame:
+    """Q5: docs where the analyzed terms appear consecutively.
+
+    `postings_pos` must carry `positions: array<int>`. Vectorized: for each
+    distinct term, shift its positions by -offset; a doc matches if the
+    intersection of all shifted sets is non-empty. Joins are per-docId
+    equi-joins on the (small) filtered posting lists; the fold over terms is
+    a driver-side loop over DataFrame ops, all JVM-side (`array_intersect`
+    / `transform`), no Python.
+    """
+    offs = phrase_offsets(terms)
+    if not offs:
+        return postings_pos.select("docId").limit(0)
+    items = sorted(offs.items(), key=lambda kv: kv[1])
+    base = None
+    for term, off in items:
+        t = (
+            postings_pos.where(F.col("term") == term)
+            .select(
+                "docId",
+                F.transform("positions", lambda x: x - F.lit(off)).alias("_shift"),
+            )
+            # salted/multi-batch rows for one (term, doc) unioned here
+            .groupBy("docId")
+            .agg(F.flatten(F.collect_list("_shift")).alias("_shift"))
+        )
+        if base is None:
+            base = t.withColumnRenamed("_shift", "_acc")
+        else:
+            base = (
+                base.join(t, "docId")
+                .select("docId", F.array_intersect("_acc", "_shift").alias("_acc"))
+                .where(F.size("_acc") > 0)
+            )
+    return base.where(F.size("_acc") > 0).select("docId")
+
+
+def full_scan_search(corpus: DataFrame, keywords: list[str], analyzer: str = "porter") -> DataFrame:
+    """Q1 oracle: docs whose analyzed token set contains ALL query tokens."""
+    terms = analyze_query(keywords, analyzer)
+    toks = tokens_column(F.col("content"), analyzer)
+    df = corpus.withColumn("_toks", toks)
+    cond = F.lit(True)
+    for t in sorted(set(terms)):
+        cond = cond & F.array_contains("_toks", t)
+    return df.where(cond).select("docId")
+
+
+def doc_frequency(term_stats: DataFrame, term: str) -> DataFrame:
+    """Q6 ``getDocumentFrequency`` (IIM:1331-1361) via the term-stats table."""
+    return term_stats.where(F.col("term") == term).select("term", "df")
+
+
+def fetch_documents(result: DataFrame, corpus: DataFrame) -> DataFrame:
+    """S4 semi-join shape (IIM:720-726): hydrate matched docIds with content.
+    Result sets are tiny vs the corpus — broadcast them."""
+    return corpus.join(F.broadcast(result), "docId", "left_semi")

@@ -1,0 +1,301 @@
+"""Ranked retrieval (reference Q8 ``searchTfIdf``, IIM:1131-1315) + the
+north-rule BM25 top-k with block-max pruning.
+
+Two scorers share one posting-level kernel (SURVEY.md §2.6):
+
+- ``tfidf_cosine`` — byte-level parity with the reference: ``idf = log10(N/df)``
+  (terms with df=0 are simply absent — the reference only scores terms found
+  in segments, so no smoothing guard is needed), ``wq = qtf*idf``,
+  ``wd = tf*idf``, ``score = Σ wd*wq / sqrt(Σ wd²)``, 0/0 -> 0
+  (IIM:1193-1262).
+- ``bm25`` — Robertson/Sparck-Jones: ``idf = ln((N-df+0.5)/(df+0.5)+1)``,
+  ``score = Σ qtf * idf * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl))``,
+  k1=1.2, b=0.75.
+
+Tie-breaks, pinned from the reference:
+- top-k mode: score desc, then docId DESC (per-segment comparator
+  IIM:1266-1280 — larger docId first);
+- matches-all mode (PageRank combo): score desc, docId ASC
+  (``CompareResults`` IIM:1103-1114).
+
+Execution paths:
+- :func:`score_query` — declarative: decoded postings × broadcast idf map ->
+  ``groupBy(docId)`` agg -> ``orderBy().limit(k)`` (Catalyst's
+  TakeOrderedAndProject ≙ the reference's bounded PQ, IIM:1290-1313; partial
+  + final aggregation come free).
+- :func:`score_query_daat` — per-segment ``applyInPandas`` DAAT kernel with
+  MaxScore/block-max pruning (Ding & Suel, SIGIR 2011): term-level and
+  block-level upper bounds decide which blocks are byte-decoded at all
+  (delta chains restart per block — see build.py), partition-local top-k,
+  driver-side k-merge. This mirrors the reference's per-segment
+  top-k -> global PQ two-stage shape at cluster scale.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from ..functions.codec import varbyte_decode
+from ..operators.query import analyze_query, postings_for
+
+SCORE_SCHEMA = StructType(
+    [
+        StructField("docId", LongType(), False),
+        StructField("score", DoubleType(), False),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class Scorer:
+    kind: str = "bm25"  # "bm25" | "tfidf_cosine"
+    k1: float = 1.2
+    b: float = 0.75
+
+    def idf(self, N: float, df: np.ndarray) -> np.ndarray:
+        df = np.asarray(df, dtype=np.float64)
+        if self.kind == "bm25":
+            return np.log((N - df + 0.5) / (df + 0.5) + 1.0)
+        return np.log10(N / df)
+
+
+def query_tfs(keywords: list[str], analyzer: str = "porter") -> dict[str, int]:
+    """Query analysis + per-distinct-token frequency (IIM:1152-1167)."""
+    return dict(Counter(analyze_query(keywords, analyzer)))
+
+
+def _idf_rows(term_stats: DataFrame, qtfs: dict[str, int], scorer: Scorer, n_docs: int):
+    """Collect (term, df, idf, qtf) for present query terms — tiny."""
+    rows = (
+        term_stats.where(F.col("term").isin(list(qtfs)))
+        .select("term", "df")
+        .collect()
+    )
+    out = []
+    for r in rows:
+        idf = float(scorer.idf(float(n_docs), np.array([r.df]))[0])
+        out.append((r.term, int(r.df), idf, int(qtfs[r.term])))
+    return out
+
+
+def score_query(
+    spark: SparkSession,
+    decoded: DataFrame,
+    term_stats: DataFrame,
+    keywords: list[str],
+    n_docs: int,
+    avgdl: float,
+    scorer: Scorer = Scorer(),
+    k: int | None = 10,
+    analyzer: str = "porter",
+    ties: str = "desc",
+) -> DataFrame:
+    """Declarative scoring path. `decoded` = (term, docId, tf, dl) postings.
+
+    Plan shape: pushdown term filter -> broadcast-join the (≤ m query terms)
+    idf map -> per-row contribution (JVM expressions, whole-stage codegen) ->
+    groupBy(docId) partial+final agg -> TakeOrderedAndProject(k).
+    """
+    qtfs = query_tfs(keywords, analyzer)
+    rows = _idf_rows(term_stats, qtfs, scorer, n_docs)
+    if not rows:
+        return spark.createDataFrame([], SCORE_SCHEMA)
+    qdf = spark.createDataFrame(rows, "term string, df long, idf double, qtf int")
+    p = postings_for(decoded, [r[0] for r in rows]).join(F.broadcast(qdf), "term")
+    if scorer.kind == "bm25":
+        contrib = (
+            F.col("qtf")
+            * F.col("idf")
+            * (F.col("tf") * (scorer.k1 + 1.0))
+            / (
+                F.col("tf")
+                + scorer.k1 * (1.0 - scorer.b + scorer.b * F.col("dl") / F.lit(avgdl))
+            )
+        )
+        scores = p.groupBy("docId").agg(F.sum(contrib).alias("score"))
+    else:
+        wd = F.col("tf") * F.col("idf")
+        scores = p.groupBy("docId").agg(
+            (F.sum(wd * F.col("qtf") * F.col("idf"))).alias("_dot"),
+            (F.sum(wd * wd)).alias("_len"),
+        )
+        scores = scores.select(
+            "docId",
+            F.when(F.col("_len") > 0, F.col("_dot") / F.sqrt(F.col("_len")))
+            .otherwise(F.lit(0.0))
+            .alias("score"),
+        )
+    order = [F.desc("score"), F.desc("docId") if ties == "desc" else F.asc("docId")]
+    scores = scores.orderBy(*order)
+    return scores.limit(k) if k is not None else scores
+
+
+# --- DAAT kernel with MaxScore / block-max pruning --------------------------
+
+
+def _tf_upper(scorer: Scorer, max_tf: np.ndarray) -> np.ndarray:
+    """Upper bound of the tf-normalization for any dl (dl -> 0)."""
+    mt = np.asarray(max_tf, dtype=np.float64)
+    if scorer.kind == "bm25":
+        return mt * (scorer.k1 + 1.0) / (mt + scorer.k1 * (1.0 - scorer.b))
+    return mt  # tfidf: wd = tf*idf grows with tf; cosine norm ignored (≥)
+
+
+def _decode_row_blocks(r, take: np.ndarray):
+    """Byte-decode only the selected blocks of one packed row."""
+    offs = np.asarray(r.block_docid_off, dtype=np.int64)
+    toffs = np.asarray(r.block_tf_off, dtype=np.int64)
+    dloffs = np.asarray(r.block_dl_off, dtype=np.int64)
+    ends_d = np.append(offs[1:], len(r.docids))
+    ends_t = np.append(toffs[1:], len(r.tfs))
+    ends_l = np.append(dloffs[1:], len(r.dls))
+    ds, ts, ls = [], [], []
+    for i in np.flatnonzero(take):
+        deltas = varbyte_decode(r.docids, int(offs[i]), int(ends_d[i] - offs[i]))
+        ds.append(np.cumsum(deltas))
+        ts.append(varbyte_decode(r.tfs, int(toffs[i]), int(ends_t[i] - toffs[i])))
+        ls.append(varbyte_decode(r.dls, int(dloffs[i]), int(ends_l[i] - dloffs[i])))
+    if not ds:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    return np.concatenate(ds), np.concatenate(ts), np.concatenate(ls)
+
+
+def _daat_segment(
+    pdf: pd.DataFrame,
+    qmeta: dict[str, tuple[float, int]],
+    scorer: Scorer,
+    avgdl: float,
+    k: int | None,
+    prune: bool,
+) -> pd.DataFrame:
+    """Score one segment's packed rows for the query terms.
+
+    Two-phase MaxScore with block-max skipping (bm25 only — the tfidf cosine
+    norm is non-monotone in added terms, so that scorer runs exhaustive,
+    exactly like the reference):
+
+    - Phase A (essential): rows in UB-desc order decode fully, θ = k-th best
+      partial sum so far (a valid lower bound for bm25). A row becomes
+      non-essential once ``suffix_ub(i) <= θ`` — a doc found only from row i
+      onward is bounded by suffix_ub(i) and cannot enter the top k.
+    - Phase B (non-essential): decode only blocks that (a) overlap the
+      candidate docId set and (b) have
+      ``prefix_ub + block_ub + suffix_rest >= θ``.
+    """
+    rows = []
+    for r in pdf.itertuples(index=False):
+        idf, qtf = qmeta[r.term]
+        ub = float(qtf * idf * _tf_upper(scorer, np.array([r.max_tf]))[0])
+        rows.append((ub, r))
+    rows.sort(key=lambda x: -x[0])
+    ubs = np.array([ub for ub, _ in rows], dtype=np.float64)
+    suffix_ub = np.concatenate((ubs[::-1].cumsum()[::-1], [0.0]))
+    prefix_ub = np.concatenate(([0.0], ubs.cumsum()))
+
+    can_prune = prune and k is not None and scorer.kind == "bm25"
+
+    def contribs(r, tfs, dls):
+        idf, qtf = qmeta[r.term]
+        tfs = tfs.astype(np.float64)
+        if scorer.kind == "bm25":
+            c = qtf * idf * tfs * (scorer.k1 + 1.0) / (
+                tfs + scorer.k1 * (1.0 - scorer.b + scorer.b * dls / avgdl)
+            )
+            return c, None
+        wd = tfs * idf
+        return wd * (qtf * idf), wd * wd
+
+    acc_doc: list[np.ndarray] = []
+    acc_dot: list[np.ndarray] = []
+    acc_len: list[np.ndarray] = []
+    theta = -np.inf
+    candidates: np.ndarray | None = None
+    for i, (ub, r) in enumerate(rows):
+        # strict <: a doc tying θ exactly could still enter top-k on tiebreak
+        non_essential = can_prune and theta > -np.inf and suffix_ub[i] < theta
+        blast = np.asarray(r.block_last_docid, dtype=np.int64)
+        take = np.ones(len(blast), dtype=bool)
+        if non_essential:
+            want = candidates if candidates is not None else np.empty(0, np.int64)
+            lo = np.searchsorted(want, np.concatenate(([np.int64(-1)], blast[:-1])), "right")
+            hi = np.searchsorted(want, blast, "right")
+            take &= hi > lo
+            idf, qtf = qmeta[r.term]
+            bub = qtf * idf * _tf_upper(scorer, np.asarray(r.block_max_tf))
+            take &= (prefix_ub[i] + bub + suffix_ub[i + 1]) >= theta
+        d, t, l = _decode_row_blocks(r, take)
+        if len(d) == 0:
+            continue
+        dot, ln = contribs(r, t, l)
+        acc_doc.append(d)
+        acc_dot.append(dot)
+        if ln is not None:
+            acc_len.append(ln)
+        if can_prune and not non_essential:
+            all_doc = np.concatenate(acc_doc)
+            candidates, inv = np.unique(all_doc, return_inverse=True)
+            partial = np.bincount(inv, weights=np.concatenate(acc_dot))
+            if len(partial) >= k:
+                theta = float(np.partition(partial, -k)[-k])
+    if not acc_doc:
+        return pd.DataFrame({"docId": [], "score": []}).astype(
+            {"docId": "int64", "score": "float64"}
+        )
+    all_doc = np.concatenate(acc_doc)
+    uq, inv = np.unique(all_doc, return_inverse=True)
+    dot = np.bincount(inv, weights=np.concatenate(acc_dot))
+    if scorer.kind == "bm25":
+        score = dot
+    else:
+        ln = (
+            np.bincount(inv, weights=np.concatenate(acc_len))
+            if acc_len
+            else np.zeros(len(uq))
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            score = np.where(ln > 0, dot / np.sqrt(ln), 0.0)
+    if k is not None and len(uq) > k:
+        # local top-k: score desc, docId desc (IIM:1266-1288)
+        order = np.lexsort((-uq.astype(np.float64), -score))[:k]
+        uq, score = uq[order], score[order]
+    return pd.DataFrame({"docId": uq.astype("int64"), "score": score})
+
+
+def score_query_daat(
+    spark: SparkSession,
+    segments: DataFrame,
+    term_stats: DataFrame,
+    keywords: list[str],
+    n_docs: int,
+    avgdl: float,
+    scorer: Scorer = Scorer(),
+    k: int | None = 10,
+    analyzer: str = "porter",
+    prune: bool = True,
+    ties: str = "desc",
+) -> DataFrame:
+    """Block-max DAAT over packed segments: parquet pushdown on term ->
+    per-(batch, seg) applyInPandas kernel -> local top-k -> global top-k."""
+    qtfs = query_tfs(keywords, analyzer)
+    rows = _idf_rows(term_stats, qtfs, scorer, n_docs)
+    if not rows:
+        return spark.createDataFrame([], SCORE_SCHEMA)
+    qmeta = {t: (idf, qtf) for t, df_, idf, qtf in rows}
+    seg = segments.where(F.col("term").isin(list(qmeta)))
+    group_cols = [c for c in ("batch", "seg") if c in segments.columns] or ["seg"]
+
+    def kernel(key, pdf):
+        return _daat_segment(pdf, qmeta, scorer, avgdl, k, prune)
+
+    local = seg.groupBy(*group_cols).applyInPandas(kernel, SCORE_SCHEMA)
+    order = [F.desc("score"), F.desc("docId") if ties == "desc" else F.asc("docId")]
+    out = local.orderBy(*order)
+    return out.limit(k) if k is not None else out

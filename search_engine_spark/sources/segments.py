@@ -1,0 +1,324 @@
+"""Segment store: manifest, resumable batched build, decode, compaction.
+
+Reference mapping:
+- S8/S9/S10 segment writer/readers (``InvertedIndexManager.java:203-485``)
+  -> packed parquet rows + predicate-pushdown reads (row-group min/max on the
+  term-sorted files replace the manual header RID seeks).
+- B2 ``flush`` (IIM:301-328) -> one committed *batch* of segments; the flush
+  threshold becomes a docId-hash batch split (pure function of docId =>
+  idempotent, resume-safe).
+- B4/B5 ``mergeSegments``/``mergeAllSegments`` (IIM:583-687) ->
+  :func:`compact`: decode + re-encode into one batch. No docID rebasing —
+  docIDs are globally stable, so merge is a by-term repack.
+- Resumability (north rule): every batch commit atomically rewrites
+  ``manifest.json`` (tmp + rename) with lineage + per-batch stats; re-running
+  :func:`build_index` skips committed batches byte-identically.
+
+Layout::
+
+    index_dir/
+      manifest.json
+      segments/batch=<i>/           term-sorted packed parquet
+      term_stats/                   (term, df, cf, max_tf) parquet
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.codec import delta_varbyte_decode, varbyte_decode
+from ..operators.build import BLOCK_SIZE
+
+
+def blockwise_delta_decode(buf: bytes, block_size: int = BLOCK_SIZE) -> np.ndarray:
+    """Decode a docid column whose delta chain restarts every `block_size`
+    values (the restart value is stored absolute)."""
+    vals = varbyte_decode(buf)
+    n = len(vals)
+    if n == 0:
+        return vals
+    c = np.cumsum(vals)
+    bstarts = np.arange(0, n, block_size)
+    # amount to subtract inside block i = cumsum just before the block
+    base_per_block = np.concatenate(([np.int64(0)], c[bstarts[1:] - 1]))
+    lens = np.diff(np.append(bstarts, n))
+    return c - np.repeat(base_per_block, lens)
+from ..operators.build import (
+    build_postings,
+    encode_segments,
+    heavy_terms,
+    term_stats_from_segments,
+)
+
+MANIFEST = "manifest.json"
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("docId", LongType(), False),
+        StructField("tf", IntegerType(), False),
+        StructField("dl", IntegerType(), False),
+    ]
+)
+
+DECODED_POS_SCHEMA = StructType(
+    DECODED_SCHEMA.fields + [StructField("positions", ArrayType(IntegerType()), True)]
+)
+
+
+def read_manifest(index_dir: str) -> dict:
+    p = os.path.join(index_dir, MANIFEST)
+    if not os.path.exists(p):
+        return {"batches": {}, "finalized": False}
+    with open(p) as f:
+        return json.load(f)
+
+
+def write_manifest(index_dir: str, m: dict) -> None:
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = os.path.join(index_dir, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(m, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(index_dir, MANIFEST))  # atomic commit
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    analyzer: str = "porter",
+    n_batches: int = 1,
+    num_segments: int | None = None,
+    heavy_threshold: int | None = None,
+    n_salts: int = 8,
+    with_positions: bool = True,
+) -> dict:
+    """Resumable batched index build. Returns the final manifest.
+
+    Each batch = reference ``flush`` unit: select corpus slice by
+    ``xxhash64(docId) % n_batches``, build postings, salt heavy terms, one
+    range shuffle, packed parquet write, manifest commit.
+    """
+    if num_segments is None:
+        num_segments = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    m = read_manifest(index_dir)
+    m.setdefault("batches", {})
+    m.update(
+        {
+            "analyzer": analyzer,
+            "codec": "delta_varbyte",
+            "n_batches": n_batches,
+            "num_segments": num_segments,
+            "n_salts": n_salts,
+            "with_positions": with_positions,
+            "lineage": m.get("lineage", [])
+            or [{"input": "corpus-df", "created_at": time.time()}],
+        }
+    )
+    corpus = corpus.select("docId", "content")
+    for i in range(n_batches):
+        key = str(i)
+        if m["batches"].get(key, {}).get("committed"):
+            continue  # resume: batch already durable
+        t0 = time.time()
+        sub = (
+            corpus
+            if n_batches == 1
+            else corpus.where(F.pmod(F.xxhash64("docId"), F.lit(n_batches)) == i)
+        )
+        postings = build_postings(sub, analyzer)
+        if not with_positions:
+            postings = postings.withColumn("positions", F.lit(None).cast("array<int>"))
+        if heavy_threshold is None:
+            heavy: list[str] = []
+        else:
+            heavy = heavy_terms(postings, heavy_threshold)
+        seg = encode_segments(postings, num_segments, heavy, n_salts)
+        out = os.path.join(index_dir, "segments", f"batch={i}")
+        seg.write.mode("overwrite").parquet(out)
+        # batch stats from the packed rows (cheap relation)
+        st = (
+            spark.read.parquet(out)
+            .agg(
+                F.sum("sum_tf").alias("tok"),
+                F.sum("ndocs").alias("post"),
+                F.count("*").alias("rows"),
+            )
+            .collect()[0]
+        )
+        ndocs = sub.count()
+        m["batches"][key] = {
+            "committed": True,
+            "path": out,
+            "ndocs": int(ndocs),
+            "npostings": int(st["post"] or 0),
+            "total_tokens": int(st["tok"] or 0),
+            "heavy_terms": heavy,
+            "build_sec": round(time.time() - t0, 3),
+            "committed_at": time.time(),
+        }
+        write_manifest(index_dir, m)
+    return finalize_index(spark, index_dir)
+
+
+def finalize_index(spark: SparkSession, index_dir: str) -> dict:
+    """Aggregate term stats + corpus stats across batches; idempotent."""
+    m = read_manifest(index_dir)
+    segs = load_segments(spark, index_dir)
+    stats_dir = os.path.join(index_dir, "term_stats")
+    term_stats_from_segments(segs).coalesce(4).write.mode("overwrite").parquet(stats_dir)
+    n_docs = sum(b["ndocs"] for b in m["batches"].values())
+    total_tokens = sum(b["total_tokens"] for b in m["batches"].values())
+    m["stats"] = {
+        "n_docs": n_docs,
+        "total_tokens": total_tokens,
+        "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+        "npostings": sum(b["npostings"] for b in m["batches"].values()),
+    }
+    m["finalized"] = True
+    write_manifest(index_dir, m)
+    return m
+
+
+def load_segments(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(index_dir, "segments"))
+
+
+def load_term_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(index_dir, "term_stats"))
+
+
+def _decode_batch(pdf: pd.DataFrame, with_positions: bool):
+    """Vectorized-ish decode of packed rows -> exploded postings."""
+    outs = []
+    for r in pdf.itertuples(index=False):
+        docids = blockwise_delta_decode(r.docids)
+        tfs = varbyte_decode(r.tfs)
+        dls = varbyte_decode(r.dls)
+        d = {
+            "term": np.repeat(r.term, len(docids)),
+            "docId": docids,
+            "tf": tfs.astype("int32"),
+            "dl": dls.astype("int32"),
+        }
+        if with_positions:
+            if r.positions is not None:
+                blens = varbyte_decode(r.poslens)
+                offs = np.zeros(len(blens) + 1, dtype=np.int64)
+                offs[1:] = np.cumsum(blens)
+                d["positions"] = [
+                    delta_varbyte_decode(r.positions, int(offs[k]), int(blens[k])).astype(
+                        "int32"
+                    )
+                    for k in range(len(blens))
+                ]
+            else:
+                d["positions"] = [None] * len(docids)
+        outs.append(pd.DataFrame(d))
+    if not outs:
+        return None
+    return pd.concat(outs, ignore_index=True)
+
+
+def decode_postings(
+    segments: DataFrame, terms: list[str] | None = None, with_positions: bool = False
+) -> DataFrame:
+    """S9/S10: packed rows -> (term, docId, tf, dl[, positions]).
+
+    ``terms`` filter is pushed to the parquet scan (`IN` on the term-sorted
+    files => row-group skipping — the RID-seek analog, IIM:435-485).
+    Salted rows for one term simply union; each row's docIds stay sorted.
+    """
+    df = segments
+    if terms is not None:
+        df = df.where(F.col("term").isin(list(terms)))
+    cols = ["term", "docids", "tfs", "dls"] + (
+        ["poslens", "positions"] if with_positions else []
+    )
+    df = df.select(*cols)
+    schema = DECODED_POS_SCHEMA if with_positions else DECODED_SCHEMA
+
+    def kernel(batches):
+        for pdf in batches:
+            if not with_positions:
+                pdf = pdf.assign(poslens=None, positions=None)
+            out = _decode_batch(pdf, with_positions)
+            if out is not None:
+                yield out
+
+    return df.mapInPandas(kernel, schema)
+
+
+def segment_dict(spark: SparkSession, index_dir: str, positional: bool = False) -> dict:
+    """Q13 test oracle (IIM:1402-1471): whole index -> python dicts."""
+    rows = decode_postings(load_segments(spark, index_dir), None, positional).collect()
+    if positional:
+        return {
+            (r.term, int(r.docId)): [int(p) for p in r.positions]
+            for r in rows
+        }
+    return _group_terms(rows)
+
+
+def _group_terms(rows) -> dict:
+    out: dict[str, list[int]] = {}
+    for r in rows:
+        out.setdefault(r.term, []).append(int(r.docId))
+    return {t: sorted(v) for t, v in out.items()}
+
+
+def compact(spark: SparkSession, index_dir: str, batches: list[int]) -> dict:
+    """B4/B5 merge: repack the given batches into one new batch.
+
+    DocIDs are global => merge is decode -> re-encode grouped by term (the
+    reference's docID-rebase, IIM:616-620, is unnecessary). Commit order:
+    write new batch, flip manifest, then drop old dirs — crash-safe at every
+    step (manifest is the source of truth).
+    """
+    import shutil
+
+    m = read_manifest(index_dir)
+    new_id = max((int(k) for k in m["batches"]), default=-1) + 1
+    srcs = [m["batches"][str(b)]["path"] for b in batches]
+    segs = spark.read.parquet(*srcs)
+    with_pos = m.get("with_positions", True)
+    decoded = decode_postings(segs, None, with_pos)
+    if not with_pos:
+        decoded = decoded.withColumn("positions", F.lit(None).cast("array<int>"))
+    heavy = sorted({t for b in batches for t in m["batches"][str(b)].get("heavy_terms", [])})
+    out = os.path.join(index_dir, "segments", f"batch={new_id}")
+    encode_segments(decoded, m["num_segments"], heavy, m.get("n_salts", 8)).write.mode(
+        "overwrite"
+    ).parquet(out)
+    merged = {
+        "committed": True,
+        "path": out,
+        "ndocs": sum(m["batches"][str(b)]["ndocs"] for b in batches),
+        "npostings": sum(m["batches"][str(b)]["npostings"] for b in batches),
+        "total_tokens": sum(m["batches"][str(b)]["total_tokens"] for b in batches),
+        "heavy_terms": heavy,
+        "merged_from": list(batches),
+        "committed_at": time.time(),
+    }
+    m["batches"][str(new_id)] = merged
+    for b in batches:
+        del m["batches"][str(b)]
+    write_manifest(index_dir, m)
+    for s in srcs:
+        shutil.rmtree(s, ignore_errors=True)
+    return finalize_index(spark, index_dir)
