@@ -64,6 +64,7 @@ SEGMENT_SCHEMA = StructType(
     [
         StructField("term", StringType(), False),
         StructField("salt", IntegerType(), False),
+        StructField("min_docid", LongType(), False),
         StructField("ndocs", IntegerType(), False),
         StructField("sum_tf", LongType(), False),
         StructField("max_tf", IntegerType(), False),
@@ -215,6 +216,7 @@ def _encode_group(g: pd.DataFrame) -> tuple:
     tfs_bin, tf_off = _block_encoded(tfs, bstarts, delta=False)
     dls_bin, dl_off = _block_encoded(dls, bstarts, delta=False)
     return (
+        int(docids[0]),
         int(ndocs),
         int(tfs.sum()),
         int(tfs.max()),
@@ -237,9 +239,9 @@ def _segment_encoder(batches):
     leftover: pd.DataFrame | None = None
 
     cols = [
-        "term", "salt", "ndocs", "sum_tf", "max_tf", "docids", "tfs", "dls",
-        "poslens", "positions", "block_last_docid", "block_max_tf",
-        "block_docid_off", "block_tf_off", "block_dl_off",
+        "term", "salt", "min_docid", "ndocs", "sum_tf", "max_tf", "docids",
+        "tfs", "dls", "poslens", "positions", "block_last_docid",
+        "block_max_tf", "block_docid_off", "block_tf_off", "block_dl_off",
     ]
 
     def pack(pdf: pd.DataFrame):

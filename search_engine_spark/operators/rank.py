@@ -269,6 +269,99 @@ def _daat_segment(
     return pd.DataFrame({"docId": uq.astype("int64"), "score": score})
 
 
+# Segments are TERM-partitioned (the build's repartition-by-term), so one
+# doc's query terms live in different segment rows/files. Distributed DAAT
+# therefore re-keys the *compressed* posting blocks by global docId range:
+# non-straddling blocks are byte-sliced (delta chains restart per block — no
+# decode), only the rare blocks straddling a bucket edge are decoded and
+# re-encoded. Each bucket then holds every query-term posting for its docId
+# range => the per-bucket kernel computes complete scores and a valid local
+# top-k, and only q-term compressed bytes ever cross the shuffle.
+
+from pyspark.sql.types import ArrayType, BinaryType, IntegerType, StringType
+
+BUCKETED_SCHEMA = StructType(
+    [
+        StructField("bucket", IntegerType(), False),
+        StructField("term", StringType(), False),
+        StructField("max_tf", IntegerType(), False),
+        StructField("docids", BinaryType(), False),
+        StructField("tfs", BinaryType(), False),
+        StructField("dls", BinaryType(), False),
+        StructField("block_last_docid", ArrayType(LongType()), False),
+        StructField("block_max_tf", ArrayType(IntegerType()), False),
+        StructField("block_docid_off", ArrayType(IntegerType()), False),
+        StructField("block_tf_off", ArrayType(IntegerType()), False),
+        StructField("block_dl_off", ArrayType(IntegerType()), False),
+    ]
+)
+
+
+def _reencode_part(term, docids, tfs, dls):
+    from ..functions.codec import varbyte_encode
+
+    deltas = docids.copy()
+    deltas[1:] -= docids[:-1]
+    return (
+        term,
+        int(tfs.max()),
+        varbyte_encode(deltas),
+        varbyte_encode(tfs),
+        varbyte_encode(dls),
+        [int(docids[-1])],
+        [int(tfs.max())],
+        [0],
+        [0],
+        [0],
+    )
+
+
+def _split_row_by_bucket(r, edges: np.ndarray):
+    """Yield (bucket, *BUCKETED fields) slices of one packed segment row."""
+    blast = np.asarray(r.block_last_docid, dtype=np.int64)
+    bmax = np.asarray(r.block_max_tf, dtype=np.int64)
+    offs_d = np.append(np.asarray(r.block_docid_off, np.int64), len(r.docids))
+    offs_t = np.append(np.asarray(r.block_tf_off, np.int64), len(r.tfs))
+    offs_l = np.append(np.asarray(r.block_dl_off, np.int64), len(r.dls))
+    nb = len(blast)
+    prev = np.empty(nb, dtype=np.int64)
+    prev[0] = r.min_docid - 1
+    prev[1:] = blast[:-1]
+    b_lo = np.searchsorted(edges, prev + 1, "left")
+    b_hi = np.searchsorted(edges, blast, "left")
+    i = 0
+    while i < nb:
+        if b_lo[i] != b_hi[i]:
+            # straddler: decode this one block and split exactly by edges
+            d = np.cumsum(varbyte_decode(r.docids, int(offs_d[i]), int(offs_d[i + 1] - offs_d[i])))
+            t = varbyte_decode(r.tfs, int(offs_t[i]), int(offs_t[i + 1] - offs_t[i]))
+            l = varbyte_decode(r.dls, int(offs_l[i]), int(offs_l[i + 1] - offs_l[i]))
+            bks = np.searchsorted(edges, d, "left")
+            for bk in np.unique(bks):
+                sel = bks == bk
+                yield (int(bk),) + _reencode_part(r.term, d[sel], t[sel], l[sel])
+            i += 1
+            continue
+        # run of whole blocks in the same bucket -> pure byte slice
+        j = i + 1
+        while j < nb and b_lo[j] == b_hi[j] and b_hi[j] == b_hi[i]:
+            j += 1
+        yield (
+            int(b_hi[i]),
+            r.term,
+            int(bmax[i:j].max()),
+            r.docids[int(offs_d[i]) : int(offs_d[j])],
+            r.tfs[int(offs_t[i]) : int(offs_t[j])],
+            r.dls[int(offs_l[i]) : int(offs_l[j])],
+            blast[i:j].tolist(),
+            [int(x) for x in bmax[i:j]],
+            [int(x - offs_d[i]) for x in offs_d[i:j]],
+            [int(x - offs_t[i]) for x in offs_t[i:j]],
+            [int(x - offs_l[i]) for x in offs_l[i:j]],
+        )
+        i = j
+
+
 def score_query_daat(
     spark: SparkSession,
     segments: DataFrame,
@@ -281,21 +374,45 @@ def score_query_daat(
     analyzer: str = "porter",
     prune: bool = True,
     ties: str = "desc",
+    n_buckets: int | None = None,
 ) -> DataFrame:
-    """Block-max DAAT over packed segments: parquet pushdown on term ->
-    per-(batch, seg) applyInPandas kernel -> local top-k -> global top-k."""
+    """Distributed block-max DAAT: parquet pushdown on term -> byte-level
+    block re-key by docId bucket -> per-bucket MaxScore kernel with local
+    top-k -> global TakeOrderedAndProject (≙ the reference's per-segment
+    top-k + global PQ, IIM:1282-1313)."""
     qtfs = query_tfs(keywords, analyzer)
     rows = _idf_rows(term_stats, qtfs, scorer, n_docs)
     if not rows:
         return spark.createDataFrame([], SCORE_SCHEMA)
     qmeta = {t: (idf, qtf) for t, df_, idf, qtf in rows}
     seg = segments.where(F.col("term").isin(list(qmeta)))
-    group_cols = [c for c in ("batch", "seg") if c in segments.columns] or ["seg"]
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    span = seg.agg(
+        F.min("min_docid").alias("lo"),
+        F.max(F.element_at("block_last_docid", -1)).alias("hi"),
+    ).collect()[0]
+    if span["lo"] is None:
+        return spark.createDataFrame([], SCORE_SCHEMA)
+    lo, hi = int(span["lo"]), int(span["hi"])
+    # inclusive upper bounds per bucket over the candidate docId span
+    edges = np.unique(np.linspace(lo, hi, n_buckets + 1).astype(np.int64)[1:])
+    edges[-1] = hi
+
+    def splitter(batches):
+        for pdf in batches:
+            out = [tup for r in pdf.itertuples(index=False) for tup in _split_row_by_bucket(r, edges)]
+            if out:
+                yield pd.DataFrame(out, columns=BUCKETED_SCHEMA.fieldNames())
+
+    bucketed = seg.select(*BUCKETED_SCHEMA.fieldNames()[1:], "min_docid").mapInPandas(
+        splitter, BUCKETED_SCHEMA
+    )
 
     def kernel(key, pdf):
         return _daat_segment(pdf, qmeta, scorer, avgdl, k, prune)
 
-    local = seg.groupBy(*group_cols).applyInPandas(kernel, SCORE_SCHEMA)
+    local = bucketed.groupBy("bucket").applyInPandas(kernel, SCORE_SCHEMA)
     order = [F.desc("score"), F.desc("docId") if ties == "desc" else F.asc("docId")]
     out = local.orderBy(*order)
     return out.limit(k) if k is not None else out

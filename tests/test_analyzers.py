@@ -1,0 +1,159 @@
+"""Analyzer goldens lifted from the reference test suite (SURVEY.md §5).
+
+Sources: test/analysis/punctuation/*, test/analysis/stemmer/* in
+/root/reference (expectations reproduced as data, no code copied).
+"""
+
+import pytest
+
+from search_engine_spark.functions.analyzers import (
+    WordBreakTokenizer,
+    code_tokenize,
+    naive_tokenize,
+    porter_analyze,
+    punctuation_tokenize,
+    term_positions,
+)
+from search_engine_spark.functions.porter import porter_stem
+from search_engine_spark.functions.stopwords import STOP_WORDS
+
+
+def test_stopwords_frozen():
+    # StopWords.java:13-143 — exactly 127 entries
+    assert len(STOP_WORDS) == 127
+    assert {"i", "the", "now", "don", "s", "t"} <= STOP_WORDS
+    assert "dog" not in STOP_WORDS
+
+
+PUNCT_CASES = [
+    # PunctuationTokenizer.java:8 doc example
+    ("I am Happy Today!", ["happy", "today"]),
+    # Team2PunctuationTokenizerTest
+    (
+        "UCI: \n \n a public research university located in Irvine, \t \t California!",
+        ["uci:", "public", "research", "university", "located", "irvine", "california"],
+    ),
+    (
+        "UCI : \na, public research university located in Irvine,California!!!!",
+        ["uci", ":", "public", "research", "university", "located", "irvine", "california"],
+    ),
+    ("\U0001F434 is a very cute horse head!", ["\U0001F434", "cute", "horse", "head"]),
+    # Team4PunctuationTokenizerTest
+    ("", []),
+    ("......I am not happy today!? , ) ;", ["happy", "today", ")"]),
+    ("   I     am    Happy Today!        ", ["happy", "today"]),
+]
+
+
+@pytest.mark.parametrize("text,expected", PUNCT_CASES)
+def test_punctuation_tokenizer(text, expected):
+    assert punctuation_tokenize(text) == expected
+
+
+STEM_SENTENCES = [
+    # Team18/19/20/21/22/23 + PorterStemmerTest goldens (stem each ws-token)
+    ("stemming is an important concept in computer science",
+     "stem is an import concept in comput scienc"),
+    ("clothes satisfactory wearing worn wore", "cloth satisfactori wear worn wore"),
+    ("Intellij IDEA is so popular among programmers that my friends Tom and Jerry both use it often.",
+     "Intellij IDEA is so popular among programm that my friend Tom and Jerri both us it often."),
+    ("how ever however", "how ever howev"),
+    ("I am writing to test the Stemmer. Turning in the final results of the applications is due this week",
+     "I am write to test the Stemmer. Turn in the final result of the applic is due thi week"),
+    ("information retrieval is the activity of obtaining information system resources relevant to an information need from a collection",
+     "inform retriev is the activ of obtain inform system resourc relev to an inform need from a collect"),
+    ("He is an old man who fished alone in a skiff in the Gulf Stream and he had gone twenty-two weeks without taking a fish",
+     "He is an old man who fish alon in a skiff in the Gulf Stream and he had gone twenty-two week without take a fish"),
+    ("rate roll sky feed bled sing caress 1234", "rate roll sky feed bled sing caress 1234"),
+    ("caresses ponies cats", "caress poni cat"),
+    ("ties dogs caress need agreed disabled fitting making missing meeting meetings",
+     "ti dog caress need agre disabl fit make miss meet meet"),
+    ("organization organizer international responsibility fitness",
+     "organ organ intern respons fit"),
+    ("department humorousness dependence helpfulness analytical despotism",
+     "depart humor depend help analyt despot"),
+    ("agreed feed plastered bled motoring sing", "agre feed plaster bled motor sing"),
+    ("conflated troubled sized hopping fizzed failing filing",
+     "conflat troubl size hop fizz fail file"),
+    ("happy sky", "happi sky"),
+    ("triplicate formative formalize electriciti electrical hopeful goodness",
+     "triplic form formal electr electr hope good"),
+    ("relational conditional rational valenci hesitanci digitizer conformabli radicalli differentli vileli analogousli vietnamization predication operator feudalism decisiveness hopefulness callousness formaliti sensitiviti sensibiliti",
+     "relat condit ration valenc hesit digit conform radic differ vile analog vietnam predic oper feudal decis hope callous formal sensit sensibl"),
+    ("hopefully the refrigerator start working again in that chen li made some adjustment with carefulness",
+     "hopefulli the refriger start work again in that chen li made some adjust with care"),
+    ("the allowance of collaboration between media and tech company help activate the revival of journalism",
+     "the allow of collabor between media and tech compani help activ the reviv of journal"),
+    ("this wall is regarded as of the indestructible construction in ancient time which was built with marble in standardized size and designed by smartest scientist at that time",
+     "thi wall is regard as of the indestruct construct in ancient time which wa built with marbl in standard size and design by smartest scientist at that time"),
+    ("Indeed, my only wonder was that he had not already been mixed up in this extraordinary case, which was the one topic of conversation through the length and breadth of England.",
+     "Indeed, my onli wonder wa that he had not alreadi been mix up in thi extraordinari case, which wa the on topic of convers through the length and breadth of England."),
+]
+
+
+@pytest.mark.parametrize("text,expected", STEM_SENTENCES)
+def test_porter_goldens(text, expected):
+    assert " ".join(porter_stem(t) for t in text.split()) == expected
+
+
+def test_naive_tokenizer():
+    assert naive_tokenize("The Quick  brown\tFox") == ["the", "quick", "brown", "fox"]
+
+
+def test_code_tokenizer():
+    assert code_tokenize("def foo(bar): return bar.x + 1") == [
+        "def", "foo", "bar", "return", "bar", "x", "1",
+    ]
+
+
+def test_composable_analyzer():
+    # ComposableAnalyzer.java:13-23 — tokenize then stem
+    assert porter_analyze("An apple a day keeps a doctor away") == [
+        "appl", "dai", "keep", "doctor", "awai",
+    ]
+
+
+def test_term_positions():
+    # IIM:169-180 — positions are token indices in the analyzed list
+    assert term_positions(["a", "b", "a"]) == {"a": [0, 2], "b": [1]}
+
+
+def test_wordbreak():
+    # WordBreakTokenizer.java:67-120 semantics on a fixture dictionary
+    wb = WordBreakTokenizer({"it": 100, "is": 80, "a": 200, "cat": 10, "ca": 1, "tis": 1})
+    assert wb.tokenize("itisacat") == ["cat"]  # it/is/a are stop words
+    with pytest.raises(ValueError):
+        wb.tokenize("zzz")
+    assert wb.tokenize("") == []
+
+
+def test_wordbreak_reference_dictionary():
+    """Optional: load the reference's dictionary resource if present."""
+    import os
+
+    p = "/root/reference/src/main/resources/cs221_frequency_dictionary_en.txt"
+    if not os.path.exists(p):
+        pytest.skip("reference dictionary not available")
+    freq = {}
+    with open(p, encoding="utf-8-sig") as f:  # resource starts with a BOM
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                freq[parts[0]] = float(parts[1])
+    wb = WordBreakTokenizer(freq)
+    # WordBreakTokenizerTest goldens
+    assert wb.tokenize("catdog") == ["cat", "dog"]
+    text = "tosherlockholmessheisalwaysthewomanihaveseldomheardhimmentionherunderanyothernameinhiseyessheeclipsesandpredominatesthewholeofhersexitwasnotthathefeltanyemotionakintoloveforireneadlerallemotionsandthatoneparticularlywereabhorrenttohiscoldprecisebutadmirablybalancedmindhewasitakeitthemostperfectreasoningandobservingmachinethattheworldhasseenbutasaloverhewouldhaveplacedhimselfinafalsepositionheneverspokeofthesofterpassionssavewithagibeandasneertheywereadmirablethingsfortheobserverexcellentfordrawingtheveilfrommenmotivesandactionsbutforthetrainedreasonertoadmitsuchintrusionsintohisowndelicateandfinelyadjustedtemperamentwastointroduceadistractingfactorwhichmightthrowadoubtuponallhismentalresultsgritinasensitiveinstrumentoracrackinoneofhisownhighpowerlenseswouldnotbemoredisturbingthanastrongemotioninanaturesuchashisandyettherewasbutonewomantohimandthatwomanwasthelateireneadlerofdubiousandquestionablememory"
+    expected = (
+        "sherlock holmes always woman seldom heard mention name eyes eclipses "
+        "predominates whole sex felt emotion akin love irene adler emotions one "
+        "particularly abhorrent cold precise admirably balanced mind take perfect "
+        "reasoning observing machine world seen lover would placed false position "
+        "never spoke softer passions save gibe sneer admirable things observer "
+        "excellent drawing veil men motives actions trained reasoner admit "
+        "intrusions delicate finely adjusted temperament introduce distracting "
+        "factor might throw doubt upon mental results grit sensitive instrument "
+        "crack one high power lenses would disturbing strong emotion nature yet "
+        "one woman woman late irene adler dubious questionable memory"
+    ).split()
+    assert wb.tokenize(text) == expected

@@ -1,0 +1,124 @@
+"""Index build / segment / merge semantics against reference fixtures.
+
+Oracle pattern of the reference suite (SURVEY.md §5): build a tiny corpus,
+flush/merge, compare decoded segments against hand-written inverted lists
+(Team10MergeTest.java:21-58 etc.). DocIDs here are explicit 0..n-1 via the
+test corpus helper, so the expected lists transfer verbatim.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.build import build_postings
+from search_engine_spark.sources import segments as S
+from tests.conftest import corpus_from_texts
+
+MERGE_DOCS = [
+    "what is he doing today",
+    "what a cute dog",
+    "i saw you doing there today",
+    "a dog is there",
+]
+
+# Team10MergeTest.java:36-47 (NaiveAnalyzer — no stop-word removal)
+MERGE_EXPECTED = {
+    "what": [0, 1], "is": [0, 3], "he": [0], "doing": [0, 2], "today": [0, 2],
+    "a": [1, 3], "cute": [1], "dog": [1, 3], "i": [2], "saw": [2],
+    "you": [2], "there": [2, 3],
+}
+
+
+def test_postings_fixture(spark):
+    corpus = corpus_from_texts(spark, MERGE_DOCS)
+    rows = build_postings(corpus, "naive").collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.term, []).append(int(r.docId))
+    got = {t: sorted(v) for t, v in got.items()}
+    assert got == MERGE_EXPECTED
+    # positions: "what is he doing today" -> what@0 ... today@4
+    by = {(r.term, r.docId): list(r.positions) for r in rows}
+    assert by[("what", 0)] == [0]
+    assert by[("today", 2)] == [5]
+    assert by[("a", 1)] == [1]
+
+
+def test_build_flush_merge_segment_equality(spark, tmp_index):
+    """Flush (2 batches ≙ 2 flushes) then merge; decoded index equals the
+    hand-written golden — Team10MergeTest.test1 shape."""
+    corpus = corpus_from_texts(spark, MERGE_DOCS)
+    S.build_index(spark, corpus, tmp_index, analyzer="naive", n_batches=2,
+                  num_segments=2)
+    assert S.segment_dict(spark, tmp_index) == MERGE_EXPECTED
+    m = S.compact(spark, tmp_index, [0, 1])  # mergeAllSegments analog
+    assert list(m["batches"]) == ["2"]
+    assert S.segment_dict(spark, tmp_index) == MERGE_EXPECTED
+
+
+def test_positional_segment_equality(spark, tmp_index):
+    corpus = corpus_from_texts(spark, MERGE_DOCS)
+    S.build_index(spark, corpus, tmp_index, analyzer="naive", n_batches=1)
+    pos = S.segment_dict(spark, tmp_index, positional=True)
+    assert pos[("today", 0)] == [4]
+    assert pos[("today", 2)] == [5]
+    assert pos[("dog", 3)] == [1]
+
+
+def test_resume_skips_committed_batches(spark, tmp_index):
+    corpus = corpus_from_texts(spark, MERGE_DOCS * 5)
+    m1 = S.build_index(spark, corpus, tmp_index, analyzer="naive", n_batches=3)
+    stamps = {k: v["committed_at"] for k, v in m1["batches"].items()}
+    m2 = S.build_index(spark, corpus, tmp_index, analyzer="naive", n_batches=3)
+    assert {k: v["committed_at"] for k, v in m2["batches"].items()} == stamps
+
+
+def test_salting_preserves_results(spark, tmp_index):
+    """Heavy-term salting must not change decoded postings."""
+    texts = [f"dog cat common{'x' * (i % 2)}" for i in range(40)]
+    corpus = corpus_from_texts(spark, texts)
+    S.build_index(spark, corpus, tmp_index, analyzer="naive", n_batches=1,
+                  heavy_threshold=5, n_salts=4)
+    d = S.segment_dict(spark, tmp_index)
+    assert d["dog"] == list(range(40))
+    assert d["cat"] == list(range(40))
+    m = S.read_manifest(tmp_index)
+    assert "dog" in m["batches"]["0"]["heavy_terms"]
+    # salted rows exist (term split across >1 row)
+    segs = S.load_segments(spark, tmp_index)
+    nrows = segs.where(F.col("term") == "dog").count()
+    assert nrows > 1
+
+
+def test_term_stats(spark, tmp_index):
+    corpus = corpus_from_texts(spark, MERGE_DOCS)
+    S.build_index(spark, corpus, tmp_index, analyzer="naive", n_batches=2)
+    stats = {r.term: (r.df, r.cf) for r in S.load_term_stats(spark, tmp_index).collect()}
+    assert stats["what"] == (2, 2)
+    assert stats["there"] == (2, 2)
+    assert stats["he"] == (1, 1)
+
+
+def test_manifest_stats(spark, tmp_index):
+    corpus = corpus_from_texts(spark, MERGE_DOCS)
+    m = S.build_index(spark, corpus, tmp_index, analyzer="naive", n_batches=1)
+    assert m["stats"]["n_docs"] == 4
+    assert m["stats"]["total_tokens"] == 5 + 4 + 6 + 4
+    assert m["stats"]["avgdl"] == pytest.approx(19 / 4)
+
+
+def test_sha256_invariant(spark, tmp_index):
+    """input_hint invariant: content sha256 equality between the corpus and
+    what the doc-retrieval path returns (S4 semi-join)."""
+    import hashlib
+
+    from search_engine_spark.operators.query import fetch_documents, search_keyword
+    from search_engine_spark.sources.segments import decode_postings, load_segments
+
+    corpus = corpus_from_texts(spark, MERGE_DOCS)
+    S.build_index(spark, corpus, tmp_index, analyzer="naive", n_batches=1)
+    dec = decode_postings(load_segments(spark, tmp_index))
+    hit = search_keyword(dec, "dog")
+    docs = fetch_documents(hit, corpus).collect()
+    assert {d.docId for d in docs} == {1, 3}
+    for d in docs:
+        assert hashlib.sha256(d.content.encode()).hexdigest() == d.content_sha256

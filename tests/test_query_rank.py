@@ -1,0 +1,158 @@
+"""Query + ranking semantics vs reference fixtures and the numpy oracle."""
+
+import pytest
+
+from search_engine_spark.operators import query as Q
+from search_engine_spark.operators import rank as R
+from search_engine_spark.plans.oracle import OracleIndex
+from search_engine_spark.sources import segments as S
+from tests.conftest import corpus_from_texts
+
+# Team8TfIdfTest.java:37-41
+TFIDF_DOCS = [
+    "An apple a day keeps a doctor away",
+    "One rotten apple spoils the whole barrel",
+    "Fortune knocks once at everyone's rotten door",
+]
+
+# Team11PhraseSearchTest.java:25-33
+PHRASE_DOCS = [
+    "That sounds like a good idea. Maybe we should go out to eat beforehand.",
+    "Let's meet at Summer Pizza House. I have not gone there for a long time.",
+    "Good idea again. I heard they just came up with a new pizza.",
+    "We can meet at Summer Pizza House at noon. That will give us plenty of time to enjoy our pizza.",
+    "She graduated last June, and she will start her teaching career next week when the new school term begins.",
+    "The kids might even look forward to going to school since they have so many friends to play with.",
+    "I am always amazed by the things kindergarten teachers do so it's a good idea to let her join us.",
+]
+
+
+@pytest.fixture(scope="module")
+def tfidf_index(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("tfidf") / "idx")
+    corpus = corpus_from_texts(spark, TFIDF_DOCS)
+    # one flush per doc in the reference; 3 batches ≙ 3 segments
+    m = S.build_index(spark, corpus, p, analyzer="porter", n_batches=3)
+    return p, m, corpus
+
+
+@pytest.fixture(scope="module")
+def phrase_index(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("phrase") / "idx")
+    corpus = corpus_from_texts(spark, PHRASE_DOCS)
+    m = S.build_index(spark, corpus, p, analyzer="porter", n_batches=2)
+    return p, m, corpus
+
+
+def test_tfidf_reference_ordering(spark, tfidf_index):
+    """Team8TfIdfTest: query [apple, apple, rotten] -> docs [1, 0, 2];
+    topK=2 -> [1, 0]."""
+    p, m, _ = tfidf_index
+    segs, stats = S.load_segments(spark, p), S.load_term_stats(spark, p)
+    sc = R.Scorer(kind="tfidf_cosine")
+    got = R.score_query_daat(
+        spark, segs, stats, ["apple", "apple", "rotten"],
+        m["stats"]["n_docs"], m["stats"]["avgdl"], sc, None,
+    ).collect()
+    assert [r.docId for r in got] == [1, 0, 2]
+    assert got[0].score >= got[1].score >= got[2].score
+    got2 = R.score_query_daat(
+        spark, segs, stats, ["apple", "apple", "rotten"],
+        m["stats"]["n_docs"], m["stats"]["avgdl"], sc, 2,
+    ).collect()
+    assert [r.docId for r in got2] == [1, 0]
+
+
+def test_rank_identity_both_paths_both_scorers(spark, tfidf_index):
+    p, m, corpus = tfidf_index
+    segs, stats = S.load_segments(spark, p), S.load_term_stats(spark, p)
+    dec = S.decode_postings(segs)
+    pdf = corpus.select("docId", "content").toPandas()
+    oracle = OracleIndex(dict(zip(pdf.docId, pdf.content)), "porter")
+    nd, avg = m["stats"]["n_docs"], m["stats"]["avgdl"]
+    for kind in ("bm25", "tfidf_cosine"):
+        sc = R.Scorer(kind=kind)
+        exp = oracle.topk(["apple", "rotten", "door"], 3, kind)
+        agg = [(r.docId, r.score) for r in R.score_query(
+            spark, dec, stats, ["apple", "rotten", "door"], nd, avg, sc, 3).collect()]
+        daat = [(r.docId, r.score) for r in R.score_query_daat(
+            spark, segs, stats, ["apple", "rotten", "door"], nd, avg, sc, 3).collect()]
+        for got in (agg, daat):
+            assert [d for d, _ in got] == [d for d, _ in exp]
+            assert all(abs(a - b) < 1e-9 for (_, a), (_, b) in zip(got, exp))
+
+
+def test_wand_prune_equals_exhaustive(spark, tfidf_index):
+    p, m, _ = tfidf_index
+    segs, stats = S.load_segments(spark, p), S.load_term_stats(spark, p)
+    nd, avg = m["stats"]["n_docs"], m["stats"]["avgdl"]
+    a = R.score_query_daat(spark, segs, stats, ["apple", "rotten"], nd, avg,
+                           R.Scorer(), 2, prune=True).collect()
+    b = R.score_query_daat(spark, segs, stats, ["apple", "rotten"], nd, avg,
+                           R.Scorer(), 2, prune=False).collect()
+    assert [(r.docId, r.score) for r in a] == [(r.docId, r.score) for r in b]
+
+
+def test_boolean_queries(spark, phrase_index):
+    p, m, corpus = phrase_index
+    dec = S.decode_postings(S.load_segments(spark, p))
+    pdf = corpus.select("docId", "content").toPandas()
+    oracle = OracleIndex(dict(zip(pdf.docId, pdf.content)), "porter")
+    for kws in (["pizza"], ["good", "idea"], ["school"], ["pizza", "house"]):
+        terms = Q.analyze_query(kws, "porter")
+        assert {r.docId for r in Q.search_and(dec, terms).collect()} == oracle.search_and(terms)
+        assert {r.docId for r in Q.search_or(dec, terms).collect()} == oracle.search_or(terms)
+    # Q2 empty keyword -> empty (IIM:699-701)
+    assert Q.search_and(dec, []).count() == 0
+    assert Q.search_keyword(dec, "zzz_absent").count() == 0
+
+
+def test_phrase_queries(spark, phrase_index):
+    """Team11PhraseSearchTest: 'eat beforehand' -> doc 0;
+    'Summer Pizza House' -> docs 1, 3 (cross-segment)."""
+    p, m, corpus = phrase_index
+    decp = S.decode_postings(S.load_segments(spark, p), None, True)
+    pdf = corpus.select("docId", "content").toPandas()
+    oracle = OracleIndex(dict(zip(pdf.docId, pdf.content)), "porter")
+
+    def phrase(kws):
+        terms = Q.analyze_query(kws, "porter")
+        got = {r.docId for r in Q.search_phrase(decp, terms).collect()}
+        assert got == oracle.search_phrase(terms), kws
+        return got
+
+    assert phrase(["eat", "beforehand"]) == {0}
+    assert phrase(["Summer", "Pizza", "House"]) == {1, 3}
+    assert 2 in phrase(["good", "idea"])
+    assert phrase(["beforehand", "eat"]) == set()
+
+
+def test_full_scan_oracle_matches_index(spark, phrase_index):
+    """Q1 FullScanSearcher ≙ index search (FullScanSearcher.java:27-40)."""
+    p, _, corpus = phrase_index
+    dec = S.decode_postings(S.load_segments(spark, p))
+    kws = ["pizza", "house"]
+    scan = {r.docId for r in Q.full_scan_search(corpus, kws, "porter").collect()}
+    idx = {r.docId for r in Q.search_and(dec, Q.analyze_query(kws, "porter")).collect()}
+    assert scan == idx
+
+
+def test_rank_identity_synthetic(spark, tmp_path_factory):
+    """North-rule check at a less trivial scale: 250-doc synthetic corpus,
+    multi-batch + salting, BM25 top-10 rank-identical with pruning on."""
+    from search_engine_spark.sources.corpus import synthetic_corpus
+
+    p = str(tmp_path_factory.mktemp("synth") / "idx")
+    corpus = synthetic_corpus(spark, n_docs=250, vocab_size=600, seed=11)
+    m = S.build_index(spark, corpus, p, analyzer="porter", n_batches=2,
+                      heavy_threshold=40, n_salts=4)
+    segs, stats = S.load_segments(spark, p), S.load_term_stats(spark, p)
+    pdf = corpus.select("docId", "content").toPandas()
+    oracle = OracleIndex(dict(zip(pdf.docId, pdf.content)), "porter")
+    nd, avg = m["stats"]["n_docs"], m["stats"]["avgdl"]
+    for q in (["def", "import"], ["apple", "rotten", "tok3"], ["tok1"], ["string", "void", "tok7"]):
+        exp = oracle.topk(q, 10, "bm25")
+        got = [(r.docId, r.score) for r in R.score_query_daat(
+            spark, segs, stats, q, nd, avg, R.Scorer(), 10).collect()]
+        assert [d for d, _ in got] == [d for d, _ in exp], q
+        assert all(abs(a - b) < 1e-9 for (_, a), (_, b) in zip(got, exp))
