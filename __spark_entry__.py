@@ -1,38 +1,699 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: build the inverted index over the sf0.001
+documents table (segments on disk, salted term-range shuffle, delta+varbyte
+packing) and run a BM25 top-10 via the distributed block-max DAAT path.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
+from SURVEY.md §2 plus the training-data pipeline operators; every
+SQL-expressible operator has a DuckDB oracle built on the *same* naive
+tokenization (lower + split on whitespace) so values match exactly.
+Cross-engine hash: ``int64(md5(s)[:15 hex])`` (= Spark
+``conv(substring(md5,1,15),16,10)`` = DuckDB ``('0x'||substr(md5,1,15))::int64``).
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared parameters (mirrored verbatim in the oracle SQL)
+
+BM25_K1, BM25_B = 1.2, 0.75
+Q_RANKED = ["spark", "query", "join"]
+Q_KEYWORD = "spark"
+Q_AND = ["spark", "join", "filter"]
+Q_PHRASE = ["table", "scan"]
+TOPK = 10
+ANN_K = 20
+MINHASHES, BANDS, ROWS_PER_BAND, SHINGLE_N = 12, 4, 3, 3
+SIMHASH_BITS = 16
+NEARDUP_TAU = 0.10
+N_PLANES, PLANE_SEED, EMB_DIM = 8, 42, 64
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.sources.corpus import load_documents
+
+    return load_documents(spark, sf_dir)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+_INDEX_CACHE: dict[str, tuple[str, dict]] = {}
+
+
+def _index(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
+    """Build (once per sf_dir) a real on-disk segment index over the
+    documents table with the naive analyzer (oracle-matchable)."""
+    if sf_dir not in _INDEX_CACHE:
+        from search_engine_spark.sources.segments import build_index
+
+        idx = os.path.join(
+            tempfile.gettempdir(), "se_idx_" + sf_dir.strip("/").replace("/", "_")
+        )
+        m = build_index(
+            spark,
+            _docs(spark, sf_dir),
+            idx,
+            analyzer="naive",
+            n_batches=2,
+            num_segments=8,
+            heavy_threshold=None,
+            n_salts=4,
+        )
+        _INDEX_CACHE[sf_dir] = (idx, m)
+    return _INDEX_CACHE[sf_dir]
+
+
+def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators.build import build_postings
+
+    return build_postings(_docs(spark, sf_dir), "naive")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: segment build + distributed BM25 block-max DAAT top-10."""
+    from search_engine_spark.operators.rank import Scorer, score_query_daat
+    from search_engine_spark.sources.segments import load_segments, load_term_stats
+
+    sf_dir = "/root/testdata/sf0.001"
+    idx, m = _index(spark, sf_dir)
+    out = score_query_daat(
+        spark,
+        load_segments(spark, idx),
+        load_term_stats(spark, idx),
+        Q_RANKED,
+        m["stats"]["n_docs"],
+        m["stats"]["avgdl"],
+        Scorer("bm25", BM25_K1, BM25_B),
+        k=TOPK,
+        analyzer="naive",
+        ties="asc",
+    )
+    return out.select(F.col("docId").alias("doc_id"), F.round("score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# queries
+
+
+def q_s1_scan(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.where((F.col("lang") == "en") & (F.col("n_chars") > 200))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+def q_a2_token_count(spark, sf_dir):
+    from search_engine_spark.operators.textstats import token_count_expr
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", token_count_expr(F.col("text")).alias("n_tokens"))
+
+
+def q_b1_postings(spark, sf_dir):
+    p = _postings(spark, sf_dir)
+    return p.select(F.col("docId").alias("doc_id"), "term", "tf")
+
+
+def q_b3_term_stats(spark, sf_dir):
+    p = _postings(spark, sf_dir)
+    return p.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"), F.sum("tf").cast("long").alias("cf")
+    )
+
+
+def q_q7_corpus_stats(spark, sf_dir):
+    p = _postings(spark, sf_dir)
+    return p.agg(
+        F.countDistinct("docId").cast("long").alias("n_docs"),
+        F.sum("tf").cast("long").alias("total_tokens"),
+        F.countDistinct("term").cast("long").alias("n_terms"),
+    )
+
+
+def q_q2_keyword(spark, sf_dir):
+    from search_engine_spark.operators.query import search_keyword
+
+    p = _postings(spark, sf_dir)
+    return search_keyword(p, Q_KEYWORD).select(F.col("docId").alias("doc_id"))
+
+
+def q_q3_and(spark, sf_dir):
+    from search_engine_spark.operators.query import search_and
+
+    return search_and(_postings(spark, sf_dir), Q_AND).select(
+        F.col("docId").alias("doc_id")
+    )
+
+
+def q_q4_or(spark, sf_dir):
+    from search_engine_spark.operators.query import search_or
+
+    return search_or(_postings(spark, sf_dir), Q_AND).select(
+        F.col("docId").alias("doc_id")
+    )
+
+
+def q_q5_phrase(spark, sf_dir):
+    from search_engine_spark.operators.query import search_phrase
+
+    return search_phrase(_postings(spark, sf_dir), Q_PHRASE).select(
+        F.col("docId").alias("doc_id")
+    )
+
+
+def q_q8_tfidf(spark, sf_dir):
+    """TF-IDF cosine, ALL matching docs (reference §2.6 semantics)."""
+    from search_engine_spark.operators.rank import Scorer, score_query
+
+    idx, m = _index(spark, sf_dir)
+    from search_engine_spark.sources.segments import (
+        decode_postings,
+        load_segments,
+        load_term_stats,
+    )
+
+    dec = decode_postings(load_segments(spark, idx))
+    out = score_query(
+        spark, dec, load_term_stats(spark, idx), Q_RANKED,
+        m["stats"]["n_docs"], m["stats"]["avgdl"],
+        Scorer("tfidf_cosine"), k=None, analyzer="naive", ties="asc",
+    )
+    return out.select(F.col("docId").alias("doc_id"), F.round("score", 6).alias("score"))
+
+
+def q_q8_bm25_topk(spark, sf_dir):
+    """BM25 top-10 through the full segment + block-max DAAT path."""
+    from search_engine_spark.operators.rank import Scorer, score_query_daat
+    from search_engine_spark.sources.segments import load_segments, load_term_stats
+
+    idx, m = _index(spark, sf_dir)
+    out = score_query_daat(
+        spark, load_segments(spark, idx), load_term_stats(spark, idx), Q_RANKED,
+        m["stats"]["n_docs"], m["stats"]["avgdl"],
+        Scorer("bm25", BM25_K1, BM25_B), k=TOPK, analyzer="naive", ties="asc",
+    )
+    return out.select(F.col("docId").alias("doc_id"), F.round("score", 6).alias("score"))
+
+
+def q_q9_pagerank(spark, sf_dir):
+    """PageRank over a deterministic synthetic link graph (rows-only check:
+    iterative algorithm, not single-statement-SQL-expressible)."""
+    from search_engine_spark.operators.pagerank import compute_pagerank
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("docId")
+    )
+    n = d.count()
+    edges = d.select(
+        F.col("docId").alias("src"),
+        F.pmod(F.col("docId") * 7 + 1, F.lit(n)).alias("dst"),
+    ).union(
+        d.select(
+            F.col("docId").alias("src"),
+            F.pmod(F.col("docId") * 13 + 5, F.lit(n)).alias("dst"),
+        )
+    ).where(F.col("src") != F.col("dst"))
+    pr = compute_pagerank(d, edges, num_iterations=20)
+    return pr.select(
+        F.col("docId").alias("doc_id"), F.round("pagerank", 6).alias("pagerank")
+    ).orderBy(F.desc("pagerank"), F.asc("doc_id")).limit(TOPK)
+
+
+def q_d1_exact_dedup(spark, sf_dir):
+    from search_engine_spark.operators.dedup import exact_dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(d, text="text", id_col="doc_id")
+
+
+def q_d2_minhash_pairs(spark, sf_dir):
+    from search_engine_spark.operators.dedup import (
+        candidate_pairs,
+        lsh_buckets,
+        minhash_signatures,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = minhash_signatures(d, "text", "doc_id", MINHASHES, SHINGLE_N)
+    return candidate_pairs(lsh_buckets(sigs, "doc_id", BANDS, ROWS_PER_BAND), "doc_id")
+
+
+def q_d3_simhash(spark, sf_dir):
+    from search_engine_spark.operators.dedup import simhash
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash(d, "text", "doc_id", SIMHASH_BITS)
+
+
+def q_d4_jaccard(spark, sf_dir):
+    from search_engine_spark.operators.dedup import (
+        candidate_pairs,
+        lsh_buckets,
+        minhash_signatures,
+        ngram_jaccard,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = minhash_signatures(d, "text", "doc_id", MINHASHES, SHINGLE_N)
+    pairs = candidate_pairs(lsh_buckets(sigs, "doc_id", BANDS, ROWS_PER_BAND), "doc_id")
+    j = ngram_jaccard(d, pairs, "text", "doc_id", SHINGLE_N)
+    return j.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_e1_cosine_topk(spark, sf_dir):
+    from search_engine_spark.operators.similarity import cosine_topk
+
+    e = _emb(spark, sf_dir)
+    qv = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = cosine_topk(e.where(F.col("vec_id") != 0), list(qv), ANN_K)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def q_e2_lsh_topk(spark, sf_dir):
+    from search_engine_spark.operators.similarity import lsh_topk
+
+    e = _emb(spark, sf_dir)
+    qv = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = lsh_topk(e.where(F.col("vec_id") != 0), list(qv), ANN_K, n_planes=N_PLANES, seed=PLANE_SEED)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def q_d5_embedding_neardup(spark, sf_dir):
+    from search_engine_spark.operators.dedup import embedding_near_dups
+
+    e = _emb(spark, sf_dir)
+    out = embedding_near_dups(e, NEARDUP_TAU, n_planes=N_PLANES, seed=PLANE_SEED)
+    return out.select("a", "b", F.round("cosine", 6).alias("cosine"))
+
+
+def q_t1_lang_id(spark, sf_dir):
+    from search_engine_spark.operators.textstats import lang_id
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lang_id(d, "text", "doc_id")
+
+
+def q_t2_quality(spark, sf_dir):
+    from search_engine_spark.operators.textstats import quality_score
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_score(d, "text", "doc_id")
+
+
+def q_t3_fingerprint(spark, sf_dir):
+    from search_engine_spark.operators.textstats import fingerprint
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fingerprint(d, "text", "doc_id", SHINGLE_N)
+
+
+def q_m1_media_meta(spark, sf_dir):
+    from search_engine_spark.operators.multimodal import attach_media
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return attach_media(d, "text", "doc_id").select(
+        F.col("docId").alias("doc_id"), "mime", "payload_size", "payload_sha256"
+    )
+
+
+def q_m2_media_features(spark, sf_dir):
+    """Binary decode / feature-extract plumbing (stubbed decoder) —
+    rows-only check (the fake features are not SQL-expressible)."""
+    from search_engine_spark.operators.multimodal import attach_media, extract_features
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = extract_features(attach_media(d, "text", "doc_id"))
+    return feats.select(
+        F.col("docId").alias("doc_id"), "n_frames", F.size("feature").alias("dim")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "s1_scan_filter_project": q_s1_scan,
+        "a2_token_count": q_a2_token_count,
+        "b1_postings": q_b1_postings,
+        "b3_term_stats": q_b3_term_stats,
+        "q7_corpus_stats": q_q7_corpus_stats,
+        "q2_keyword_search": q_q2_keyword,
+        "q3_and_search": q_q3_and,
+        "q4_or_search": q_q4_or,
+        "q5_phrase_search": q_q5_phrase,
+        "q8_tfidf_scores": q_q8_tfidf,
+        "q8_bm25_topk": q_q8_bm25_topk,
+        "q9_pagerank": q_q9_pagerank,
+        "d1_exact_dedup": q_d1_exact_dedup,
+        "d2_minhash_pairs": q_d2_minhash_pairs,
+        "d3_simhash": q_d3_simhash,
+        "d4_ngram_jaccard": q_d4_jaccard,
+        "d5_embedding_neardup": q_d5_embedding_neardup,
+        "e1_cosine_topk": q_e1_cosine_topk,
+        "e2_lsh_topk": q_e2_lsh_topk,
+        "t1_lang_id": q_t1_lang_id,
+        "t2_quality_score": q_t2_quality,
+        "t3_fingerprint": q_t3_fingerprint,
+        "m1_media_meta": q_m1_media_meta,
+        "m2_media_features": q_m2_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB). Shared CTE fragments mirror the Spark expressions.
+
+_TOKS = r"""
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) - 1 AS pos, len(t) AS dl
+  FROM toks
+),
+postings AS (
+  SELECT term, doc_id, count(*)::int AS tf, any_value(dl) AS dl
+  FROM tok GROUP BY term, doc_id
+)
+"""
+
+_SHINGLES = rf"""
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+shingle_lists AS (
+  SELECT doc_id,
+    list_sort(list_distinct(list_transform(
+      generate_series(1, greatest(len(t) - {SHINGLE_N - 1}, 0)),
+      i -> concat_ws(' ', t[i], t[i+1], t[i+2])
+    ))) AS sh
+  FROM toks
+)
+"""
+
+
+def _h64(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::int64"
+
+
+def _minhash_ctes() -> str:
+    mh_aggs = ",\n    ".join(
+        f"min({_h64(f'''('{j}:' || sh)''')}) AS mh{j}" for j in range(MINHASHES)
+    )
+    band_selects = []
+    for b in range(BANDS):
+        cols = [f"mh{b * ROWS_PER_BAND + r}::varchar" for r in range(ROWS_PER_BAND)]
+        bucket = _h64(f"concat_ws('_', '{b}', {', '.join(cols)})")
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {bucket} AS bucket FROM mh"
+        )
+    return f"""
+mh AS (
+  SELECT doc_id, {mh_aggs}
+  FROM (SELECT doc_id, unnest(sh) AS sh FROM shingle_lists) GROUP BY doc_id
+),
+buckets AS (
+  {' UNION ALL '.join(band_selects)}
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM buckets x JOIN buckets y ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.doc_id < y.doc_id
+)
+"""
+
+
+def _qterm_values(terms: list[str]) -> str:
+    from collections import Counter
+
+    c = Counter(t.lower() for t in terms)
+    return ", ".join(f"('{t}', {n})" for t, n in sorted(c.items()))
+
+
+_BM25_SQL = f"""
+WITH {_TOKS},
+qterms(qt, qtf) AS (VALUES {_qterm_values(Q_RANKED)}),
+ndocs AS (SELECT count(*)::double AS n FROM documents),
+dlsum AS (SELECT sum(len(t))::double AS tot FROM toks),
+stats AS (SELECT ndocs.n AS n, dlsum.tot / ndocs.n AS avgdl FROM ndocs, dlsum),
+tstats AS (
+  SELECT term, count(*)::double AS df FROM postings GROUP BY term
+),
+scored AS (
+  SELECT p.doc_id,
+    sum(q.qtf * ln((s.n - t.df + 0.5) / (t.df + 0.5) + 1.0)
+        * p.tf * ({BM25_K1} + 1.0)
+        / (p.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * p.dl / s.avgdl))) AS score
+  FROM postings p
+  JOIN qterms q ON p.term = q.qt
+  JOIN tstats t ON p.term = t.term
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
+"""
+
+_TFIDF_SQL = f"""
+WITH {_TOKS},
+qterms(qt, qtf) AS (VALUES {_qterm_values(Q_RANKED)}),
+n AS (SELECT count(*)::double AS n FROM documents),
+tstats AS (SELECT term, count(*)::double AS df FROM postings GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+    sum((p.tf * log10(n.n / t.df)) * (q.qtf * log10(n.n / t.df))) AS dot,
+    sum((p.tf * log10(n.n / t.df)) * (p.tf * log10(n.n / t.df))) AS len
+  FROM postings p
+  JOIN qterms q ON p.term = q.qt
+  JOIN tstats t ON p.term = t.term
+  CROSS JOIN n
+  GROUP BY p.doc_id
+)
+SELECT doc_id,
+  round(CASE WHEN len > 0 THEN dot / sqrt(len) ELSE 0.0 END, 6) AS score
+FROM scored
+"""
+
+
+def _simhash_sql() -> str:
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH {_TOKS},
+th AS (SELECT doc_id, {_h64('term')} AS h FROM tok),
+g AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id)
+SELECT doc_id, ({bits})::int64 AS simhash FROM g
+"""
+
+
+_LANG_MARKERS_SQL = {
+    "en": "['the','of','and','to','in','is','that','it','for','with']",
+    "es": "['el','la','de','que','y','en','los','del','las','por']",
+    "de": "['der','die','und','das','von','zu','mit','den','ist','nicht']",
+    "fr": "['le','la','les','des','et','est','une','dans','que','pour']",
+}
+
+
+def _lang_id_sql() -> str:
+    hits = ",\n    ".join(
+        f"len(list_filter(t, x -> list_contains({arr}, x))) AS hits_{lang}"
+        for lang, arr in _LANG_MARKERS_SQL.items()
+    )
+    langs = list(_LANG_MARKERS_SQL)
+    # mirror the Spark fold: reversed order, earlier languages win ties,
+    # score must be >= max(best, 1)
+    expr = "'und'"
+    best = "0"
+    for lang in reversed(langs):
+        expr = f"(CASE WHEN hits_{lang} >= greatest({best}, 1) THEN '{lang}' ELSE {expr} END)"
+        best = f"greatest({best}, hits_{lang})"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+h AS (SELECT doc_id, {hits} FROM toks)
+SELECT doc_id, {expr} AS lang_pred, hits_en, hits_es, hits_de, hits_fr FROM h
+"""
+
+
+def _quality_sql() -> str:
+    stop = _LANG_MARKERS_SQL["en"]
+    return f"""
+WITH toks AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+f AS (
+  SELECT doc_id, n_chars, len(t) AS n_tokens,
+    CASE WHEN len(t) > 0 THEN (n_chars - (len(t) - 1))::double / len(t) ELSE 0.0 END AS mean_len,
+    CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> list_contains({stop}, x)))::double / len(t) ELSE 0.0 END AS stop_ratio,
+    CASE WHEN len(t) > 0 THEN len(list_distinct(t))::double / len(t) ELSE 0.0 END AS distinct_ratio
+  FROM toks
+)
+SELECT doc_id, n_chars, n_tokens,
+  round(mean_len, 6) AS mean_token_len,
+  round(stop_ratio, 6) AS stopword_ratio,
+  round(distinct_ratio, 6) AS distinct_ratio,
+  round(
+    least(n_tokens::double / 64.0, 1.0) * 0.4
+    + least(stop_ratio * 5.0, 1.0) * 0.2
+    + least(distinct_ratio * 2.0, 1.0) * 0.2
+    + (CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0 THEN 0.2 ELSE 0.0 END), 6) AS quality
+FROM f
+"""
+
+
+def _planes_sql_literal() -> str:
+    from search_engine_spark.operators.similarity import plane_literals
+
+    planes = plane_literals(EMB_DIM, N_PLANES, PLANE_SEED)
+    return "[" + ", ".join("[" + ", ".join(str(x) for x in p) + "]" for p in planes) + "]"
+
+
+def _cosine_sql(va: str, vb: str) -> str:
+    return (
+        f"(list_dot_product({va}::DOUBLE[], {vb}::DOUBLE[]) / "
+        f"(sqrt(list_dot_product({va}::DOUBLE[], {va}::DOUBLE[])) * "
+        f"sqrt(list_dot_product({vb}::DOUBLE[], {vb}::DOUBLE[]))))"
+    )
+
+
+def _bucket_sql(vec: str) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product({vec}::DOUBLE[], (planes.p[{i + 1}])::DOUBLE[]) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(N_PLANES)
+    ]
+    return "(" + " + ".join(terms) + ")"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "s1_scan_filter_project": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE lang = 'en' AND n_chars > 200
+        """,
+        "a2_token_count": r"""
+            SELECT doc_id,
+              len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_tokens
+            FROM documents
+        """,
+        "b1_postings": f"WITH {_TOKS} SELECT doc_id, term, tf FROM postings",
+        "b3_term_stats": f"""
+            WITH {_TOKS}
+            SELECT term, count(*)::int64 AS df, sum(tf)::int64 AS cf
+            FROM postings GROUP BY term
+        """,
+        "q7_corpus_stats": f"""
+            WITH {_TOKS}
+            SELECT count(DISTINCT doc_id)::int64 AS n_docs,
+                   sum(tf)::int64 AS total_tokens,
+                   count(DISTINCT term)::int64 AS n_terms
+            FROM postings
+        """,
+        "q2_keyword_search": f"""
+            WITH {_TOKS}
+            SELECT DISTINCT doc_id FROM postings WHERE term = '{Q_KEYWORD}'
+        """,
+        "q3_and_search": f"""
+            WITH {_TOKS}
+            SELECT doc_id FROM postings
+            WHERE term IN ({", ".join(repr(t) for t in sorted(set(Q_AND)))})
+            GROUP BY doc_id HAVING count(DISTINCT term) = {len(set(Q_AND))}
+        """,
+        "q4_or_search": f"""
+            WITH {_TOKS}
+            SELECT DISTINCT doc_id FROM postings
+            WHERE term IN ({", ".join(repr(t) for t in sorted(set(Q_AND)))})
+        """,
+        "q5_phrase_search": f"""
+            WITH {_TOKS}
+            SELECT DISTINCT a.doc_id
+            FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            WHERE a.term = '{Q_PHRASE[0]}' AND b.term = '{Q_PHRASE[1]}'
+        """,
+        "q8_tfidf_scores": _TFIDF_SQL,
+        "q8_bm25_topk": _BM25_SQL,
+        # q9_pagerank: iterative — rows-only check
+        "d1_exact_dedup": """
+            SELECT md5(text) AS content_md5, min(doc_id) AS keeper,
+                   count(*) AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "d2_minhash_pairs": f"WITH {_SHINGLES}, {_minhash_ctes()} SELECT a, b FROM pairs",
+        "d3_simhash": _simhash_sql(),
+        "d4_ngram_jaccard": f"""
+            WITH {_SHINGLES}, {_minhash_ctes()}
+            SELECT p.a, p.b,
+              round(CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+                THEN len(list_intersect(sa.sh, sb.sh))::double
+                     / len(list_distinct(list_concat(sa.sh, sb.sh)))
+                ELSE 0.0 END, 6) AS jaccard
+            FROM pairs p
+            JOIN shingle_lists sa ON sa.doc_id = p.a
+            JOIN shingle_lists sb ON sb.doc_id = p.b
+        """,
+        "d5_embedding_neardup": f"""
+            WITH planes AS (SELECT {_planes_sql_literal()} AS p),
+            e AS (
+              SELECT vec_id, embedding, {_bucket_sql("embedding")} AS bucket
+              FROM embeddings, planes
+            )
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   round({_cosine_sql("x.embedding", "y.embedding")}, 6) AS cosine
+            FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+            WHERE {_cosine_sql("x.embedding", "y.embedding")} >= {NEARDUP_TAU}
+        """,
+        "e1_cosine_topk": f"""
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id, round({_cosine_sql("embedding", "q.qv")}, 6) AS cosine
+            FROM embeddings, q WHERE vec_id <> 0
+            ORDER BY {_cosine_sql("embedding", "q.qv")} DESC, vec_id ASC
+            LIMIT {ANN_K}
+        """,
+        "e2_lsh_topk": f"""
+            WITH planes AS (SELECT {_planes_sql_literal()} AS p),
+            q AS (
+              SELECT embedding AS qv, {_bucket_sql("embedding")} AS qbucket
+              FROM embeddings, planes WHERE vec_id = 0
+            )
+            SELECT vec_id, round({_cosine_sql("embedding", "q.qv")}, 6) AS cosine
+            FROM embeddings, planes, q
+            WHERE vec_id <> 0 AND {_bucket_sql("embedding")} = q.qbucket
+            ORDER BY {_cosine_sql("embedding", "q.qv")} DESC, vec_id ASC
+            LIMIT {ANN_K}
+        """,
+        "t1_lang_id": _lang_id_sql(),
+        "t2_quality_score": _quality_sql(),
+        "t3_fingerprint": f"""
+            WITH {_SHINGLES}
+            SELECT doc_id,
+              list_min(list_transform(sh, s -> {_h64("s")})) AS fp_min,
+              list_max(list_transform(sh, s -> {_h64("s")})) AS fp_max,
+              len(sh) AS n_shingles
+            FROM shingle_lists
+        """,
+        "m1_media_meta": """
+            SELECT doc_id, 'application/octet-stream' AS mime,
+                   length(text)::int AS payload_size,
+                   sha256(text) AS payload_sha256
+            FROM documents
+        """,
+        # m2_media_features: stub decoder — rows-only check
+    }

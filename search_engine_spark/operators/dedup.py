@@ -1,0 +1,166 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not present in the reference (its corpus is assumed clean) — these are the
+standard web-scale companions of an index build (exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding near-dup), all expressed with JVM-side built-ins
+so they stay inside whole-stage codegen and can be mirrored 1:1 in ANSI SQL
+for the DuckDB oracle.
+
+Cross-engine hash primitive: ``h64(s) = int64(md5(s)[:15 hex])`` — identical
+in Spark (``conv(substring(md5(x),1,15),16,10)``) and DuckDB
+(``('0x'||substr(md5(x),1,15))::int64``); 60 bits, never negative.
+
+Scale notes: every operator is a hash-partitioned groupBy/join (no
+cross-join anywhere); LSH band buckets bound candidate-pair fan-out; the
+pair join is bucket-local.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def h64(col: Column) -> Column:
+    """Deterministic 60-bit int hash, DuckDB-mirrorable."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def tokens_expr(col: Column) -> Column:
+    """Whitespace tokens (naive analyzer shape, oracle-mirrorable)."""
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != F.lit(""))
+
+
+def shingles_expr(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a token array (sorted for
+    deterministic downstream hashing)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_sort(F.array_distinct(sh))
+
+
+def exact_dedup(df: DataFrame, text: str = "content", id_col: str = "docId") -> DataFrame:
+    """Exact dedup by content hash: one row per distinct content, keeper =
+    min id, plus duplicate count. Hash-groupBy — one shuffle."""
+    return (
+        df.select(F.md5(F.col(text)).alias("content_md5"), F.col(id_col))
+        .groupBy("content_md5")
+        .agg(
+            F.min(id_col).alias("keeper"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text: str = "content", id_col: str = "docId",
+    num_hashes: int = 12, shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash: sig_j(doc) = min over shingles of h64(j ':' shingle).
+
+    Computed as one exploded (doc, shingle) relation aggregated per doc —
+    num_hashes min() aggregates, single shuffle, no UDF.
+    """
+    toks = tokens_expr(F.col(text))
+    ex = df.select(
+        F.col(id_col), F.explode(shingles_expr(toks, shingle_n)).alias("sh")
+    )
+    aggs = [
+        F.min(h64(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def lsh_buckets(
+    sigs: DataFrame, id_col: str = "docId", bands: int = 4, rows_per_band: int = 3
+) -> DataFrame:
+    """Band the signature: bucket = h64(band || sig values). Docs sharing a
+    bucket are near-dup candidates."""
+    out = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bucket = h64(F.concat_ws("_", F.lit(str(b)), *[c.cast("string") for c in cols]))
+        out.append(sigs.select(F.col(id_col), F.lit(b).alias("band"), bucket.alias("bucket")))
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def candidate_pairs(buckets: DataFrame, id_col: str = "docId") -> DataFrame:
+    """Distinct candidate pairs (a < b) from shared LSH buckets. The
+    self-join is bucket-local (equi-join on band+bucket)."""
+    a = buckets.select("band", "bucket", F.col(id_col).alias("a"))
+    b = buckets.select("band", "bucket", F.col(id_col).alias("b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame, pairs: DataFrame, text: str = "content", id_col: str = "docId",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        shingles_expr(tokens_expr(F.col(text)), shingle_n).alias("_sh"),
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed("_id", "a").withColumnRenamed("_sh", "sha"), "a")
+        .join(sh.withColumnRenamed("_id", "b").withColumnRenamed("_sh", "shb"), "b")
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size(F.array_union("sha", "shb"))
+    return j.select(
+        "a",
+        "b",
+        F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)).alias("jaccard"),
+    )
+
+
+def simhash(
+    df: DataFrame, text: str = "content", id_col: str = "docId", bits: int = 16
+) -> DataFrame:
+    """SimHash fingerprint: bit b set iff Σ_tokens (±1 per token occurrence,
+    + if bit b of h64(token) set) >= 0. Explode -> one groupBy with `bits`
+    conditional sums — no UDF, oracle-mirrorable."""
+    ex = df.select(
+        F.col(id_col), F.explode(tokens_expr(F.col(text))).alias("t")
+    ).withColumn("h", h64(F.col("t")))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    g = ex.groupBy(id_col).agg(*aggs)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return g.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def embedding_near_dups(
+    emb: DataFrame, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int = 8, seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup candidates: random-hyperplane LSH bucket
+    join, then exact cosine filter within buckets."""
+    from .similarity import cosine_expr, hyperplane_bucket
+
+    e = emb.select(
+        F.col(id_col), F.col(vec_col),
+        hyperplane_bucket(F.col(vec_col), n_planes=n_planes, seed=seed).alias("bucket"),
+    )
+    a = e.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
+    b = e.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")
+    pairs = a.join(b, "bucket").where(F.col("a") < F.col("b"))
+    cos = cosine_expr(F.col("va"), F.col("vb"))
+    return pairs.select("a", "b", cos.alias("cosine")).where(F.col("cosine") >= threshold)

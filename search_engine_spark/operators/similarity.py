@@ -1,0 +1,89 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- :func:`cosine_topk` — brute-force exact top-k (the correctness baseline):
+  one scan, JVM-side ``aggregate``/``zip_with`` fold (deterministic
+  sequential summation -> bit-stable vs the DuckDB oracle), then
+  TakeOrderedAndProject. At 100 TB this is the "small query set × full scan"
+  path — embarrassingly parallel, no shuffle except the final top-k.
+- :func:`lsh_topk` — random-hyperplane LSH bucketing as the scale path:
+  candidates = query's bucket only, exact cosine within. Planes derive
+  deterministically from a seed so the DuckDB oracle can embed the same
+  literals.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Σ a_i*b_i as a sequential double fold (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def plane_literals(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    """Deterministic hyperplanes (seeded, reproducible in oracle SQL)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    return [[round(float(x), 6) for x in p] for p in planes]
+
+
+def hyperplane_bucket(vec: Column, dim: int = 64, n_planes: int = 8, seed: int = 42) -> Column:
+    """LSH bucket id = sign bits of the vector against `n_planes` planes."""
+    planes = plane_literals(dim, n_planes, seed)
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        d = dot_expr(vec, F.array(*[F.lit(x) for x in p]))
+        bucket = bucket + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def cosine_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k against a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = cosine_expr(F.col(vec_col), q)
+    return (
+        emb.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def lsh_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int = 8, seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: restrict to the query's hyperplane bucket, exact
+    cosine inside. Bucket filter prunes ~2^-n_planes of the corpus."""
+    dim = len(query_vec)
+    planes = plane_literals(dim, n_planes, seed)
+    qv = np.array(query_vec, dtype=np.float64)
+    qbucket = sum((1 << i) for i, p in enumerate(planes) if float(np.dot(qv, p)) >= 0)
+    bucket = hyperplane_bucket(F.col(vec_col), dim, n_planes, seed)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        emb.where(bucket == qbucket)
+        .select(F.col(id_col), cosine_expr(F.col(vec_col), q).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,107 @@
+"""Text analysis for training-data pipelines: language-ID, quality scoring,
+token counting, document fingerprinting.
+
+All pure JVM expressions (lambda higher-order functions) — mirrorable in the
+DuckDB oracle and free of Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import h64, shingles_expr, tokens_expr
+
+# Tiny deterministic marker-word lists (top function words per language).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "to", "in", "is", "that", "it", "for", "with"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+    "de": ("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "nicht"),
+    "fr": ("le", "la", "les", "des", "et", "est", "une", "dans", "que", "pour"),
+}
+
+STOP_MARKERS = LANG_MARKERS["en"]
+
+
+def token_count_expr(col: Column) -> Column:
+    return F.size(tokens_expr(col))
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    """Occurrence count of each language's marker words."""
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def lang_id(df: DataFrame, text: str = "content", id_col: str = "docId") -> DataFrame:
+    """N-gram/marker-word language heuristic: argmax of marker hit counts,
+    deterministic tie order (en > es > de > fr), 'und' when no hits."""
+    toks = tokens_expr(F.col(text))
+    scores = lang_scores(toks)
+    langs = list(LANG_MARKERS)
+    best_lang, best_score = F.lit("und"), F.lit(0)
+    for lang in reversed(langs):  # earlier languages win ties
+        s = scores[lang]
+        best_lang = F.when(s >= F.greatest(best_score, F.lit(1)), F.lit(lang)).otherwise(best_lang)
+        best_score = F.greatest(best_score, s)
+    sel = [F.col(id_col), best_lang.alias("lang_pred")] + [
+        scores[lang].alias(f"hits_{lang}") for lang in langs
+    ]
+    return df.select(*sel)
+
+
+def quality_score(df: DataFrame, text: str = "content", id_col: str = "docId") -> DataFrame:
+    """Heuristic quality features + composite score:
+
+    - n_chars, n_tokens, mean token length
+    - stopword ratio (English function words — too low => non-prose)
+    - distinct-token ratio (too low => boilerplate/repetition)
+    - composite in [0,1]: penalizes extremes, rewards mid-range ratios.
+    """
+    toks = tokens_expr(F.col(text))
+    arr = F.array(*[F.lit(m) for m in STOP_MARKERS])
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text))
+    stop_ratio = F.when(
+        n_tok > 0,
+        F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("double") / n_tok,
+    ).otherwise(F.lit(0.0))
+    distinct_ratio = F.when(
+        n_tok > 0, F.size(F.array_distinct(toks)).cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    mean_len = F.when(n_tok > 0, (n_chars - (n_tok - 1)).cast("double") / n_tok).otherwise(
+        F.lit(0.0)
+    )
+    score = (
+        F.least(n_tok.cast("double") / 64.0, F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.2
+        + F.least(distinct_ratio * 2.0, F.lit(1.0)) * 0.2
+        + F.when((mean_len >= 3.0) & (mean_len <= 10.0), 0.2).otherwise(0.0)
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, text: str = "content", id_col: str = "docId", shingle_n: int = 3
+) -> DataFrame:
+    """Document fingerprint: min/max hash over word shingles (rolling-hash
+    family; robust to small edits, oracle-mirrorable)."""
+    sh = shingles_expr(tokens_expr(F.col(text)), shingle_n)
+    hashes = F.transform(sh, lambda s: h64(s))
+    return df.select(
+        F.col(id_col),
+        F.array_min(hashes).alias("fp_min"),
+        F.array_max(hashes).alias("fp_max"),
+        F.size(sh).alias("n_shingles"),
+    )

@@ -135,45 +135,65 @@ def build_index(
         key = str(i)
         if m["batches"].get(key, {}).get("committed"):
             continue  # resume: batch already durable
-        t0 = time.time()
         sub = (
             corpus
             if n_batches == 1
             else corpus.where(F.pmod(F.xxhash64("docId"), F.lit(n_batches)) == i)
         )
-        postings = build_postings(sub, analyzer)
-        if not with_positions:
-            postings = postings.withColumn("positions", F.lit(None).cast("array<int>"))
-        if heavy_threshold is None:
-            heavy: list[str] = []
-        else:
-            heavy = heavy_terms(postings, heavy_threshold)
-        seg = encode_segments(postings, num_segments, heavy, n_salts)
-        out = os.path.join(index_dir, "segments", f"batch={i}")
-        seg.write.mode("overwrite").parquet(out)
-        # batch stats from the packed rows (cheap relation)
-        st = (
-            spark.read.parquet(out)
-            .agg(
-                F.sum("sum_tf").alias("tok"),
-                F.sum("ndocs").alias("post"),
-                F.count("*").alias("rows"),
-            )
-            .collect()[0]
+        build_one_batch(
+            spark, sub, index_dir, key, m,
+            analyzer=analyzer, num_segments=num_segments,
+            heavy_threshold=heavy_threshold, n_salts=n_salts,
+            with_positions=with_positions,
         )
-        ndocs = sub.count()
-        m["batches"][key] = {
-            "committed": True,
-            "path": out,
-            "ndocs": int(ndocs),
-            "npostings": int(st["post"] or 0),
-            "total_tokens": int(st["tok"] or 0),
-            "heavy_terms": heavy,
-            "build_sec": round(time.time() - t0, 3),
-            "committed_at": time.time(),
-        }
-        write_manifest(index_dir, m)
     return finalize_index(spark, index_dir)
+
+
+def build_one_batch(
+    spark: SparkSession,
+    sub: DataFrame,
+    index_dir: str,
+    key: str,
+    m: dict | None = None,
+    analyzer: str = "porter",
+    num_segments: int = 32,
+    heavy_threshold: int | None = None,
+    n_salts: int = 8,
+    with_positions: bool = True,
+) -> dict:
+    """Build and atomically commit ONE batch under its own key/directory.
+
+    Idempotent per key: a committed key is never rebuilt; a crashed attempt
+    leaves an uncommitted directory that the retry overwrites.
+    """
+    m = m if m is not None else read_manifest(index_dir)
+    if m["batches"].get(key, {}).get("committed"):
+        return m
+    t0 = time.time()
+    postings = build_postings(sub.select("docId", "content"), analyzer)
+    if not with_positions:
+        postings = postings.withColumn("positions", F.lit(None).cast("array<int>"))
+    heavy: list[str] = [] if heavy_threshold is None else heavy_terms(postings, heavy_threshold)
+    seg = encode_segments(postings, num_segments, heavy, n_salts)
+    out = os.path.join(index_dir, "segments", f"batch={key}")
+    seg.write.mode("overwrite").parquet(out)
+    st = (
+        spark.read.parquet(out)
+        .agg(F.sum("sum_tf").alias("tok"), F.sum("ndocs").alias("post"))
+        .collect()[0]
+    )
+    m["batches"][key] = {
+        "committed": True,
+        "path": out,
+        "ndocs": int(sub.count()),
+        "npostings": int(st["post"] or 0),
+        "total_tokens": int(st["tok"] or 0),
+        "heavy_terms": heavy,
+        "build_sec": round(time.time() - t0, 3),
+        "committed_at": time.time(),
+    }
+    write_manifest(index_dir, m)
+    return m
 
 
 def finalize_index(spark: SparkSession, index_dir: str) -> dict:
@@ -293,7 +313,8 @@ def compact(spark: SparkSession, index_dir: str, batches: list[int]) -> dict:
     import shutil
 
     m = read_manifest(index_dir)
-    new_id = max((int(k) for k in m["batches"]), default=-1) + 1
+    new_id = max((int(k) for k in m["batches"] if str(k).isdigit()), default=-1) + 1
+    batches = [str(b) for b in batches]
     srcs = [m["batches"][str(b)]["path"] for b in batches]
     segs = spark.read.parquet(*srcs)
     with_pos = m.get("with_positions", True)
