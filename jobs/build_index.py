@@ -1,0 +1,82 @@
+"""spark-submit entry point: resumable inverted-index build (north rule).
+
+Usage::
+
+    spark-submit --py-files search_engine_spark.zip jobs/build_index.py \
+        --input  <parquet/iceberg path of (repo,path,commit,lang,content)> \
+        --output <index dir> \
+        [--analyzer porter_code] [--batches 4] [--segments 512] \
+        [--heavy-threshold 100000] [--salts 16] [--no-positions]
+
+Re-running after a crash resumes from the manifest: committed batches are
+skipped byte-identically (segments.py). On a cluster, --segments should be
+sized so one segment's postings fit an executor core's memory
+(~ total_postings / segments); --salts bounds the largest salted sub-list.
+
+Emits one JSON line of build metrics (docs/sec, postings/sec, per-batch
+seconds) on completion.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--analyzer", default="porter_code")
+    ap.add_argument("--batches", type=int, default=1)
+    ap.add_argument("--segments", type=int, default=None)
+    ap.add_argument("--heavy-threshold", type=int, default=None)
+    ap.add_argument("--salts", type=int, default=8)
+    ap.add_argument("--no-positions", action="store_true")
+    ap.add_argument("--master", default=None, help="local testing only")
+    a = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from search_engine_spark.sources.corpus import with_doc_ids
+    from search_engine_spark.sources.segments import build_index
+
+    if a.master:
+        from search_engine_spark.session import get_spark
+
+        spark = get_spark(app="build-index", master=a.master)
+    else:  # cluster: resources come from spark-submit
+        spark = SparkSession.builder.appName("build-index").getOrCreate()
+
+    corpus = (
+        spark.read.format("iceberg").load(a.input)
+        if a.input.count("/") < 1 or a.input.startswith("catalog.")
+        else spark.read.parquet(a.input)
+    )
+    if "docId" not in corpus.columns:
+        corpus = with_doc_ids(corpus)
+    t0 = time.time()
+    m = build_index(
+        spark, corpus, a.output,
+        analyzer=a.analyzer, n_batches=a.batches, num_segments=a.segments,
+        heavy_threshold=a.heavy_threshold, n_salts=a.salts,
+        with_positions=not a.no_positions,
+    )
+    dt = time.time() - t0
+    s = m["stats"]
+    print(json.dumps({
+        "wall_sec": round(dt, 2),
+        "n_docs": s["n_docs"],
+        "npostings": s["npostings"],
+        "docs_per_sec": round(s["n_docs"] / dt, 1),
+        "postings_per_sec": round(s["npostings"] / dt, 1),
+        "batch_sec": {k: b.get("build_sec") for k, b in m["batches"].items()},
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,89 @@
+"""spark-submit entry point: run queries against a built index.
+
+Usage::
+
+    spark-submit --py-files search_engine_spark.zip jobs/query.py \
+        --index <index dir> --mode bm25 --k 10 -- spark query join
+
+Modes: bm25 (block-max DAAT), tfidf (reference-parity cosine), and/or/phrase
+(boolean + positional), keyword. Prints one JSON line with results + latency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--mode", default="bm25",
+                    choices=["bm25", "tfidf", "and", "or", "phrase", "keyword"])
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--master", default=None, help="local testing only")
+    ap.add_argument("terms", nargs="+")
+    a = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from search_engine_spark.operators.query import (
+        analyze_query,
+        search_and,
+        search_keyword,
+        search_or,
+        search_phrase,
+    )
+    from search_engine_spark.operators.rank import Scorer, score_query, score_query_daat
+    from search_engine_spark.sources.segments import (
+        decode_postings,
+        load_segments,
+        load_term_stats,
+        read_manifest,
+    )
+
+    if a.master:
+        from search_engine_spark.session import get_spark
+
+        spark = get_spark(app="query", master=a.master)
+    else:
+        spark = SparkSession.builder.appName("query").getOrCreate()
+
+    m = read_manifest(a.index)
+    analyzer = m.get("analyzer", "porter")
+    segs = load_segments(spark, a.index)
+    stats = load_term_stats(spark, a.index)
+    n_docs, avgdl = m["stats"]["n_docs"], m["stats"]["avgdl"]
+
+    t0 = time.time()
+    if a.mode == "bm25":
+        out = score_query_daat(spark, segs, stats, a.terms, n_docs, avgdl,
+                               Scorer("bm25"), k=a.k, analyzer=analyzer)
+        rows = [{"docId": r.docId, "score": round(r.score, 6)} for r in out.collect()]
+    elif a.mode == "tfidf":
+        dec = decode_postings(segs, analyze_query(a.terms, analyzer))
+        out = score_query(spark, dec, stats, a.terms, n_docs, avgdl,
+                          Scorer("tfidf_cosine"), k=a.k, analyzer=analyzer)
+        rows = [{"docId": r.docId, "score": round(r.score, 6)} for r in out.collect()]
+    else:
+        terms = analyze_query(a.terms, analyzer)
+        dec = decode_postings(segs, terms, with_positions=(a.mode == "phrase"))
+        fn = {
+            "and": lambda: search_and(dec, terms),
+            "or": lambda: search_or(dec, terms),
+            "phrase": lambda: search_phrase(dec, terms),
+            "keyword": lambda: search_keyword(dec, terms[0]),
+        }[a.mode]
+        rows = [{"docId": r.docId} for r in fn().limit(a.k).collect()]
+    print(json.dumps({
+        "mode": a.mode, "terms": a.terms, "k": a.k,
+        "latency_sec": round(time.time() - t0, 3), "results": rows,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,90 @@
+"""North-rule scaling evidence: the same index-build job at two parallelism
+levels (local[N] and local[4N]) on the same input.
+
+No real cluster exists in this sandbox, so cores stand in for executors
+(BASELINE.json north_rule: throughput scaling efficiency >= 0.8 from N to 4N
+executors). Each run is a fresh JVM (subprocess) so the two measurements share
+nothing. Efficiency = (T_N * N) / (T_4N * 4N) — i.e. normalized throughput at
+4N over N.
+
+Usage: python tools/scaling_bench.py [n_docs] [N]   (defaults 60000, 8)
+Writes BENCH.md at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUN_SRC = r"""
+import json, shutil, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from search_engine_spark.session import get_spark
+from search_engine_spark.sources.corpus import synthetic_corpus
+from search_engine_spark.sources.segments import build_index
+
+cores, n_docs = int(sys.argv[1]), int(sys.argv[2])
+spark = get_spark(master=f"local[{{cores}}]", shuffle_partitions=cores)
+spark.sparkContext.setLogLevel("ERROR")
+# identical input at both levels: same seed, same partition count
+corpus = synthetic_corpus(spark, n_docs=n_docs, vocab_size=20000, seed=42,
+                          partitions=32).cache()
+corpus.count()  # materialize input + warm JVM before timing
+idx = tempfile.mkdtemp(prefix=f"scale_{{cores}}_")
+shutil.rmtree(idx, ignore_errors=True)
+t0 = time.time()
+m = build_index(spark, corpus, idx, analyzer="porter", n_batches=1,
+                heavy_threshold=n_docs // 20, n_salts=8)
+dt = time.time() - t0
+print(json.dumps({{"cores": cores, "sec": round(dt, 2),
+                  "docs_per_sec": round(n_docs / dt, 1),
+                  "postings": m["stats"]["npostings"],
+                  "postings_per_sec": round(m["stats"]["npostings"] / dt, 1)}}))
+shutil.rmtree(idx, ignore_errors=True)
+spark.stop()
+""".format(repo=REPO)
+
+
+def run(cores: int, n_docs: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", RUN_SRC, str(cores), str(n_docs)],
+        capture_output=True, text=True, check=True, cwd=REPO,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 60000
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    lo = run(n, n_docs)
+    hi = run(4 * n, n_docs)
+    eff = (lo["sec"] * n) / (hi["sec"] * 4 * n)
+    report = {"n_docs": n_docs, "N": lo, "4N": hi, "efficiency": round(eff, 3)}
+    print(json.dumps(report))
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(f"""# BENCH — scaling evidence (north rule)
+
+Same index-build job (tokenize -> salted repartitionByRange(term) ->
+delta+varbyte packed segments + term stats) on the SAME input
+({n_docs:,} synthetic docs, seed 42, 32 input partitions), at two
+parallelism levels standing in for N and 4N executors (no real cluster in
+this sandbox). Fresh JVM per run.
+
+| level | cores | wall (s) | docs/sec | postings/sec |
+|---|---|---|---|---|
+| N  | {n} | {lo['sec']} | {lo['docs_per_sec']} | {lo['postings_per_sec']} |
+| 4N | {4 * n} | {hi['sec']} | {hi['docs_per_sec']} | {hi['postings_per_sec']} |
+
+**Scaling efficiency (N -> 4N)** = `(T_N * N) / (T_4N * 4N)` =
+**{eff:.3f}** (north-rule target >= 0.8).
+
+Reproduce: `python tools/scaling_bench.py {n_docs} {n}`
+""")
+
+
+if __name__ == "__main__":
+    main()
