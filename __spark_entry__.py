@@ -230,6 +230,78 @@ def q_q9_pagerank(spark, sf_dir):
     ).orderBy(F.desc("pagerank"), F.asc("doc_id")).limit(TOPK)
 
 
+def q_q1_full_scan(spark, sf_dir):
+    """Q1 FullScanSearcher oracle path: analyze every doc, keep docs whose
+    token set contains ALL query tokens (FullScanSearcher.java:27-40)."""
+    from search_engine_spark.operators.query import full_scan_search
+
+    return full_scan_search(_docs(spark, sf_dir), Q_AND, analyzer="naive").select(
+        F.col("docId").alias("doc_id")
+    )
+
+
+def q_s4_doc_fetch(spark, sf_dir):
+    """S4 doc hydration: semi-join matched docIds back to content
+    (IIM:720-726); md5 proves the fetched bytes equal the source."""
+    from search_engine_spark.operators.query import fetch_documents, search_and
+
+    d = _docs(spark, sf_dir)
+    hits = search_and(_postings(spark, sf_dir), Q_AND)
+    return fetch_documents(hits, d).select(
+        F.col("docId").alias("doc_id"), F.md5("content").alias("content_md5")
+    )
+
+
+def q_st1_windowed_events(spark, sf_dir):
+    """Streaming-shaped tumbling-window aggregation over the events table
+    (batch run of the same window expression used in streaming.ingest)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_q11_combined(spark, sf_dir):
+    """Q11 combined PageRank + TF-IDF ranking (ICS:184-199) — rows-only
+    (depends on iterative PageRank)."""
+    from search_engine_spark.operators.pagerank import combined_search, compute_pagerank
+    from search_engine_spark.operators.rank import Scorer, score_query
+    from search_engine_spark.sources.segments import (
+        decode_postings,
+        load_segments,
+        load_term_stats,
+    )
+
+    idx, m = _index(spark, sf_dir)
+    dec = decode_postings(load_segments(spark, idx))
+    scores = score_query(
+        spark, dec, load_term_stats(spark, idx), Q_RANKED,
+        m["stats"]["n_docs"], m["stats"]["avgdl"],
+        Scorer("tfidf_cosine"), k=None, analyzer="naive", ties="asc",
+    )
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("docId")
+    )
+    n = d.count()
+    edges = d.select(
+        F.col("docId").alias("src"),
+        F.pmod(F.col("docId") * 7 + 1, F.lit(n)).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    pr = compute_pagerank(d, edges, num_iterations=10)
+    out = combined_search(scores, pr, k=TOPK, weight=2.0)
+    return out.select(F.col("docId").alias("doc_id"), F.round("score", 6).alias("score"))
+
+
 def q_d1_exact_dedup(spark, sf_dir):
     from search_engine_spark.operators.dedup import exact_dedup
 
@@ -350,6 +422,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_and_search": q_q3_and,
         "q4_or_search": q_q4_or,
         "q5_phrase_search": q_q5_phrase,
+        "q1_full_scan": q_q1_full_scan,
+        "s4_doc_fetch": q_s4_doc_fetch,
+        "st1_windowed_events": q_st1_windowed_events,
+        "q11_combined_pagerank": q_q11_combined,
         "q8_tfidf_scores": q_q8_tfidf,
         "q8_bm25_topk": q_q8_bm25_topk,
         "q9_pagerank": q_q9_pagerank,
@@ -628,6 +704,32 @@ def oracle_sql() -> dict[str, str]:
             FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
             WHERE a.term = '{Q_PHRASE[0]}' AND b.term = '{Q_PHRASE[1]}'
         """,
+        "q1_full_scan": f"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+              FROM documents
+            )
+            SELECT doc_id FROM toks
+            WHERE {" AND ".join(f"list_contains(t, '{t}')" for t in sorted(set(Q_AND)))}
+        """,
+        "s4_doc_fetch": f"""
+            WITH {_TOKS},
+            hits AS (
+              SELECT doc_id FROM postings
+              WHERE term IN ({", ".join(repr(t) for t in sorted(set(Q_AND)))})
+              GROUP BY doc_id HAVING count(DISTINCT term) = {len(set(Q_AND))}
+            )
+            SELECT d.doc_id, md5(d.text) AS content_md5
+            FROM documents d JOIN hits USING (doc_id)
+        """,
+        "st1_windowed_events": """
+            SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type,
+                   count(*)::int64 AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        # q11_combined_pagerank: iterative — rows-only check
         "q8_tfidf_scores": _TFIDF_SQL,
         "q8_bm25_topk": _BM25_SQL,
         # q9_pagerank: iterative — rows-only check

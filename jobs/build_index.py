@@ -43,6 +43,7 @@ def main(argv: list[str] | None = None) -> int:
     from search_engine_spark.sources.corpus import with_doc_ids
     from search_engine_spark.sources.segments import build_index
 
+    owns_session = SparkSession.getActiveSession() is None
     if a.master:
         from search_engine_spark.session import get_spark
 
@@ -74,7 +75,8 @@ def main(argv: list[str] | None = None) -> int:
         "postings_per_sec": round(s["npostings"] / dt, 1),
         "batch_sec": {k: b.get("build_sec") for k, b in m["batches"].items()},
     }))
-    spark.stop()
+    if owns_session:  # don't kill a caller's session (tests drive main() in-process)
+        spark.stop()
     return 0
 
 

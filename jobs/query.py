@@ -44,6 +44,7 @@ def main(argv: list[str] | None = None) -> int:
         read_manifest,
     )
 
+    owns_session = SparkSession.getActiveSession() is None
     if a.master:
         from search_engine_spark.session import get_spark
 
@@ -81,7 +82,8 @@ def main(argv: list[str] | None = None) -> int:
         "mode": a.mode, "terms": a.terms, "k": a.k,
         "latency_sec": round(time.time() - t0, 3), "results": rows,
     }))
-    spark.stop()
+    if owns_session:  # don't kill a caller's session (tests drive main() in-process)
+        spark.stop()
     return 0
 
 

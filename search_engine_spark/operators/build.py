@@ -275,11 +275,18 @@ def encode_segments(
 ) -> DataFrame:
     """B2/B3 + S8: salted range shuffle -> in-partition sort -> packed rows.
 
-    Output carries ``seg = spark_partition_id`` — each range partition IS a
-    segment (term-sorted parquet file => row-group pushdown on `term`).
+    Output carries ``seg = spark_partition_id`` — each partition IS a
+    segment. HASH partitioning on (term, salt), not range: a range shuffle
+    runs a separate RangePartitioner *sampling job* that recomputes the whole
+    upstream tokenize pipeline, and Zipf term frequencies make sampled range
+    bounds skew-prone anyway. With hash, each (term, salt) lands in exactly
+    one partition, salting alone bounds the heaviest reducer, and the
+    in-partition sort still yields term-sorted parquet files => row groups
+    cover narrow term ranges => `term IN (...)` pushdown skips row groups
+    exactly as with range partitioning.
     """
     p = salted(postings, heavy or [], n_salts)
-    p = p.repartitionByRange(num_segments, "term", "salt").sortWithinPartitions(
+    p = p.repartition(num_segments, "term", "salt").sortWithinPartitions(
         "term", "salt", "docId"
     )
     packed = p.mapInPandas(_segment_encoder, SEGMENT_SCHEMA)

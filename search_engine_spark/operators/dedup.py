@@ -76,21 +76,45 @@ def lsh_buckets(
     sigs: DataFrame, id_col: str = "docId", bands: int = 4, rows_per_band: int = 3
 ) -> DataFrame:
     """Band the signature: bucket = h64(band || sig values). Docs sharing a
-    bucket are near-dup candidates."""
-    out = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        bucket = h64(F.concat_ws("_", F.lit(str(b)), *[c.cast("string") for c in cols]))
-        out.append(sigs.select(F.col(id_col), F.lit(b).alias("band"), bucket.alias("bucket")))
-    res = out[0]
-    for o in out[1:]:
-        res = res.unionByName(o)
-    return res
+    bucket are near-dup candidates.
+
+    Single pass: all bands are computed in one projection and exploded —
+    a union of per-band branches would re-run the (md5-heavy) signature
+    aggregation once per band.
+    """
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                h64(
+                    F.concat_ws(
+                        "_",
+                        F.lit(str(b)),
+                        *[
+                            F.col(f"mh{b * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(F.col(id_col), F.explode(rows).alias("_bb")).select(
+        F.col(id_col), F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket")
+    )
 
 
 def candidate_pairs(buckets: DataFrame, id_col: str = "docId") -> DataFrame:
     """Distinct candidate pairs (a < b) from shared LSH buckets. The
-    self-join is bucket-local (equi-join on band+bucket)."""
+    self-join is bucket-local (equi-join on band+bucket).
+
+    The bucket relation is materialized first (localCheckpoint): it is tiny
+    (id, band, bucket) but its lineage is the full shingle->minhash pipeline,
+    which a self-join would otherwise execute twice. At cluster scale the
+    same role is played by writing signatures to a table between stages.
+    """
+    buckets = buckets.localCheckpoint(eager=True)
     a = buckets.select("band", "bucket", F.col(id_col).alias("a"))
     b = buckets.select("band", "bucket", F.col(id_col).alias("b"))
     return (

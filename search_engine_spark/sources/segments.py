@@ -173,10 +173,19 @@ def build_one_batch(
     postings = build_postings(sub.select("docId", "content"), analyzer)
     if not with_positions:
         postings = postings.withColumn("positions", F.lit(None).cast("array<int>"))
+    # The skew-stats pass would otherwise recompute the whole tokenize
+    # pipeline; persist (spills to disk at scale) so tokenization runs once.
+    persisted = heavy_threshold is not None
+    if persisted:
+        from pyspark import StorageLevel
+
+        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
     heavy: list[str] = [] if heavy_threshold is None else heavy_terms(postings, heavy_threshold)
     seg = encode_segments(postings, num_segments, heavy, n_salts)
     out = os.path.join(index_dir, "segments", f"batch={key}")
     seg.write.mode("overwrite").parquet(out)
+    if persisted:
+        postings.unpersist()
     st = (
         spark.read.parquet(out)
         .agg(F.sum("sum_tf").alias("tok"), F.sum("ndocs").alias("post"))

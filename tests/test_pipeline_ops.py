@@ -1,0 +1,209 @@
+"""Training-data pipeline operators: dedup family, similarity search,
+text stats, multimodal plumbing — self-contained correctness tests (the
+driver's DuckDB oracle cross-checks the same ops at sf0.01)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import corpus_from_texts
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",          # 0
+    "the quick brown fox jumps over the lazy dog",          # 1 exact dup of 0
+    "the quick brown fox leaps over the lazy dog",          # 2 near dup of 0
+    "el rapido zorro marron salta sobre el perro de la casa",  # 3 spanish-ish
+    "completely different content about spark query engines",  # 4
+]
+
+
+def _py_h64(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _shingles(text: str, n: int = 3) -> list[str]:
+    t = text.lower().split()
+    return sorted({" ".join(t[i : i + n]) for i in range(max(len(t) - n + 1, 0))})
+
+
+def test_h64_matches_python(spark):
+    from search_engine_spark.operators.dedup import h64
+
+    vals = ["", "a", "hello world", "0:the quick brown"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {r.s: r.h for r in df.select("s", h64(F.col("s")).alias("h")).collect()}
+    for v in vals:
+        assert got[v] == _py_h64(v)
+
+
+def test_exact_dedup(spark):
+    from search_engine_spark.operators.dedup import exact_dedup
+
+    corpus = corpus_from_texts(spark, TEXTS)
+    rows = exact_dedup(corpus).collect()
+    by_keeper = {r.keeper: r.n_dups for r in rows}
+    assert by_keeper[0] == 2          # docs 0 and 1 collapse, keeper = min id
+    assert len(rows) == 4             # 5 docs, one dup pair
+    assert sum(r.n_dups for r in rows) == 5
+
+
+def test_minhash_identical_docs_share_all_buckets(spark):
+    from search_engine_spark.operators.dedup import (
+        candidate_pairs,
+        lsh_buckets,
+        minhash_signatures,
+    )
+
+    corpus = corpus_from_texts(spark, TEXTS)
+    sigs = minhash_signatures(corpus, num_hashes=12, shingle_n=3)
+    srows = {r.docId: [r[f"mh{j}"] for j in range(12)] for r in sigs.collect()}
+    assert srows[0] == srows[1]                       # identical docs
+    # signature values match the python definition
+    exp0 = [
+        min(_py_h64(f"{j}:{sh}") for sh in _shingles(TEXTS[0])) for j in range(12)
+    ]
+    assert srows[0] == exp0
+    pairs = {
+        (r.a, r.b)
+        for r in candidate_pairs(lsh_buckets(sigs, bands=4, rows_per_band=3)).collect()
+    }
+    assert (0, 1) in pairs                            # exact dups always pair
+
+
+def test_ngram_jaccard_values(spark):
+    from search_engine_spark.operators.dedup import ngram_jaccard
+
+    corpus = corpus_from_texts(spark, TEXTS)
+    pairs = spark.createDataFrame([(0, 1), (0, 2), (0, 4)], "a long, b long")
+    got = {(r.a, r.b): r.jaccard for r in ngram_jaccard(corpus, pairs).collect()}
+    assert got[(0, 1)] == pytest.approx(1.0)
+    s0, s2 = set(_shingles(TEXTS[0])), set(_shingles(TEXTS[2]))
+    assert got[(0, 2)] == pytest.approx(len(s0 & s2) / len(s0 | s2))
+    assert got[(0, 4)] == pytest.approx(0.0)
+
+
+def test_simhash_hamming_orders_similarity(spark):
+    from search_engine_spark.operators.dedup import simhash
+
+    corpus = corpus_from_texts(spark, TEXTS)
+    got = {r.docId: r.simhash for r in simhash(corpus, bits=16).collect()}
+    assert got[0] == got[1]
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(got[0], got[2]) < ham(got[0], got[4])
+
+
+EMB = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0, 0.0]),
+    (2, [0.0, 1.0, 0.0, 0.0]),
+    (3, [-1.0, 0.0, 0.0, 0.0]),
+    (4, [0.7, 0.7, 0.0, 0.0]),
+]
+
+
+def test_cosine_topk_exact(spark):
+    from search_engine_spark.operators.similarity import cosine_topk
+
+    emb = spark.createDataFrame(EMB, "vec_id long, embedding array<double>")
+    rows = cosine_topk(emb.where("vec_id <> 0"), [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    assert [r.vec_id for r in rows] == [1, 4, 2]
+    q = np.array([1.0, 0, 0, 0])
+    for r in rows:
+        v = np.array(dict(EMB)[r.vec_id])
+        assert r.cosine == pytest.approx(
+            float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v))), abs=1e-12
+        )
+
+
+def test_lsh_topk_subset_of_bruteforce(spark):
+    from search_engine_spark.operators.similarity import cosine_topk, lsh_topk
+
+    rng = np.random.default_rng(7)
+    data = [(int(i), [float(x) for x in rng.standard_normal(8)]) for i in range(200)]
+    emb = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    qv = data[0][1]
+    exact = [r.vec_id for r in cosine_topk(emb.where("vec_id <> 0"), qv, 200).collect()]
+    approx = lsh_topk(emb.where("vec_id <> 0"), qv, k=10, n_planes=4, seed=42).collect()
+    ids = [r.vec_id for r in approx]
+    assert ids, "query bucket should not be empty"
+    assert set(ids) <= set(exact)
+    # bucket filter preserves cosine ordering within the candidates
+    vals = [r.cosine for r in approx]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_embedding_near_dups(spark):
+    from search_engine_spark.operators.dedup import embedding_near_dups
+
+    emb = spark.createDataFrame(EMB, "vec_id long, embedding array<double>")
+    rows = embedding_near_dups(emb, threshold=0.95, n_planes=4, seed=42).collect()
+    pairs = {(r.a, r.b) for r in rows}
+    assert (0, 1) in pairs                    # cos(v0,v1) ≈ .994, same halfspace
+    assert all(r.cosine >= 0.95 for r in rows)
+
+
+def test_lang_id_and_quality(spark):
+    from search_engine_spark.operators.textstats import lang_id, quality_score
+
+    corpus = corpus_from_texts(
+        spark,
+        [
+            "the cat sat on the mat and it is that for with",
+            "el perro de la casa y los gatos del patio que en",
+            "xyzzy plugh qwortle",
+        ],
+    )
+    langs = {r.docId: r.lang_pred for r in lang_id(corpus).collect()}
+    assert langs[0] == "en" and langs[1] == "es" and langs[2] == "und"
+
+    q = {r.docId: r for r in quality_score(corpus).collect()}
+    assert q[0].n_tokens == 12
+    # markers hit: the(x2), and, it, is, that, for, with = 8 of 12
+    assert q[0].stopword_ratio == pytest.approx(8 / 12, abs=1e-6)
+    assert 0.0 <= q[2].quality <= 1.0
+    assert q[0].quality > q[2].quality
+
+
+def test_fingerprint_stable_and_edit_sensitive(spark):
+    from search_engine_spark.operators.textstats import fingerprint
+
+    corpus = corpus_from_texts(spark, TEXTS)
+    fp = {r.docId: (r.fp_min, r.fp_max, r.n_shingles) for r in fingerprint(corpus).collect()}
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[4]
+    sh0 = _shingles(TEXTS[0])
+    assert fp[0][0] == min(_py_h64(s) for s in sh0)
+    assert fp[0][2] == len(sh0)
+
+
+def test_multimodal_plumbing(spark):
+    from search_engine_spark.operators.multimodal import attach_media, extract_features
+
+    corpus = corpus_from_texts(spark, TEXTS[:3])
+    media = attach_media(corpus)
+    rows = {r.docId: r for r in media.collect()}
+    assert rows[0].payload == TEXTS[0].encode()
+    assert rows[0].payload_sha256 == hashlib.sha256(TEXTS[0].encode()).hexdigest()
+
+    feats = extract_features(media, dim=16).collect()
+    by_id = {r.docId: r for r in feats}
+    assert all(len(r.feature) == 16 for r in feats)
+    # deterministic stub: identical payloads -> identical features
+    assert by_id[0].feature == by_id[1].feature
+    assert by_id[0].feature != by_id[2].feature
+    # repartitioning must not change features (partition-independence)
+    feats2 = extract_features(media.repartition(5), dim=16).collect()
+    assert {r.docId: tuple(r.feature) for r in feats2} == {
+        r.docId: tuple(r.feature) for r in feats
+    }
+
+
+def test_decode_image_is_explicit_stub():
+    from search_engine_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")

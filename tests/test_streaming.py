@@ -1,0 +1,153 @@
+"""Structured-Streaming ingest: micro-batch index append must equal the batch
+build (same manifest machinery => byte-identical query results), and the
+watermarked windowed aggregation must match a batch groupBy."""
+
+from __future__ import annotations
+
+import shutil
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from search_engine_spark.sources.segments import (
+    build_index,
+    load_segments,
+    read_manifest,
+    segment_dict,
+)
+from search_engine_spark.streaming.ingest import (
+    index_sink,
+    stream_corpus_from_files,
+    windowed_term_counts,
+)
+from tests.conftest import corpus_from_texts
+
+TEXTS = [
+    "apple banana cherry apple",
+    "banana date egg",
+    "cherry egg fig apple",
+    "date fig grape",
+]
+
+STREAM_SCHEMA = StructType(
+    [
+        StructField("docId", LongType(), False),
+        StructField("content", StringType(), False),
+    ]
+)
+
+
+def test_stream_ingest_equals_batch_build(spark, tmp_path):
+    corpus = corpus_from_texts(spark, TEXTS)
+
+    # batch reference index
+    batch_idx = str(tmp_path / "batch_idx")
+    build_index(spark, corpus, batch_idx, analyzer="naive", num_segments=4)
+
+    # stream: drop the same rows as two parquet files into a watched dir
+    src = tmp_path / "incoming"
+    src.mkdir()
+    pdf = corpus.select("docId", "content").toPandas()
+    pdf.iloc[:2].to_parquet(src / "part1.parquet", index=False)
+    pdf.iloc[2:].to_parquet(src / "part2.parquet", index=False)
+
+    stream_idx = str(tmp_path / "stream_idx")
+    ckpt = str(tmp_path / "ckpt")
+    stream = stream_corpus_from_files(spark, str(src), STREAM_SCHEMA)
+    q = index_sink(
+        spark, stream, stream_idx, analyzer="naive", num_segments=4,
+        checkpoint_dir=ckpt, trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+
+    m = read_manifest(stream_idx)
+    assert m["finalized"] and m["stats"]["n_docs"] == len(TEXTS)
+    assert any(k.startswith("stream-") for k in m["batches"])
+    # identical decoded index content
+    assert segment_dict(spark, stream_idx) == segment_dict(spark, batch_idx)
+    assert segment_dict(spark, stream_idx, positional=True) == segment_dict(
+        spark, batch_idx, positional=True
+    )
+    shutil.rmtree(stream_idx, ignore_errors=True)
+
+
+def test_stream_ingest_restart_is_idempotent(spark, tmp_path):
+    """Re-running the stream over the same checkpoint must not duplicate
+    batches (exactly-once input tracking + manifest idempotence)."""
+    corpus = corpus_from_texts(spark, TEXTS)
+    src = tmp_path / "in2"
+    src.mkdir()
+    corpus.select("docId", "content").toPandas().to_parquet(
+        src / "all.parquet", index=False
+    )
+    idx = str(tmp_path / "idx2")
+    ckpt = str(tmp_path / "ckpt2")
+    for _ in range(2):  # second run: no new input, no new batches
+        q = index_sink(
+            spark,
+            stream_corpus_from_files(spark, str(src), STREAM_SCHEMA),
+            idx, analyzer="naive", num_segments=4,
+            checkpoint_dir=ckpt, trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+    m = read_manifest(idx)
+    assert m["stats"]["n_docs"] == len(TEXTS)
+    assert len([k for k in m["batches"] if k.startswith("stream-")]) == 1
+
+
+def test_windowed_term_counts_match_batch(spark, tmp_path):
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (t0 + timedelta(seconds=10), "apple banana"),
+        (t0 + timedelta(seconds=50), "apple"),
+        (t0 + timedelta(seconds=70), "banana banana"),
+        (t0 + timedelta(seconds=200), "apple cherry"),
+    ]
+    schema = StructType(
+        [StructField("ts", TimestampType(), False), StructField("content", StringType(), False)]
+    )
+    src = tmp_path / "ev"
+    # write with Spark (pandas would emit ns-INT64 ts that Spark can't read)
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    agg = windowed_term_counts(stream, "ts", "content", "1 minute", "2 minutes")
+    out = str(tmp_path / "out")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.term): r.tf for r in spark.read.parquet(out).collect()
+    }
+    batch = spark.createDataFrame(rows, schema)
+    exp_df = (
+        batch.select(F.col("ts"), F.explode(F.split(F.lower("content"), r"\s+")).alias("term"))
+        .groupBy(F.window("ts", "1 minute").alias("w"), "term")
+        .agg(F.count("*").alias("tf"))
+        .select(F.col("w.start").alias("window_start"), "term", "tf")
+    )
+    exp_all = {(r.window_start, r.term): r.tf for r in exp_df.collect()}
+    # append mode emits only windows CLOSED by the final watermark
+    # (max event ts - 2 min); later windows stay in state — that is the
+    # late-data semantics under test.
+    wm = max(ts for ts, _ in rows) - timedelta(minutes=2)
+    exp_closed = {
+        (ws, t): tf
+        for (ws, t), tf in exp_all.items()
+        if ws + timedelta(minutes=1) <= wm
+    }
+    assert got == exp_closed
+    assert got  # at least one window actually closed
