@@ -165,11 +165,14 @@ def q_q4_or(spark, sf_dir):
 
 
 def q_q5_phrase(spark, sf_dir):
+    """Phrase search over the positional index (positions decoded from the
+    segment store — the raw postings carry packed posbin blobs)."""
     from search_engine_spark.operators.query import search_phrase
+    from search_engine_spark.sources.segments import decode_postings, load_segments
 
-    return search_phrase(_postings(spark, sf_dir), Q_PHRASE).select(
-        F.col("docId").alias("doc_id")
-    )
+    idx, _ = _index(spark, sf_dir)
+    dec = decode_postings(load_segments(spark, idx), Q_PHRASE, with_positions=True)
+    return search_phrase(dec, Q_PHRASE).select(F.col("docId").alias("doc_id"))
 
 
 def q_q8_tfidf(spark, sf_dir):

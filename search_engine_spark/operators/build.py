@@ -50,13 +50,18 @@ from pyspark.sql.types import (
 from ..functions.analyzers import get_analyzer
 from ..functions.codec import varbyte_encode
 
+# positions travel as a delta+varbyte blob PER POSTING (`posbin`), packed on
+# the map side: an array<int> column through the shuffle costs ~5x in
+# UnsafeRow width, sort time, and Arrow<->pandas per-element conversion.
+# The blob bytes are exactly the per-doc segment encoding, so the reducer
+# only concatenates them.
 POSTINGS_SCHEMA = StructType(
     [
         StructField("term", StringType(), False),
         StructField("docId", LongType(), False),
         StructField("tf", IntegerType(), False),
         StructField("dl", IntegerType(), False),
-        StructField("positions", ArrayType(IntegerType()), False),
+        StructField("posbin", BinaryType(), True),
     ]
 )
 
@@ -100,28 +105,54 @@ def build_postings(corpus: DataFrame, analyzer: str = "porter") -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            toks = pdf["content"].map(lambda t: fn(t) if t else [])
-            dls = toks.map(len).astype("int32")
-            ex = pd.DataFrame(
-                {"docId": pdf["docId"].values, "dl": dls.values, "term": toks.values}
+            # flat token stream + per-doc lengths, then one factorize +
+            # lexsort + run-length pass — no pandas explode / groupby.agg
+            # (object-heavy allocations anti-scale under many concurrent
+            # workers: measured 4.8x slower and memory-bandwidth-bound)
+            toks_list = [fn(t) if t else [] for t in pdf["content"].values]
+            dl = np.fromiter(
+                (len(t) for t in toks_list), dtype=np.int64, count=len(toks_list)
             )
-            ex = ex.explode("term", ignore_index=False)
-            ex = ex[ex["term"].notna()]
-            if len(ex) == 0:
+            total = int(dl.sum())
+            if total == 0:
                 continue
-            ex["pos"] = ex.groupby(level=0).cumcount().astype("int32")
-            g = (
-                ex.groupby(["docId", "dl", "term"], sort=False)["pos"]
-                .agg(list)
-                .reset_index()
-            )
+            flat = np.empty(total, dtype=object)
+            off = 0
+            for t in toks_list:
+                flat[off : off + len(t)] = t
+                off += len(t)
+            doc_idx = np.repeat(np.arange(len(toks_list)), dl)
+            starts = np.zeros(len(toks_list) + 1, dtype=np.int64)
+            starts[1:] = np.cumsum(dl)
+            pos = (np.arange(total) - starts[doc_idx]).astype(np.int32)
+            codes, uniques = pd.factorize(pd.Series(flat), sort=False)
+            order = np.lexsort((codes, doc_idx))
+            d_s, c_s, p_s = doc_idx[order], codes[order], pos[order]
+            newgrp = np.empty(total, dtype=bool)
+            newgrp[0] = True
+            newgrp[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+            gstart = np.flatnonzero(newgrp)
+            tf = np.diff(np.append(gstart, total)).astype("int32")
+            # positions (sorted within group: lexsort is stable) -> one
+            # vectorized delta+varbyte pass, chain restarting per group,
+            # then byte-sliced per posting
+            deltas = p_s.astype(np.int64)
+            deltas[1:] -= p_s[:-1]
+            deltas[gstart] = p_s[gstart]
+            posbuf = varbyte_encode(deltas)
+            blens = _byte_lens(deltas)
+            bbound = np.zeros(len(gstart) + 1, dtype=np.int64)
+            np.cumsum(np.add.reduceat(blens, gstart), out=bbound[1:])
+            posbin = [
+                posbuf[bbound[k] : bbound[k + 1]] for k in range(len(gstart))
+            ]
             yield pd.DataFrame(
                 {
-                    "term": g["term"],
-                    "docId": g["docId"].astype("int64"),
-                    "tf": g["pos"].map(len).astype("int32"),
-                    "dl": g["dl"].astype("int32"),
-                    "positions": g["pos"],
+                    "term": uniques[c_s[gstart]],
+                    "docId": pdf["docId"].values[d_s[gstart]].astype("int64"),
+                    "tf": tf,
+                    "dl": dl[d_s[gstart]].astype("int32"),
+                    "posbin": posbin,
                 }
             )
 
@@ -129,12 +160,8 @@ def build_postings(corpus: DataFrame, analyzer: str = "porter") -> DataFrame:
 
 
 def heavy_terms(postings: DataFrame, threshold: int) -> list[str]:
-    """Skew detection: terms whose df exceeds `threshold`.
-
-    At 100 TB this would run on a sample (``postings.sample(0.001)``) with a
-    scaled threshold; at test scale exact counting is cheap. Returned list is
-    small (code keywords / stopword-like terms) and is broadcast.
-    """
+    """Skew detection: terms whose df exceeds `threshold`. Returned list is
+    small (code keywords / stopword-like terms) and is broadcast."""
     rows = (
         postings.groupBy("term")
         .agg(F.count("*").alias("df"))
@@ -143,6 +170,24 @@ def heavy_terms(postings: DataFrame, threshold: int) -> list[str]:
         .collect()
     )
     return sorted(r[0] for r in rows)
+
+
+def heavy_terms_sampled(
+    corpus: DataFrame, analyzer: str, threshold: int, sample_mod: int = 16
+) -> list[str]:
+    """Skew detection on a deterministic 1/sample_mod docId slice.
+
+    Heavy terms are by definition massively frequent, so a hash slice finds
+    them reliably; tokenizing the full corpus twice (or persisting raw
+    postings) just for df stats would dominate the build at scale. The slice
+    is a pure function of docId — partition- and resume-independent.
+    """
+    if sample_mod <= 1:
+        return heavy_terms(build_postings(corpus, analyzer), threshold)
+    sub = corpus.where(F.pmod(F.xxhash64("docId"), F.lit(sample_mod)) == 0)
+    return heavy_terms(
+        build_postings(sub, analyzer), max(1, threshold // sample_mod)
+    )
 
 
 def salted(postings: DataFrame, heavy: list[str], n_salts: int) -> DataFrame:
@@ -183,28 +228,24 @@ def _block_encoded(values: np.ndarray, bstarts: np.ndarray, delta: bool) -> tupl
     return buf, [int(cum[s]) for s in bstarts]
 
 
-def _encode_group(g: pd.DataFrame) -> tuple:
-    """Pack one (term, salt) group — rows already sorted by docId."""
-    docids = g["docId"].to_numpy(dtype=np.int64)
-    tfs = g["tf"].to_numpy(dtype=np.int64)
-    dls = g["dl"].to_numpy(dtype=np.int64)
+def _encode_group(docids, tfs, dls, pos_blobs) -> tuple:
+    """Pack one (term, salt) group — rows already sorted by docId.
+
+    ``pos_blobs``: per-posting delta+varbyte blobs from the map side — the
+    delta chain already restarts per doc, so the segment's position column
+    is just their concatenation (byte-identical to encoding here).
+    """
+    docids = np.asarray(docids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    dls = np.asarray(dls, dtype=np.int64)
     ndocs = len(docids)
-    # positions: per-doc delta chains, one vectorized varbyte pass
-    pos_lists = g["positions"].tolist()
-    has_pos = pos_lists and pos_lists[0] is not None
+    has_pos = len(pos_blobs) > 0 and pos_blobs[0] is not None
     if has_pos:
-        flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_lists])
-        counts = np.array([len(p) for p in pos_lists], dtype=np.int64)
-        starts = np.zeros(ndocs, dtype=np.int64)
-        starts[1:] = np.cumsum(counts)[:-1]
-        deltas = flat.copy()
-        deltas[1:] -= flat[:-1]
-        deltas[starts] = flat[starts]  # restart delta chain per doc
-        pos_bin = varbyte_encode(deltas)
-        per_doc_bytes = (
-            np.add.reduceat(_byte_lens(deltas), starts) if len(deltas) else np.zeros(0)
+        pos_bin = b"".join(pos_blobs)
+        per_doc_bytes = np.fromiter(
+            (len(b) for b in pos_blobs), dtype=np.int64, count=ndocs
         )
-        poslens_bin = varbyte_encode(per_doc_bytes.astype(np.int64))
+        poslens_bin = varbyte_encode(per_doc_bytes)
     else:
         pos_bin = None
         poslens_bin = None
@@ -238,16 +279,30 @@ def _segment_encoder(batches):
     (term, salt) group split across Arrow batches is packed once."""
     leftover: pd.DataFrame | None = None
 
-    cols = [
-        "term", "salt", "min_docid", "ndocs", "sum_tf", "max_tf", "docids",
-        "tfs", "dls", "poslens", "positions", "block_last_docid",
-        "block_max_tf", "block_docid_off", "block_tf_off", "block_dl_off",
-    ]
+    cols = [c.name for c in SEGMENT_SCHEMA.fields]
 
     def pack(pdf: pd.DataFrame):
+        # rows arrive sorted by (term, salt, docId): find group boundaries
+        # with one vectorized pass and slice numpy views — pandas groupby
+        # would build a sub-DataFrame per group (~20k/partition)
+        terms = pdf["term"].to_numpy()
+        salts = pdf["salt"].to_numpy()
+        docids = pdf["docId"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy()
+        dls = pdf["dl"].to_numpy()
+        poss = pdf["posbin"].to_numpy()
+        n = len(pdf)
+        newgrp = np.empty(n, dtype=bool)
+        newgrp[0] = True
+        newgrp[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+        gs = np.flatnonzero(newgrp)
+        ge = np.append(gs[1:], n)
         out = []
-        for (term, salt), g in pdf.groupby(["term", "salt"], sort=False):
-            out.append((term, salt) + _encode_group(g))
+        for s, e in zip(gs, ge):
+            out.append(
+                (terms[s], int(salts[s]))
+                + _encode_group(docids[s:e], tfs[s:e], dls[s:e], poss[s:e])
+            )
         return pd.DataFrame(out, columns=cols)
 
     for pdf in batches:

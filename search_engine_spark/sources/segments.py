@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -62,6 +63,7 @@ from ..operators.build import (
     build_postings,
     encode_segments,
     heavy_terms,
+    heavy_terms_sampled,
     term_stats_from_segments,
 )
 
@@ -107,6 +109,7 @@ def build_index(
     heavy_threshold: int | None = None,
     n_salts: int = 8,
     with_positions: bool = True,
+    heavy_sample_mod: int = 1,
 ) -> dict:
     """Resumable batched index build. Returns the final manifest.
 
@@ -144,7 +147,7 @@ def build_index(
             spark, sub, index_dir, key, m,
             analyzer=analyzer, num_segments=num_segments,
             heavy_threshold=heavy_threshold, n_salts=n_salts,
-            with_positions=with_positions,
+            with_positions=with_positions, heavy_sample_mod=heavy_sample_mod,
         )
     return finalize_index(spark, index_dir)
 
@@ -160,6 +163,7 @@ def build_one_batch(
     heavy_threshold: int | None = None,
     n_salts: int = 8,
     with_positions: bool = True,
+    heavy_sample_mod: int = 1,
 ) -> dict:
     """Build and atomically commit ONE batch under its own key/directory.
 
@@ -170,22 +174,20 @@ def build_one_batch(
     if m["batches"].get(key, {}).get("committed"):
         return m
     t0 = time.time()
-    postings = build_postings(sub.select("docId", "content"), analyzer)
+    corpus_cols = sub.select("docId", "content")
+    postings = build_postings(corpus_cols, analyzer)
     if not with_positions:
-        postings = postings.withColumn("positions", F.lit(None).cast("array<int>"))
-    # The skew-stats pass would otherwise recompute the whole tokenize
-    # pipeline; persist (spills to disk at scale) so tokenization runs once.
-    persisted = heavy_threshold is not None
-    if persisted:
-        from pyspark import StorageLevel
-
-        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
-    heavy: list[str] = [] if heavy_threshold is None else heavy_terms(postings, heavy_threshold)
+        postings = postings.withColumn("posbin", F.lit(None).cast("binary"))
+    # Skew stats from a deterministic docId-hash slice: neither a second full
+    # tokenize pass nor a persist of raw postings — both dominate at scale.
+    heavy: list[str] = (
+        []
+        if heavy_threshold is None
+        else heavy_terms_sampled(corpus_cols, analyzer, heavy_threshold, heavy_sample_mod)
+    )
     seg = encode_segments(postings, num_segments, heavy, n_salts)
     out = os.path.join(index_dir, "segments", f"batch={key}")
     seg.write.mode("overwrite").parquet(out)
-    if persisted:
-        postings.unpersist()
     st = (
         spark.read.parquet(out)
         .agg(F.sum("sum_tf").alias("tok"), F.sum("ndocs").alias("post"))
@@ -264,6 +266,51 @@ def _decode_batch(pdf: pd.DataFrame, with_positions: bool):
     return pd.concat(outs, ignore_index=True)
 
 
+PACKED_POSTINGS_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("docId", LongType(), False),
+        StructField("tf", IntegerType(), False),
+        StructField("dl", IntegerType(), False),
+        StructField("posbin", BinaryType(), True),
+    ]
+)
+
+
+def decode_postings_packed(segments: DataFrame) -> DataFrame:
+    """Decode packed rows to posting granularity WITHOUT decoding position
+    blobs (sliced per doc via poslens). This is the compaction input shape:
+    merge = regroup by term + byte-level blob concat, no int decode."""
+
+    def kernel(batches):
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                docids = blockwise_delta_decode(r.docids)
+                n = len(docids)
+                d = {
+                    "term": np.repeat(r.term, n),
+                    "docId": docids,
+                    "tf": varbyte_decode(r.tfs).astype("int32"),
+                    "dl": varbyte_decode(r.dls).astype("int32"),
+                }
+                if r.positions is not None:
+                    blens = varbyte_decode(r.poslens)
+                    offs = np.zeros(len(blens) + 1, dtype=np.int64)
+                    offs[1:] = np.cumsum(blens)
+                    d["posbin"] = [
+                        r.positions[int(offs[k]) : int(offs[k + 1])] for k in range(n)
+                    ]
+                else:
+                    d["posbin"] = [None] * n
+                outs.append(pd.DataFrame(d))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    cols = segments.select("term", "docids", "tfs", "dls", "poslens", "positions")
+    return cols.mapInPandas(kernel, PACKED_POSTINGS_SCHEMA)
+
+
 def decode_postings(
     segments: DataFrame, terms: list[str] | None = None, with_positions: bool = False
 ) -> DataFrame:
@@ -326,10 +373,8 @@ def compact(spark: SparkSession, index_dir: str, batches: list[int]) -> dict:
     batches = [str(b) for b in batches]
     srcs = [m["batches"][str(b)]["path"] for b in batches]
     segs = spark.read.parquet(*srcs)
-    with_pos = m.get("with_positions", True)
-    decoded = decode_postings(segs, None, with_pos)
-    if not with_pos:
-        decoded = decoded.withColumn("positions", F.lit(None).cast("array<int>"))
+    # packed decode: positions stay per-doc blobs end-to-end (no int decode)
+    decoded = decode_postings_packed(segs)
     heavy = sorted({t for b in batches for t in m["batches"][str(b)].get("heavy_terms", [])})
     out = os.path.join(index_dir, "segments", f"batch={new_id}")
     encode_segments(decoded, m["num_segments"], heavy, m.get("n_salts", 8)).write.mode(

@@ -37,7 +37,10 @@ def test_postings_fixture(spark):
     got = {t: sorted(v) for t, v in got.items()}
     assert got == MERGE_EXPECTED
     # positions: "what is he doing today" -> what@0 ... today@4
-    by = {(r.term, r.docId): list(r.positions) for r in rows}
+    # (posbin = per-posting delta+varbyte blob, packed map-side)
+    from search_engine_spark.functions.codec import delta_varbyte_decode
+
+    by = {(r.term, r.docId): list(delta_varbyte_decode(r.posbin)) for r in rows}
     assert by[("what", 0)] == [0]
     assert by[("today", 2)] == [5]
     assert by[("a", 1)] == [1]
