@@ -228,27 +228,139 @@ def _block_encoded(values: np.ndarray, bstarts: np.ndarray, delta: bool) -> tupl
     return buf, [int(cum[s]) for s in bstarts]
 
 
-def _encode_group(docids, tfs, dls, pos_blobs) -> tuple:
-    """Pack one (term, salt) group — rows already sorted by docId.
+def _pa_types():
+    import pyarrow as pa
 
-    ``pos_blobs``: per-posting delta+varbyte blobs from the map side — the
-    delta chain already restarts per doc, so the segment's position column
-    is just their concatenation (byte-identical to encoding here).
+    return {
+        "term": pa.string(),
+        "salt": pa.int32(),
+        "min_docid": pa.int64(),
+        "ndocs": pa.int32(),
+        "sum_tf": pa.int64(),
+        "max_tf": pa.int32(),
+        "docids": pa.binary(),
+        "tfs": pa.binary(),
+        "dls": pa.binary(),
+        "poslens": pa.binary(),
+        "positions": pa.binary(),
+        "block_last_docid": pa.list_(pa.int64()),
+        "block_max_tf": pa.list_(pa.int32()),
+        "block_docid_off": pa.list_(pa.int32()),
+        "block_tf_off": pa.list_(pa.int32()),
+        "block_dl_off": pa.list_(pa.int32()),
+    }
+
+
+def _binary_offsets(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets, data) of an Arrow Binary/String array as numpy — zero-copy
+    views into the Arrow buffers, honoring the array's slice offset."""
+    buffers = arr.buffers()
+    offs = np.frombuffer(buffers[1], dtype=np.int32)[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.empty(0, np.uint8)
+    return offs.astype(np.int64), data
+
+
+def _gather_bytes(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate data[starts[i]:starts[i]+lens[i]] for all i, vectorized.
+    Returns (gathered bytes, output offsets of each piece)."""
+    out_offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=out_offs[1:])
+    total = int(out_offs[-1])
+    idx = np.repeat(starts - out_offs[:-1], lens) + np.arange(total, dtype=np.int64)
+    return data[idx], out_offs
+
+
+def _segment_encoder(batches):
+    """S8 kernel (``mapInArrow``): whole-partition Arrow-native encoder.
+
+    Works directly on Arrow buffers — no pandas rows, no per-row Python
+    objects (the Arrow->pandas conversion of term strings and posbin blobs
+    dominated the reduce stage and anti-scaled under concurrent workers):
+
+    - terms: dictionary-encode -> integer codes; lexicographic rank computed
+      on the (tiny) dictionary only;
+    - sort: numpy lexsort on (docId, salt, term-rank) — replaces the JVM
+      ``sortWithinPartitions`` entirely;
+    - posbin: per-group concatenation is a vectorized byte-gather from the
+      Arrow data buffer (no bytes objects materialize per row).
+
+    Materializes one partition per worker; size segments (num_segments) so a
+    partition's postings fit worker memory — at cluster scale that is the
+    normal shuffle-partition sizing rule.
     """
-    docids = np.asarray(docids, dtype=np.int64)
-    tfs = np.asarray(tfs, dtype=np.int64)
-    dls = np.asarray(dls, dtype=np.int64)
-    ndocs = len(docids)
-    has_pos = len(pos_blobs) > 0 and pos_blobs[0] is not None
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    batch_list = [b for b in batches if b.num_rows]
+    if not batch_list:
+        return
+    tbl = pa.Table.from_batches(batch_list).combine_chunks()
+    n = tbl.num_rows
+    term_arr = tbl.column("term").chunk(0)
+    salt = tbl.column("salt").chunk(0).to_numpy().astype(np.int64)
+    docid = tbl.column("docId").chunk(0).to_numpy().astype(np.int64)
+    tf = tbl.column("tf").chunk(0).to_numpy().astype(np.int64)
+    dl = tbl.column("dl").chunk(0).to_numpy().astype(np.int64)
+    pos_arr = tbl.column("posbin").chunk(0)
+    has_pos = pos_arr.null_count < n
+
+    de = pc.dictionary_encode(term_arr)
+    codes = de.indices.to_numpy().astype(np.int64)
+    vocab = de.dictionary.to_pylist()
+    rank = np.empty(len(vocab), dtype=np.int64)
+    rank[np.argsort(np.array(vocab, dtype=object), kind="stable")] = np.arange(len(vocab))
+    key = rank[codes]
+
+    order = np.lexsort((docid, salt, key))
+    key_s, salt_s, docid_s = key[order], salt[order], docid[order]
+    tf_s, dl_s, codes_s = tf[order], dl[order], codes[order]
+
+    newgrp = np.empty(n, dtype=bool)
+    newgrp[0] = True
+    newgrp[1:] = (key_s[1:] != key_s[:-1]) | (salt_s[1:] != salt_s[:-1])
+    gs = np.flatnonzero(newgrp)
+    ge = np.append(gs[1:], n)
+
     if has_pos:
-        pos_bin = b"".join(pos_blobs)
-        per_doc_bytes = np.fromiter(
-            (len(b) for b in pos_blobs), dtype=np.int64, count=ndocs
-        )
-        poslens_bin = varbyte_encode(per_doc_bytes)
-    else:
-        pos_bin = None
-        poslens_bin = None
+        p_offs, p_data = _binary_offsets(pos_arr)
+        starts_s = p_offs[:-1][order]
+        lens_s = (p_offs[1:] - p_offs[:-1])[order]
+        gathered, out_offs = _gather_bytes(p_data, starts_s, lens_s)
+        gbytes = gathered.tobytes()
+
+    out = {c.name: [] for c in SEGMENT_SCHEMA.fields}
+    for gi in range(len(gs)):
+        s, e = int(gs[gi]), int(ge[gi])
+        if has_pos:
+            pos_bin = gbytes[int(out_offs[s]) : int(out_offs[e])]
+            poslens_bin = varbyte_encode(lens_s[s:e])
+        else:
+            pos_bin = None
+            poslens_bin = None
+        packed = _encode_counts(docid_s[s:e], tf_s[s:e], dl_s[s:e])
+        out["term"].append(vocab[int(codes_s[s])])
+        out["salt"].append(int(salt_s[s]))
+        for name, val in zip(
+            ("min_docid", "ndocs", "sum_tf", "max_tf", "docids", "tfs", "dls"),
+            packed[:7],
+        ):
+            out[name].append(val)
+        out["poslens"].append(poslens_bin)
+        out["positions"].append(pos_bin)
+        for name, val in zip(
+            ("block_last_docid", "block_max_tf", "block_docid_off", "block_tf_off", "block_dl_off"),
+            packed[7:],
+        ):
+            out[name].append(val)
+    types = _pa_types()
+    yield pa.RecordBatch.from_pydict(out, schema=pa.schema(
+        [pa.field(f.name, types[f.name]) for f in SEGMENT_SCHEMA.fields]
+    ))
+
+
+def _encode_counts(docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> tuple:
+    """Block-encode the docid/tf/dl columns of one (term, salt) group."""
+    ndocs = len(docids)
     nblocks = (ndocs + BLOCK_SIZE - 1) // BLOCK_SIZE
     bstarts = np.arange(nblocks) * BLOCK_SIZE
     block_last = docids[np.minimum(bstarts + BLOCK_SIZE - 1, ndocs - 1)]
@@ -264,8 +376,6 @@ def _encode_group(docids, tfs, dls, pos_blobs) -> tuple:
         docids_bin,
         tfs_bin,
         dls_bin,
-        poslens_bin,
-        pos_bin,
         block_last.tolist(),
         [int(x) for x in block_max_tf],
         docid_off,
@@ -274,77 +384,29 @@ def _encode_group(docids, tfs, dls, pos_blobs) -> tuple:
     )
 
 
-def _segment_encoder(batches):
-    """S8 kernel: streaming per-partition encoder with carry-over so a
-    (term, salt) group split across Arrow batches is packed once."""
-    leftover: pd.DataFrame | None = None
-
-    cols = [c.name for c in SEGMENT_SCHEMA.fields]
-
-    def pack(pdf: pd.DataFrame):
-        # rows arrive sorted by (term, salt, docId): find group boundaries
-        # with one vectorized pass and slice numpy views — pandas groupby
-        # would build a sub-DataFrame per group (~20k/partition)
-        terms = pdf["term"].to_numpy()
-        salts = pdf["salt"].to_numpy()
-        docids = pdf["docId"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy()
-        dls = pdf["dl"].to_numpy()
-        poss = pdf["posbin"].to_numpy()
-        n = len(pdf)
-        newgrp = np.empty(n, dtype=bool)
-        newgrp[0] = True
-        newgrp[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
-        gs = np.flatnonzero(newgrp)
-        ge = np.append(gs[1:], n)
-        out = []
-        for s, e in zip(gs, ge):
-            out.append(
-                (terms[s], int(salts[s]))
-                + _encode_group(docids[s:e], tfs[s:e], dls[s:e], poss[s:e])
-            )
-        return pd.DataFrame(out, columns=cols)
-
-    for pdf in batches:
-        if leftover is not None:
-            pdf = pd.concat([leftover, pdf], ignore_index=True)
-            leftover = None
-        if len(pdf) == 0:
-            continue
-        last_term = pdf["term"].iloc[-1]
-        last_salt = pdf["salt"].iloc[-1]
-        tail = (pdf["term"] == last_term) & (pdf["salt"] == last_salt)
-        leftover = pdf[tail]
-        head = pdf[~tail]
-        if len(head):
-            yield pack(head)
-    if leftover is not None and len(leftover):
-        yield pack(leftover)
-
-
 def encode_segments(
     postings: DataFrame,
     num_segments: int,
     heavy: list[str] | None = None,
     n_salts: int = 8,
 ) -> DataFrame:
-    """B2/B3 + S8: salted range shuffle -> in-partition sort -> packed rows.
+    """B2/B3 + S8: salted hash shuffle -> Arrow-native sort+pack kernel.
 
     Output carries ``seg = spark_partition_id`` — each partition IS a
     segment. HASH partitioning on (term, salt), not range: a range shuffle
     runs a separate RangePartitioner *sampling job* that recomputes the whole
     upstream tokenize pipeline, and Zipf term frequencies make sampled range
     bounds skew-prone anyway. With hash, each (term, salt) lands in exactly
-    one partition, salting alone bounds the heaviest reducer, and the
-    in-partition sort still yields term-sorted parquet files => row groups
-    cover narrow term ranges => `term IN (...)` pushdown skips row groups
-    exactly as with range partitioning.
+    one partition and salting alone bounds the heaviest reducer. The
+    in-partition (term, salt, docId) sort happens inside the Arrow kernel
+    (numpy lexsort — cheaper than the JVM row sort and feeds the encoder
+    zero-copy), so the files still come out term-sorted => row groups cover
+    narrow term ranges => `term IN (...)` pushdown skips row groups exactly
+    as with range partitioning.
     """
     p = salted(postings, heavy or [], n_salts)
-    p = p.repartition(num_segments, "term", "salt").sortWithinPartitions(
-        "term", "salt", "docId"
-    )
-    packed = p.mapInPandas(_segment_encoder, SEGMENT_SCHEMA)
+    p = p.repartition(num_segments, "term", "salt")
+    packed = p.mapInArrow(_segment_encoder, SEGMENT_SCHEMA)
     return packed.withColumn("seg", F.spark_partition_id())
 
 
