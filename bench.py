@@ -132,7 +132,7 @@ def main() -> None:
 
     # larger synthetic corpus: the throughput figure the scaling runs extend
     n_syn = int(os.environ.get("SPARK_GRAFT_SYN_DOCS", "40000"))
-    syn = synthetic_corpus(spark, n_docs=n_syn, vocab_size=20000, partitions=int(cpus))
+    syn = synthetic_corpus(spark, n_docs=n_syn, vocab_size=20000, partitions=4 * int(cpus))
     idx2 = tempfile.mkdtemp(prefix="bench_syn_")
     shutil.rmtree(idx2, ignore_errors=True)
     timed(

@@ -7,14 +7,14 @@ triplet (IIM:301-328), ``mergeSegments`` sort-merges pairs (IIM:583-687).
 Spark-first rebuild — the whole build is ONE shuffle:
 
     corpus (docId, content)
-      -> mapInPandas(posting_kernel)            # B1: tokenize + per-doc postings
-         (term, docId, tf, dl, positions)       #     no shuffle: per-doc local agg
-      -> salt heavy terms                       # skew: term -> (term, salt)
-      -> repartitionByRange(term, salt, docId)  # B2/B3: the one shuffle
-      -> sortWithinPandas(term, salt, docId)
-      -> mapInPandas(segment_encoder)           # S8: delta+varbyte packed rows
-      -> parquet segments/                      # term-sorted files => row-group
-                                                # min/max pushdown on `term`
+      -> mapInPandas(posting_kernel)         # B1: tokenize + per-doc postings
+         (term, docId, tf, dl, posbin)       #     positions already varbyte-packed
+      -> salt heavy terms                    # skew: term -> (term, salt)
+      -> repartition(term, salt)             # B2/B3: the one (hash) shuffle
+      -> mapInArrow(segment_encoder)         # S8: numpy lexsort + packed rows,
+      -> parquet segments/                   #     straight off Arrow buffers;
+                                             # term-sorted files => row-group
+                                             # min/max pushdown on `term`
 (term stats fall out of the packed rows with a cheap second-stage agg —
 no re-shuffle of raw postings.)
 
@@ -156,7 +156,10 @@ def build_postings(corpus: DataFrame, analyzer: str = "porter") -> DataFrame:
                 }
             )
 
-    return corpus.select("docId", "content").mapInPandas(kernel, POSTINGS_SCHEMA)
+    from ._parallel import ensure_parallelism
+
+    src = ensure_parallelism(corpus.select("docId", "content"))
+    return src.mapInPandas(kernel, POSTINGS_SCHEMA)
 
 
 def heavy_terms(postings: DataFrame, threshold: int) -> list[str]:

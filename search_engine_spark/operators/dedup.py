@@ -61,8 +61,10 @@ def minhash_signatures(
     Computed as one exploded (doc, shingle) relation aggregated per doc —
     num_hashes min() aggregates, single shuffle, no UDF.
     """
+    from ._parallel import ensure_parallelism
+
     toks = tokens_expr(F.col(text))
-    ex = df.select(
+    ex = ensure_parallelism(df).select(
         F.col(id_col), F.explode(shingles_expr(toks, shingle_n)).alias("sh")
     )
     aggs = [
@@ -153,7 +155,9 @@ def simhash(
     """SimHash fingerprint: bit b set iff Σ_tokens (±1 per token occurrence,
     + if bit b of h64(token) set) >= 0. Explode -> one groupBy with `bits`
     conditional sums — no UDF, oracle-mirrorable."""
-    ex = df.select(
+    from ._parallel import ensure_parallelism
+
+    ex = ensure_parallelism(df).select(
         F.col(id_col), F.explode(tokens_expr(F.col(text))).alias("t")
     ).withColumn("h", h64(F.col("t")))
     aggs = [

@@ -133,3 +133,15 @@ def fetch_documents(result: DataFrame, corpus: DataFrame) -> DataFrame:
     """S4 semi-join shape (IIM:720-726): hydrate matched docIds with content.
     Result sets are tiny vs the corpus — broadcast them."""
     return corpus.join(F.broadcast(result), "docId", "left_semi")
+
+
+def document_iterator(corpus: DataFrame) -> DataFrame:
+    """Q12 ``documentIterator`` (IIM:905-938): all docs in docId order."""
+    return corpus.orderBy("docId")
+
+
+def delete_documents(keyword: str) -> None:
+    """B7 parity: declared but unimplemented in the reference
+    (``UnsupportedOperationException``, IIM:1375-1377). The real Spark-side
+    mapping would be Iceberg delete files + segment tombstones."""
+    raise NotImplementedError("deletion is unimplemented, mirroring IIM:1375-1377")
