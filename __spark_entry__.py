@@ -5,8 +5,9 @@ documents table (segments on disk, salted term-range shuffle, delta+varbyte
 packing) and run a BM25 top-10 via the distributed block-max DAAT path.
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
-from SURVEY.md §2 plus the training-data pipeline operators; every
-SQL-expressible operator has a DuckDB oracle built on the *same* naive
+from SURVEY.md §2 plus the training-data pipeline operators (28 queries, 25
+with DuckDB oracles; pagerank/combined-ranking/stub-decoder are rows-only);
+every SQL-expressible operator has a DuckDB oracle built on the *same* naive
 tokenization (lower + split on whitespace) so values match exactly.
 Cross-engine hash: ``int64(md5(s)[:15 hex])`` (= Spark
 ``conv(substring(md5,1,15),16,10)`` = DuckDB ``('0x'||substr(md5,1,15))::int64``).
