@@ -188,19 +188,41 @@ def build_one_batch(
     seg = encode_segments(postings, num_segments, heavy, n_salts)
     out = os.path.join(index_dir, "segments", f"batch={key}")
     seg.write.mode("overwrite").parquet(out)
-    st = (
+    # one read-back pass gives corpus stats AND the shuffle-skew metric
+    # (north rule): per reduce partition, postings handled and bytes written
+    per_seg = (
         spark.read.parquet(out)
-        .agg(F.sum("sum_tf").alias("tok"), F.sum("ndocs").alias("post"))
-        .collect()[0]
+        .groupBy("seg")
+        .agg(
+            F.sum("sum_tf").alias("tok"),
+            F.sum("ndocs").alias("post"),
+            (F.sum(F.octet_length("docids") + F.octet_length("tfs") + F.octet_length("dls")
+                   + F.coalesce(F.octet_length("positions"), F.lit(0)))).alias("bytes"),
+        )
+        .collect()
     )
+    posts = [int(r["post"] or 0) for r in per_seg]
+    npost = sum(posts)
+    dt = time.time() - t0
+    ndocs = int(sub.count())
     m["batches"][key] = {
         "committed": True,
         "path": out,
-        "ndocs": int(sub.count()),
-        "npostings": int(st["post"] or 0),
-        "total_tokens": int(st["tok"] or 0),
+        "ndocs": ndocs,
+        "npostings": npost,
+        "total_tokens": int(sum(r["tok"] or 0 for r in per_seg)),
         "heavy_terms": heavy,
-        "build_sec": round(time.time() - t0, 3),
+        "build_sec": round(dt, 3),
+        "metrics": {
+            "docs_per_sec": round(ndocs / dt, 1) if dt else None,
+            "postings_per_sec": round(npost / dt, 1) if dt else None,
+            "segment_bytes": int(sum(r["bytes"] or 0 for r in per_seg)),
+            # skew ratio of the (term, salt) shuffle: max/mean postings per
+            # reduce partition — 1.0 is perfectly even
+            "shuffle_skew_ratio": round(max(posts) / (npost / len(posts)), 3)
+            if posts and npost
+            else None,
+        },
         "committed_at": time.time(),
     }
     write_manifest(index_dir, m)
@@ -224,6 +246,17 @@ def finalize_index(spark: SparkSession, index_dir: str) -> dict:
     m["finalized"] = True
     write_manifest(index_dir, m)
     return m
+
+
+def merge_all_batches(spark: SparkSession, index_dir: str) -> dict:
+    """B5 ``mergeAllSegments`` analog (IIM:679-687): compact every committed
+    batch into one. The reference's pairwise halving exists only because its
+    merge is a 2-way stream; ours regroups by term, so one k-way pass."""
+    m = read_manifest(index_dir)
+    batches = sorted(m["batches"], key=lambda k: str(k))
+    if len(batches) <= 1:
+        return m
+    return compact(spark, index_dir, batches)
 
 
 def load_segments(spark: SparkSession, index_dir: str) -> DataFrame:

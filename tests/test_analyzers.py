@@ -157,3 +157,18 @@ def test_wordbreak_reference_dictionary():
         "one woman woman late irene adler dubious questionable memory"
     ).split()
     assert wb.tokenize(text) == expected
+
+
+def test_wordbreak_cjk_dictionary():
+    """A8 JapaneseTokenizer analog: same DP word-break over a CJK frequency
+    dictionary (JapaneseTokenizer.java:19-84 — algorithm only, no data
+    copied). No whitespace in the input; stop-word removal n/a."""
+    from search_engine_spark.functions.analyzers import WordBreakTokenizer
+
+    dic = {"こんにちは": 50, "世界": 30, "こん": 5, "にちは": 1, "せ": 1}
+    tok = WordBreakTokenizer(dic)
+    assert tok.tokenize("こんにちは世界") == ["こんにちは", "世界"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tok.tokenize("さようなら")

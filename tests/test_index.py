@@ -125,3 +125,27 @@ def test_sha256_invariant(spark, tmp_index):
     assert {d.docId for d in docs} == {1, 3}
     for d in docs:
         assert hashlib.sha256(d.content.encode()).hexdigest() == d.content_sha256
+
+
+def test_merge_all_batches(spark, tmp_index):
+    """B5 mergeAllSegments analog: all batches collapse into one; decoded
+    index unchanged; manifest metrics survive."""
+    corpus = corpus_from_texts(spark, MERGE_DOCS * 3)
+    S.build_index(spark, corpus, tmp_index, analyzer="naive", n_batches=3,
+                  num_segments=2)
+    before = S.segment_dict(spark, tmp_index)
+    m = S.merge_all_batches(spark, tmp_index)
+    assert len(m["batches"]) == 1
+    assert S.segment_dict(spark, tmp_index) == before
+
+
+def test_build_metrics_recorded(spark, tmp_index):
+    """North-rule metrics: docs/sec, postings/sec, shuffle skew ratio."""
+    corpus = corpus_from_texts(spark, MERGE_DOCS * 4)
+    m = S.build_index(spark, corpus, tmp_index, analyzer="naive", n_batches=1,
+                      num_segments=2)
+    met = m["batches"]["0"]["metrics"]
+    assert met["docs_per_sec"] > 0
+    assert met["postings_per_sec"] > 0
+    assert met["segment_bytes"] > 0
+    assert met["shuffle_skew_ratio"] >= 1.0
