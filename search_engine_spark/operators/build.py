@@ -48,7 +48,7 @@ from pyspark.sql.types import (
 )
 
 from ..functions.analyzers import get_analyzer
-from ..functions.codec import varbyte_encode
+from ..functions.codec import varbyte_decode, varbyte_encode
 
 # positions travel as a delta+varbyte blob PER POSTING (`posbin`), packed on
 # the map side: an array<int> column through the shuffle costs ~5x in
@@ -92,12 +92,62 @@ SEGMENT_SCHEMA = StructType(
 BLOCK_SIZE = 128  # postings per block-max block (Ding & Suel, SIGIR'11)
 
 
-def build_postings(corpus: DataFrame, analyzer: str = "porter") -> DataFrame:
-    """B1 (+A9): corpus -> (term, docId, tf, dl, positions).
+def _batch_postings(pdf: pd.DataFrame, fn):
+    """Tokenize one Arrow batch into posting-level flat arrays.
 
-    One Arrow-batched kernel; per-batch work is pandas explode + C-level
-    groupby (no per-row Python in the Spark sense). Positions are indices
-    into the analyzed token list (IIM:169-180).
+    Returns (terms_obj, docid, tf, dl, posbuf, bbound) — one entry per
+    (doc, term) group; ``posbuf`` is the batch's position blobs concatenated
+    (per-posting delta chains), ``bbound`` the per-posting byte offsets.
+    Flat token stream + one factorize + lexsort + run-length pass — no
+    pandas explode / groupby.agg (object-heavy allocations anti-scale under
+    many concurrent workers: measured 4.8x slower, memory-bandwidth-bound).
+    """
+    toks_list = [fn(t) if t else [] for t in pdf["content"].values]
+    dl = np.fromiter((len(t) for t in toks_list), dtype=np.int64, count=len(toks_list))
+    total = int(dl.sum())
+    if total == 0:
+        return None
+    flat = np.empty(total, dtype=object)
+    off = 0
+    for t in toks_list:
+        flat[off : off + len(t)] = t
+        off += len(t)
+    doc_idx = np.repeat(np.arange(len(toks_list)), dl)
+    starts = np.zeros(len(toks_list) + 1, dtype=np.int64)
+    starts[1:] = np.cumsum(dl)
+    pos = (np.arange(total) - starts[doc_idx]).astype(np.int32)
+    codes, uniques = pd.factorize(pd.Series(flat), sort=False)
+    order = np.lexsort((codes, doc_idx))
+    d_s, c_s, p_s = doc_idx[order], codes[order], pos[order]
+    newgrp = np.empty(total, dtype=bool)
+    newgrp[0] = True
+    newgrp[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+    gstart = np.flatnonzero(newgrp)
+    tf = np.diff(np.append(gstart, total)).astype(np.int64)
+    # positions (sorted within group: lexsort is stable) -> one vectorized
+    # delta+varbyte pass, chain restarting per posting
+    deltas = p_s.astype(np.int64)
+    deltas[1:] -= p_s[:-1]
+    deltas[gstart] = p_s[gstart]
+    posbuf = varbyte_encode(deltas)
+    blens = _byte_lens(deltas)
+    bbound = np.zeros(len(gstart) + 1, dtype=np.int64)
+    np.cumsum(np.add.reduceat(blens, gstart), out=bbound[1:])
+    return (
+        uniques[c_s[gstart]],
+        pdf["docId"].values[d_s[gstart]].astype(np.int64),
+        tf,
+        dl[d_s[gstart]],
+        posbuf,
+        bbound,
+    )
+
+
+def build_postings(corpus: DataFrame, analyzer: str = "porter") -> DataFrame:
+    """B1 (+A9): corpus -> (term, docId, tf, dl, posbin) posting rows.
+
+    Row-level output — the query/oracle surface. The segment BUILD path uses
+    :func:`build_miniblocks` (map-side combine) instead.
     """
 
     def kernel(batches):
@@ -105,54 +155,19 @@ def build_postings(corpus: DataFrame, analyzer: str = "porter") -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            # flat token stream + per-doc lengths, then one factorize +
-            # lexsort + run-length pass — no pandas explode / groupby.agg
-            # (object-heavy allocations anti-scale under many concurrent
-            # workers: measured 4.8x slower and memory-bandwidth-bound)
-            toks_list = [fn(t) if t else [] for t in pdf["content"].values]
-            dl = np.fromiter(
-                (len(t) for t in toks_list), dtype=np.int64, count=len(toks_list)
-            )
-            total = int(dl.sum())
-            if total == 0:
+            out = _batch_postings(pdf, fn)
+            if out is None:
                 continue
-            flat = np.empty(total, dtype=object)
-            off = 0
-            for t in toks_list:
-                flat[off : off + len(t)] = t
-                off += len(t)
-            doc_idx = np.repeat(np.arange(len(toks_list)), dl)
-            starts = np.zeros(len(toks_list) + 1, dtype=np.int64)
-            starts[1:] = np.cumsum(dl)
-            pos = (np.arange(total) - starts[doc_idx]).astype(np.int32)
-            codes, uniques = pd.factorize(pd.Series(flat), sort=False)
-            order = np.lexsort((codes, doc_idx))
-            d_s, c_s, p_s = doc_idx[order], codes[order], pos[order]
-            newgrp = np.empty(total, dtype=bool)
-            newgrp[0] = True
-            newgrp[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
-            gstart = np.flatnonzero(newgrp)
-            tf = np.diff(np.append(gstart, total)).astype("int32")
-            # positions (sorted within group: lexsort is stable) -> one
-            # vectorized delta+varbyte pass, chain restarting per group,
-            # then byte-sliced per posting
-            deltas = p_s.astype(np.int64)
-            deltas[1:] -= p_s[:-1]
-            deltas[gstart] = p_s[gstart]
-            posbuf = varbyte_encode(deltas)
-            blens = _byte_lens(deltas)
-            bbound = np.zeros(len(gstart) + 1, dtype=np.int64)
-            np.cumsum(np.add.reduceat(blens, gstart), out=bbound[1:])
-            posbin = [
-                posbuf[bbound[k] : bbound[k + 1]] for k in range(len(gstart))
-            ]
+            terms, docid, tf, dl, posbuf, bbound = out
             yield pd.DataFrame(
                 {
-                    "term": uniques[c_s[gstart]],
-                    "docId": pdf["docId"].values[d_s[gstart]].astype("int64"),
-                    "tf": tf,
-                    "dl": dl[d_s[gstart]].astype("int32"),
-                    "posbin": posbin,
+                    "term": terms,
+                    "docId": docid,
+                    "tf": tf.astype("int32"),
+                    "dl": dl.astype("int32"),
+                    "posbin": [
+                        posbuf[bbound[k] : bbound[k + 1]] for k in range(len(terms))
+                    ],
                 }
             )
 
@@ -328,15 +343,34 @@ def _segment_encoder(batches):
         p_offs, p_data = _binary_offsets(pos_arr)
         starts_s = p_offs[:-1][order]
         lens_s = (p_offs[1:] - p_offs[:-1])[order]
-        gathered, out_offs = _gather_bytes(p_data, starts_s, lens_s)
-        gbytes = gathered.tobytes()
+    else:
+        starts_s = lens_s = None
+    yield _pack_sorted(
+        vocab, codes_s, salt_s, docid_s, tf_s, dl_s,
+        (p_data if has_pos else None), starts_s, lens_s, gs, ge,
+    )
 
+
+def _pack_sorted(vocab, codes_s, salt_s, docid_s, tf_s, dl_s,
+                 pos_data, pos_starts_s, pos_lens_s, gs, ge):
+    """Sorted posting-level flat arrays -> one packed-segment RecordBatch.
+
+    ``pos_data``: byte pool holding every posting's position blob;
+    ``pos_starts_s``/``pos_lens_s``: per-posting (start, len) into it, in
+    sorted row order. Per-group concat is a single vectorized byte-gather.
+    """
+    import pyarrow as pa
+
+    has_pos = pos_data is not None
+    if has_pos:
+        gathered, out_offs = _gather_bytes(pos_data, pos_starts_s, pos_lens_s)
+        gbytes = gathered.tobytes()
     out = {c.name: [] for c in SEGMENT_SCHEMA.fields}
     for gi in range(len(gs)):
         s, e = int(gs[gi]), int(ge[gi])
         if has_pos:
             pos_bin = gbytes[int(out_offs[s]) : int(out_offs[e])]
-            poslens_bin = varbyte_encode(lens_s[s:e])
+            poslens_bin = varbyte_encode(pos_lens_s[s:e])
         else:
             pos_bin = None
             poslens_bin = None
@@ -356,7 +390,7 @@ def _segment_encoder(batches):
         ):
             out[name].append(val)
     types = _pa_types()
-    yield pa.RecordBatch.from_pydict(out, schema=pa.schema(
+    return pa.RecordBatch.from_pydict(out, schema=pa.schema(
         [pa.field(f.name, types[f.name]) for f in SEGMENT_SCHEMA.fields]
     ))
 
@@ -385,6 +419,236 @@ def _encode_counts(docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> tupl
         tf_off,
         dl_off,
     )
+
+
+# ---------------------------------------------------------------------------
+# map-side combine: the build shuffles packed per-term MINI-BLOCKS, not
+# posting rows. Each map partition tokenizes its docs and emits one packed
+# row per (term, salt): sorted docId deltas, tfs, dls, per-posting position
+# blob lengths, concatenated position blobs. The shuffle then moves ~5-8x
+# fewer, wider rows (the JVM row<->Arrow conversion cost is per-ROW), and the
+# reducer merges mini-blocks fully vectorized. This is the classic partial
+# aggregation / LSM shape for inverted-index builds.
+
+MINIBLOCK_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("salt", IntegerType(), False),
+        StructField("ndocs", IntegerType(), False),
+        StructField("docids", BinaryType(), False),   # delta varbyte, restart/row
+        StructField("tfs", BinaryType(), False),      # varbyte
+        StructField("dls", BinaryType(), False),      # varbyte
+        StructField("poslens", BinaryType(), True),   # varbyte per-posting blob len
+        StructField("posbin", BinaryType(), True),    # concat per-posting blobs
+    ]
+)
+
+
+def _slice_all(buf: bytes, gs: np.ndarray, ge: np.ndarray, bounds: np.ndarray):
+    """Per-group byte slices of a whole-partition varbyte buffer, where
+    ``bounds`` holds cumulative byte offsets per value."""
+    return [buf[int(bounds[s]) : int(bounds[e])] for s, e in zip(gs, ge)]
+
+
+def build_miniblocks(
+    corpus: DataFrame,
+    analyzer: str = "porter",
+    heavy: list[str] | None = None,
+    n_salts: int = 8,
+    with_positions: bool = True,
+) -> DataFrame:
+    """Map-side combine kernel: corpus partition -> packed (term, salt)
+    mini-blocks. Salting happens here (needs per-posting docId)."""
+    heavy_set = frozenset(heavy or [])
+    do_salt = bool(heavy_set) and n_salts > 1
+
+    def kernel(batches):
+        fn = get_analyzer(analyzer)
+        parts = []
+        for pdf in batches:
+            if len(pdf):
+                out = _batch_postings(pdf, fn)
+                if out is not None:
+                    parts.append(out)
+        if not parts:
+            return
+        terms = np.concatenate([p[0] for p in parts])
+        docid = np.concatenate([p[1] for p in parts])
+        tf = np.concatenate([p[2] for p in parts])
+        dl = np.concatenate([p[3] for p in parts])
+        # per-posting position blob (start, len) into one concatenated pool
+        pool = b"".join(p[4] for p in parts)
+        pstarts_parts, off = [], 0
+        for p in parts:
+            pstarts_parts.append(p[5][:-1] + off)
+            off += int(p[5][-1])
+        pstarts = np.concatenate(pstarts_parts)
+        plens = np.concatenate([np.diff(p[5]) for p in parts])
+        pos_data = np.frombuffer(pool, dtype=np.uint8)
+
+        codes, uniques = pd.factorize(pd.Series(terms), sort=False)
+        codes = codes.astype(np.int64)
+        vocab = list(uniques)
+        rank = np.empty(len(vocab), dtype=np.int64)
+        rank[np.argsort(np.array(vocab, dtype=object), kind="stable")] = np.arange(len(vocab))
+        key = rank[codes]
+        if do_salt:
+            hmask = np.fromiter((t in heavy_set for t in vocab), dtype=bool, count=len(vocab))
+            salt = np.where(hmask[codes], docid % n_salts, 0).astype(np.int64)
+        else:
+            salt = np.zeros(len(codes), dtype=np.int64)
+        order = np.lexsort((docid, salt, key))
+        codes_s, salt_s = codes[order], salt[order]
+        docid_s, tf_s, dl_s = docid[order], tf[order], dl[order]
+        key_s = key[order]
+        n = len(order)
+        newgrp = np.empty(n, dtype=bool)
+        newgrp[0] = True
+        newgrp[1:] = (key_s[1:] != key_s[:-1]) | (salt_s[1:] != salt_s[:-1])
+        gs = np.flatnonzero(newgrp)
+        ge = np.append(gs[1:], n)
+
+        # whole-partition encodes, sliced per group by byte offsets
+        deltas = docid_s.copy()
+        deltas[1:] -= docid_s[:-1]
+        deltas[gs] = docid_s[gs]
+        dbuf = varbyte_encode(deltas)
+        dbounds = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(_byte_lens(deltas), out=dbounds[1:])
+        tbuf = varbyte_encode(tf_s)
+        tbounds = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(_byte_lens(tf_s), out=tbounds[1:])
+        lbuf = varbyte_encode(dl_s)
+        lbounds = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(_byte_lens(dl_s), out=lbounds[1:])
+        d = {
+            "term": [vocab[int(codes_s[s])] for s in gs],
+            "salt": salt_s[gs].astype("int32"),
+            "ndocs": (ge - gs).astype("int32"),
+            "docids": _slice_all(dbuf, gs, ge, dbounds),
+            "tfs": _slice_all(tbuf, gs, ge, tbounds),
+            "dls": _slice_all(lbuf, gs, ge, lbounds),
+        }
+        if with_positions:
+            plens_s = plens[order]
+            pstarts_s = pstarts[order]
+            gathered, out_offs = _gather_bytes(pos_data, pstarts_s, plens_s)
+            gbytes = gathered.tobytes()
+            pbuf = varbyte_encode(plens_s)
+            pbounds = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(_byte_lens(plens_s), out=pbounds[1:])
+            d["poslens"] = _slice_all(pbuf, gs, ge, pbounds)
+            d["posbin"] = [
+                gbytes[int(out_offs[s]) : int(out_offs[e])] for s, e in zip(gs, ge)
+            ]
+        else:
+            d["poslens"] = [None] * len(gs)
+            d["posbin"] = [None] * len(gs)
+        yield pd.DataFrame(d)
+
+    from ._parallel import ensure_parallelism
+
+    src = ensure_parallelism(corpus.select("docId", "content"))
+    return src.mapInPandas(kernel, MINIBLOCK_SCHEMA)
+
+
+def _merge_encoder(batches):
+    """Reduce kernel: (term, salt) mini-blocks -> packed segment rows.
+
+    Fully vectorized: every mini-block column decodes in ONE varbyte pass
+    over the Arrow data buffer (streams are self-delimiting; per-row delta
+    restarts are undone with a cumsum base-correction), then the flat
+    posting arrays feed the same lexsort + pack as the posting-level path.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    batch_list = [b for b in batches if b.num_rows]
+    if not batch_list:
+        return
+    tbl = pa.Table.from_batches(batch_list).combine_chunks()
+    nrows = tbl.num_rows
+    counts = tbl.column("ndocs").chunk(0).to_numpy().astype(np.int64)
+    npost = int(counts.sum())
+    row_of_post = np.repeat(np.arange(nrows), counts)
+    vstarts = np.zeros(nrows + 1, dtype=np.int64)
+    np.cumsum(counts, out=vstarts[1:])
+
+    def col_bytes(name):
+        offs, data = _binary_offsets(tbl.column(name).chunk(0))
+        return offs, data
+
+    # docids: decode all rows' delta streams at once, then undo the per-row
+    # chain restart: subtract the cumsum value just before each row start
+    d_offs, d_data = col_bytes("docids")
+    deltas = varbyte_decode(d_data.tobytes(), int(d_offs[0]), int(d_offs[-1] - d_offs[0]))
+    csum = np.cumsum(deltas)
+    base = np.zeros(nrows, dtype=np.int64)
+    base[1:] = csum[vstarts[1:-1] - 1]
+    docid = csum - base[row_of_post]
+    t_offs, t_data = col_bytes("tfs")
+    tf = varbyte_decode(t_data.tobytes(), int(t_offs[0]), int(t_offs[-1] - t_offs[0]))
+    l_offs, l_data = col_bytes("dls")
+    dl = varbyte_decode(l_data.tobytes(), int(l_offs[0]), int(l_offs[-1] - l_offs[0]))
+
+    pos_col = tbl.column("posbin").chunk(0)
+    has_pos = pos_col.null_count < nrows
+    if has_pos:
+        pl_offs, pl_data = col_bytes("poslens")
+        plens = varbyte_decode(
+            pl_data.tobytes(), int(pl_offs[0]), int(pl_offs[-1] - pl_offs[0])
+        )
+        pb_offs, pb_data = _binary_offsets(pos_col)
+        # per-posting start inside the posbin data pool: row start + within-row
+        # running sum of blob lengths
+        within = np.cumsum(plens) - plens
+        row_base = within[vstarts[:-1]]
+        pstarts = pb_offs[:-1][row_of_post] + (within - row_base[row_of_post])
+    else:
+        plens = pstarts = None
+        pb_data = None
+
+    term_arr = tbl.column("term").chunk(0)
+    de = pc.dictionary_encode(term_arr)
+    rcodes = de.indices.to_numpy().astype(np.int64)
+    vocab = de.dictionary.to_pylist()
+    rank = np.empty(len(vocab), dtype=np.int64)
+    rank[np.argsort(np.array(vocab, dtype=object), kind="stable")] = np.arange(len(vocab))
+    codes = rcodes[row_of_post]
+    key = rank[codes]
+    salt = tbl.column("salt").chunk(0).to_numpy().astype(np.int64)[row_of_post]
+
+    order = np.lexsort((docid, salt, key))
+    codes_s, salt_s = codes[order], salt[order]
+    docid_s, tf_s, dl_s, key_s = docid[order], tf[order], dl[order], key[order]
+    newgrp = np.empty(npost, dtype=bool)
+    newgrp[0] = True
+    newgrp[1:] = (key_s[1:] != key_s[:-1]) | (salt_s[1:] != salt_s[:-1])
+    gs = np.flatnonzero(newgrp)
+    ge = np.append(gs[1:], npost)
+    yield _pack_sorted(
+        vocab, codes_s, salt_s, docid_s, tf_s, dl_s,
+        (pb_data if has_pos else None),
+        (pstarts[order] if has_pos else None),
+        (plens[order] if has_pos else None),
+        gs, ge,
+    )
+
+
+def build_segments_combined(
+    corpus: DataFrame,
+    analyzer: str,
+    num_segments: int,
+    heavy: list[str] | None = None,
+    n_salts: int = 8,
+    with_positions: bool = True,
+) -> DataFrame:
+    """The build path: map-side combine -> one hash shuffle of mini-blocks ->
+    vectorized merge into packed segments."""
+    mini = build_miniblocks(corpus, analyzer, heavy, n_salts, with_positions)
+    mini = mini.repartition(num_segments, "term", "salt")
+    packed = mini.mapInArrow(_merge_encoder, SEGMENT_SCHEMA)
+    return packed.withColumn("seg", F.spark_partition_id())
 
 
 def encode_segments(

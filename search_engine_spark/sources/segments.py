@@ -61,6 +61,7 @@ def blockwise_delta_decode(buf: bytes, block_size: int = BLOCK_SIZE) -> np.ndarr
     return c - np.repeat(base_per_block, lens)
 from ..operators.build import (
     build_postings,
+    build_segments_combined,
     encode_segments,
     heavy_terms,
     heavy_terms_sampled,
@@ -175,9 +176,6 @@ def build_one_batch(
         return m
     t0 = time.time()
     corpus_cols = sub.select("docId", "content")
-    postings = build_postings(corpus_cols, analyzer)
-    if not with_positions:
-        postings = postings.withColumn("posbin", F.lit(None).cast("binary"))
     # Skew stats from a deterministic docId-hash slice: neither a second full
     # tokenize pass nor a persist of raw postings — both dominate at scale.
     heavy: list[str] = (
@@ -185,7 +183,10 @@ def build_one_batch(
         if heavy_threshold is None
         else heavy_terms_sampled(corpus_cols, analyzer, heavy_threshold, heavy_sample_mod)
     )
-    seg = encode_segments(postings, num_segments, heavy, n_salts)
+    # map-side combine: the shuffle moves packed per-term mini-blocks
+    seg = build_segments_combined(
+        corpus_cols, analyzer, num_segments, heavy, n_salts, with_positions
+    )
     out = os.path.join(index_dir, "segments", f"batch={key}")
     seg.write.mode("overwrite").parquet(out)
     # one read-back pass gives corpus stats AND the shuffle-skew metric
