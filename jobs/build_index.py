@@ -5,8 +5,9 @@ Usage::
     spark-submit --py-files search_engine_spark.zip jobs/build_index.py \
         --input  <parquet/iceberg path of (repo,path,commit,lang,content)> \
         --output <index dir> \
-        [--analyzer porter_code] [--batches 4] [--segments 512] \
-        [--heavy-threshold 100000] [--salts 16] [--no-positions]
+        [--format parquet|iceberg] [--analyzer porter_code] [--batches 4] \
+        [--segments 512] [--heavy-threshold 100000] [--salts 16] \
+        [--heavy-sample-mod 16] [--no-positions]
 
 Re-running after a crash resumes from the manifest: committed batches are
 skipped byte-identically (segments.py). On a cluster, --segments should be
@@ -29,11 +30,19 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
+    ap.add_argument(
+        "--format", choices=("parquet", "iceberg"), default="parquet",
+        help="input source format (explicit — no path-shape guessing)",
+    )
     ap.add_argument("--analyzer", default="porter_code")
     ap.add_argument("--batches", type=int, default=1)
     ap.add_argument("--segments", type=int, default=None)
     ap.add_argument("--heavy-threshold", type=int, default=None)
     ap.add_argument("--salts", type=int, default=8)
+    ap.add_argument(
+        "--heavy-sample-mod", type=int, default=16,
+        help="skew stats from a 1/N docId-hash slice (1 = full extra pass)",
+    )
     ap.add_argument("--no-positions", action="store_true")
     ap.add_argument("--master", default=None, help="local testing only")
     a = ap.parse_args(argv)
@@ -53,7 +62,7 @@ def main(argv: list[str] | None = None) -> int:
 
     corpus = (
         spark.read.format("iceberg").load(a.input)
-        if a.input.count("/") < 1 or a.input.startswith("catalog.")
+        if a.format == "iceberg"
         else spark.read.parquet(a.input)
     )
     if "docId" not in corpus.columns:
@@ -63,7 +72,7 @@ def main(argv: list[str] | None = None) -> int:
         spark, corpus, a.output,
         analyzer=a.analyzer, n_batches=a.batches, num_segments=a.segments,
         heavy_threshold=a.heavy_threshold, n_salts=a.salts,
-        with_positions=not a.no_positions,
+        with_positions=not a.no_positions, heavy_sample_mod=a.heavy_sample_mod,
     )
     dt = time.time() - t0
     s = m["stats"]

@@ -667,9 +667,15 @@ def encode_segments(
     one partition and salting alone bounds the heaviest reducer. The
     in-partition (term, salt, docId) sort happens inside the Arrow kernel
     (numpy lexsort — cheaper than the JVM row sort and feeds the encoder
-    zero-copy), so the files still come out term-sorted => row groups cover
-    narrow term ranges => `term IN (...)` pushdown skips row groups exactly
-    as with range partitioning.
+    zero-copy), so the files still come out term-sorted.
+
+    Pruning tradeoff vs range partitioning (explicit): with hash, every
+    segment file spans the full term alphabet, so `term IN (...)` pushdown
+    skips ROW GROUPS inside each file (min/max stats on the sorted term
+    column) but can no longer skip WHOLE FILES — a point query touches every
+    segment file's footer. Measured impact on query latency is recorded in
+    BENCH.md; the build-side win (no RangePartitioner sampling job that
+    re-runs the tokenize pipeline) dominates at build scale.
     """
     p = salted(postings, heavy or [], n_salts)
     p = p.repartition(num_segments, "term", "salt")

@@ -175,6 +175,7 @@ def _daat_segment(
     avgdl: float,
     k: int | None,
     prune: bool,
+    ties: str = "desc",
 ) -> pd.DataFrame:
     """Score one segment's packed rows for the query terms.
 
@@ -263,8 +264,15 @@ def _daat_segment(
         with np.errstate(divide="ignore", invalid="ignore"):
             score = np.where(ln > 0, dot / np.sqrt(ln), 0.0)
     if k is not None and len(uq) > k:
-        # local top-k: score desc, docId desc (IIM:1266-1288)
-        order = np.lexsort((-uq.astype(np.float64), -score))[:k]
+        # local top-k truncation MUST use the same tie-break as the global
+        # sort (score desc, then docId per `ties`): with the global order
+        # docId-asc, a bucket breaking ties docId-desc would locally drop
+        # the smaller docId — the global winner. Reference comparators:
+        # per-segment docId-desc IIM:1266-1288, combined-mode docId-asc
+        # IIM:1103-1114. Integer tie key (no float cast — docIds > 2^53
+        # would lose precision).
+        tie = uq if ties == "asc" else -uq
+        order = np.lexsort((tie, -score))[:k]
         uq, score = uq[order], score[order]
     return pd.DataFrame({"docId": uq.astype("int64"), "score": score})
 
@@ -410,7 +418,7 @@ def score_query_daat(
     )
 
     def kernel(key, pdf):
-        return _daat_segment(pdf, qmeta, scorer, avgdl, k, prune)
+        return _daat_segment(pdf, qmeta, scorer, avgdl, k, prune, ties)
 
     local = bucketed.groupBy("bucket").applyInPandas(kernel, SCORE_SCHEMA)
     order = [F.desc("score"), F.desc("docId") if ties == "desc" else F.asc("docId")]

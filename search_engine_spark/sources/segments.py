@@ -110,7 +110,7 @@ def build_index(
     heavy_threshold: int | None = None,
     n_salts: int = 8,
     with_positions: bool = True,
-    heavy_sample_mod: int = 1,
+    heavy_sample_mod: int = 16,
 ) -> dict:
     """Resumable batched index build. Returns the final manifest.
 
@@ -164,7 +164,7 @@ def build_one_batch(
     heavy_threshold: int | None = None,
     n_salts: int = 8,
     with_positions: bool = True,
-    heavy_sample_mod: int = 1,
+    heavy_sample_mod: int = 16,
 ) -> dict:
     """Build and atomically commit ONE batch under its own key/directory.
 
@@ -219,8 +219,10 @@ def build_one_batch(
             "postings_per_sec": round(npost / dt, 1) if dt else None,
             "segment_bytes": int(sum(r["bytes"] or 0 for r in per_seg)),
             # skew ratio of the (term, salt) shuffle: max/mean postings per
-            # reduce partition — 1.0 is perfectly even
-            "shuffle_skew_ratio": round(max(posts) / (npost / len(posts)), 3)
+            # reduce partition — 1.0 is perfectly even. Mean is over ALL
+            # num_segments reduce partitions (empty ones count: few terms
+            # hashing into few partitions is exactly the skew this measures).
+            "shuffle_skew_ratio": round(max(posts) / (npost / num_segments), 3)
             if posts and npost
             else None,
         },

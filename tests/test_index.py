@@ -79,8 +79,11 @@ def test_salting_preserves_results(spark, tmp_index):
     """Heavy-term salting must not change decoded postings."""
     texts = [f"dog cat common{'x' * (i % 2)}" for i in range(40)]
     corpus = corpus_from_texts(spark, texts)
+    # heavy_sample_mod=1: exact df detection — a 1/16 hash sample of a
+    # 40-doc fixture is too small to be deterministic (the default sampled
+    # path is for corpora where heavy terms are massively frequent)
     S.build_index(spark, corpus, tmp_index, analyzer="naive", n_batches=1,
-                  heavy_threshold=5, n_salts=4)
+                  heavy_threshold=5, n_salts=4, heavy_sample_mod=1)
     d = S.segment_dict(spark, tmp_index)
     assert d["dog"] == list(range(40))
     assert d["cat"] == list(range(40))
