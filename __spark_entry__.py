@@ -48,30 +48,58 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-_INDEX_CACHE: dict[str, tuple[str, dict]] = {}
+_INDEX_CACHE: dict[tuple[str, str], tuple[str, dict]] = {}
 
 
-def _index(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
-    """Build (once per sf_dir) a real on-disk segment index over the
-    documents table with the naive analyzer (oracle-matchable)."""
-    if sf_dir not in _INDEX_CACHE:
+def _index(
+    spark: SparkSession, sf_dir: str, analyzer: str = "naive"
+) -> tuple[str, dict]:
+    """Build (once per (sf_dir, analyzer)) a real on-disk segment index over
+    the documents table."""
+    key = (sf_dir, analyzer)
+    if key not in _INDEX_CACHE:
         from search_engine_spark.sources.segments import build_index
 
         idx = os.path.join(
-            tempfile.gettempdir(), "se_idx_" + sf_dir.strip("/").replace("/", "_")
+            tempfile.gettempdir(),
+            f"se_idx_{analyzer}_" + sf_dir.strip("/").replace("/", "_"),
         )
         m = build_index(
             spark,
             _docs(spark, sf_dir),
             idx,
-            analyzer="naive",
+            analyzer=analyzer,
             n_batches=2,
             num_segments=8,
             heavy_threshold=None,
             n_salts=4,
         )
-        _INDEX_CACHE[sf_dir] = (idx, m)
-    return _INDEX_CACHE[sf_dir]
+        _INDEX_CACHE[key] = (idx, m)
+    return _INDEX_CACHE[key]
+
+
+# Porter-postings side table: the porter/punctuation/stemmer pipeline (A3-A6)
+# is not SQL-expressible, so its oracle consumes a parquet of per-doc porter
+# postings written by the SAME pytest-golden-verified Python analyzer. The
+# oracle joins it back to `documents` on (doc_id, md5(text)) — rows from a
+# different sf dir can never match — and then recomputes BM25 entirely in
+# SQL. This gives a hard cross-engine check of the distributed porter path
+# (tokenize UDF -> segment build -> DAAT) against independent scoring.
+PORTER_TOKENS_ROOT = os.path.join(tempfile.gettempdir(), "se_porter_tokens")
+
+
+def _write_porter_side_table(spark: SparkSession, sf_dir: str) -> None:
+    from search_engine_spark.operators.build import build_postings
+
+    d = _docs(spark, sf_dir)
+    p = build_postings(d, "porter").select("docId", "term", "tf", "dl")
+    side = p.join(
+        d.select("docId", F.md5("content").alias("content_md5")), "docId"
+    ).select(
+        F.col("docId").alias("doc_id"), "content_md5", "term", "tf", "dl"
+    )
+    out = os.path.join(PORTER_TOKENS_ROOT, os.path.basename(sf_dir.rstrip("/")))
+    side.write.mode("overwrite").parquet(out)
 
 
 def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,19 +205,17 @@ def q_q5_phrase(spark, sf_dir):
 
 
 def q_q8_tfidf(spark, sf_dir):
-    """TF-IDF cosine, ALL matching docs (reference §2.6 semantics)."""
-    from search_engine_spark.operators.rank import Scorer, score_query
+    """TF-IDF cosine, ALL matching docs (reference §2.6 semantics).
+
+    Runs through the packed DAAT kernel (exhaustive — the kernel never
+    prunes the tfidf scorer): parquet `term IN` pushdown + byte-level block
+    decode, no Python-object position lists anywhere on this path."""
+    from search_engine_spark.operators.rank import Scorer, score_query_daat
+    from search_engine_spark.sources.segments import load_segments, load_term_stats
 
     idx, m = _index(spark, sf_dir)
-    from search_engine_spark.sources.segments import (
-        decode_postings,
-        load_segments,
-        load_term_stats,
-    )
-
-    dec = decode_postings(load_segments(spark, idx))
-    out = score_query(
-        spark, dec, load_term_stats(spark, idx), Q_RANKED,
+    out = score_query_daat(
+        spark, load_segments(spark, idx), load_term_stats(spark, idx), Q_RANKED,
         m["stats"]["n_docs"], m["stats"]["avgdl"],
         Scorer("tfidf_cosine"), k=None, analyzer="naive", ties="asc",
     )
@@ -206,6 +232,25 @@ def q_q8_bm25_topk(spark, sf_dir):
         spark, load_segments(spark, idx), load_term_stats(spark, idx), Q_RANKED,
         m["stats"]["n_docs"], m["stats"]["avgdl"],
         Scorer("bm25", BM25_K1, BM25_B), k=TOPK, analyzer="naive", ties="asc",
+    )
+    return out.select(F.col("docId").alias("doc_id"), F.round("score", 6).alias("score"))
+
+
+def q_q8_bm25_porter(spark, sf_dir):
+    """BM25 top-10 through the FLAGSHIP analyzer chain (A3 punctuation
+    tokenize -> A4 stopwords -> A5 porter stem, composed per A6
+    ComposableAnalyzer.java:13-23 / Team2StressTest.java:30-31) and the full
+    segment + block-max DAAT path. Also writes the porter-postings side
+    table the oracle scores independently."""
+    from search_engine_spark.operators.rank import Scorer, score_query_daat
+    from search_engine_spark.sources.segments import load_segments, load_term_stats
+
+    _write_porter_side_table(spark, sf_dir)
+    idx, m = _index(spark, sf_dir, analyzer="porter")
+    out = score_query_daat(
+        spark, load_segments(spark, idx), load_term_stats(spark, idx), Q_RANKED,
+        m["stats"]["n_docs"], m["stats"]["avgdl"],
+        Scorer("bm25", BM25_K1, BM25_B), k=TOPK, analyzer="porter", ties="asc",
     )
     return out.select(F.col("docId").alias("doc_id"), F.round("score", 6).alias("score"))
 
@@ -302,8 +347,8 @@ def q_q11_combined(spark, sf_dir):
         F.pmod(F.col("docId") * 7 + 1, F.lit(n)).alias("dst"),
     ).where(F.col("src") != F.col("dst"))
     pr = compute_pagerank(d, edges, num_iterations=10)
-    out = combined_search(scores, pr, k=TOPK, weight=2.0)
-    return out.select(F.col("docId").alias("doc_id"), F.round("score", 6).alias("score"))
+    out = combined_search(scores, pr, k=TOPK, weight=2.0, round_scores=6)
+    return out.select(F.col("docId").alias("doc_id"), F.col("score"))
 
 
 def q_d1_exact_dedup(spark, sf_dir):
@@ -404,14 +449,22 @@ def q_m1_media_meta(spark, sf_dir):
 
 
 def q_m2_media_features(spark, sf_dir):
-    """Binary decode / feature-extract plumbing (stubbed decoder) —
-    rows-only check (the fake features are not SQL-expressible)."""
+    """Binary decode / feature-extract plumbing. The stub decoder derives
+    features arithmetically from the payload sha256 (multimodal.py), so the
+    oracle value-checks the whole mapInPandas path: frame count, dim, and
+    three probe feature values."""
     from search_engine_spark.operators.multimodal import attach_media, extract_features
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     feats = extract_features(attach_media(d, "text", "doc_id"))
+    probe = lambda i: F.round(F.element_at("feature", i + 1).cast("double"), 6)
     return feats.select(
-        F.col("docId").alias("doc_id"), "n_frames", F.size("feature").alias("dim")
+        F.col("docId").alias("doc_id"),
+        F.col("n_frames").cast("int").alias("n_frames"),
+        F.size("feature").alias("dim"),
+        probe(0).alias("f0"),
+        probe(8).alias("f8"),
+        probe(15).alias("f15"),
     )
 
 
@@ -432,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_combined_pagerank": q_q11_combined,
         "q8_tfidf_scores": q_q8_tfidf,
         "q8_bm25_topk": q_q8_bm25_topk,
+        "q8_bm25_porter": q_q8_bm25_porter,
         "q9_pagerank": q_q9_pagerank,
         "d1_exact_dedup": q_d1_exact_dedup,
         "d2_minhash_pairs": q_d2_minhash_pairs,
@@ -487,8 +541,11 @@ def _h64(expr: str) -> str:
 
 
 def _minhash_ctes() -> str:
-    mh_aggs = ",\n    ".join(
-        f"min({_h64(f'''('{j}:' || sh)''')}) AS mh{j}" for j in range(MINHASHES)
+    from search_engine_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
+    mh_mins = ",\n    ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_P})) AS mh{j}"
+        for j, (a, b) in enumerate(minhash_coeffs(MINHASHES))
     )
     band_selects = []
     for b in range(BANDS):
@@ -499,8 +556,11 @@ def _minhash_ctes() -> str:
         )
     return f"""
 mh AS (
-  SELECT doc_id, {mh_aggs}
-  FROM (SELECT doc_id, unnest(sh) AS sh FROM shingle_lists) GROUP BY doc_id
+  SELECT doc_id, {mh_mins}
+  FROM (
+    SELECT doc_id, list_transform(sh, s -> {_h64("s")} % {MINHASH_P}) AS hs
+    FROM shingle_lists WHERE len(sh) > 0
+  )
 ),
 buckets AS (
   {' UNION ALL '.join(band_selects)}
@@ -520,11 +580,13 @@ def _qterm_values(terms: list[str]) -> str:
     return ", ".join(f"('{t}', {n})" for t, n in sorted(c.items()))
 
 
-_BM25_SQL = f"""
-WITH {_TOKS},
-qterms(qt, qtf) AS (VALUES {_qterm_values(Q_RANKED)}),
+def _bm25_scored_ctes(qvals: str) -> str:
+    """BM25 scoring CTEs over a `postings(term, doc_id, tf, dl)` relation —
+    shared by the naive and porter oracle variants. dlsum = Σ tf over
+    postings ≡ total token count (exact integer sum, engine-independent)."""
+    return f"""qterms(qt, qtf) AS (VALUES {qvals}),
 ndocs AS (SELECT count(*)::double AS n FROM documents),
-dlsum AS (SELECT sum(len(t))::double AS tot FROM toks),
+dlsum AS (SELECT sum(tf)::double AS tot FROM postings),
 stats AS (SELECT ndocs.n AS n, dlsum.tot / ndocs.n AS avgdl FROM ndocs, dlsum),
 tstats AS (
   SELECT term, count(*)::double AS df FROM postings GROUP BY term
@@ -539,13 +601,40 @@ scored AS (
   JOIN tstats t ON p.term = t.term
   CROSS JOIN stats s
   GROUP BY p.doc_id
-)
+)"""
+
+
+_BM25_SQL = f"""
+WITH {_TOKS},
+{_bm25_scored_ctes(_qterm_values(Q_RANKED))}
 SELECT doc_id, round(score, 6) AS score FROM scored
 ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
 """
 
-_TFIDF_SQL = f"""
-WITH {_TOKS},
+
+def _bm25_porter_sql() -> str:
+    from collections import Counter
+
+    from search_engine_spark.functions.analyzers import get_analyzer
+
+    fn = get_analyzer("porter")
+    toks = [t for k in Q_RANKED for t in fn(k)]
+    qvals = ", ".join(f"('{t}', {n})" for t, n in sorted(Counter(toks).items()))
+    return f"""
+WITH ptok AS (
+  SELECT DISTINCT doc_id, content_md5, term, tf, dl
+  FROM read_parquet('{PORTER_TOKENS_ROOT}/*/*.parquet')
+),
+postings AS (
+  SELECT p.term, p.doc_id, p.tf, p.dl
+  FROM ptok p JOIN documents d ON d.doc_id = p.doc_id AND md5(d.text) = p.content_md5
+),
+{_bm25_scored_ctes(qvals)}
+SELECT doc_id, round(score, 6) AS score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
+"""
+
+_TFIDF_CORE = f"""{_TOKS},
 qterms(qt, qtf) AS (VALUES {_qterm_values(Q_RANKED)}),
 n AS (SELECT count(*)::double AS n FROM documents),
 tstats AS (SELECT term, count(*)::double AS df FROM postings GROUP BY term),
@@ -558,10 +647,95 @@ scored AS (
   JOIN tstats t ON p.term = t.term
   CROSS JOIN n
   GROUP BY p.doc_id
+),
+tfidf AS (
+  SELECT doc_id, CASE WHEN len > 0 THEN dot / sqrt(len) ELSE 0.0 END AS score
+  FROM scored
+)"""
+
+_TFIDF_SQL = f"""
+WITH {_TFIDF_CORE}
+SELECT doc_id, round(score, 6) AS score FROM tfidf
+"""
+
+
+def _pagerank_ctes(n_iters: int, edge_muls: list[tuple[int, int]], damping: float = 0.85) -> str:
+    """Unrolled power-iteration CTE chain mirroring
+    ``operators/pagerank.compute_pagerank`` (reference IcsSearchEngine.java:
+    74-146): init PR=1.0, PR_i = (1-d) + d*Σ PR_j/outdeg_j, NO dangling
+    redistribution, post-hoc (PR-min)/max normalization. Edges are the
+    deterministic synthetic graph of the queries() entries:
+    dst = (doc_id*m + a) mod n per (m, a), self-loops dropped. Damping
+    constants use Python float reprs so both engines evaluate bit-identical
+    literals."""
+    one_minus_d, d = repr(1.0 - damping), repr(damping)
+    branches = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id * {m} + {a}) % nn.n AS dst "
+        f"FROM nodes, nn WHERE doc_id <> (doc_id * {m} + {a}) % nn.n"
+        for m, a in edge_muls
+    )
+    ctes = [
+        "nodes AS (SELECT doc_id FROM documents)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"edges AS ({branches})",
+        "outdeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src)",
+        "pr0 AS (SELECT doc_id, 1.0::double AS pr FROM nodes)",
+    ]
+    for t in range(1, n_iters + 1):
+        ctes.append(
+            f"""pr{t} AS (
+  SELECT nd.doc_id, ({one_minus_d} + {d} * coalesce(c.s, 0.0))::double AS pr
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS doc_id, sum(p.pr / o.odeg) AS s
+    FROM pr{t - 1} p JOIN edges e ON p.doc_id = e.src JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst
+  ) c ON c.doc_id = nd.doc_id
+)"""
+        )
+    ctes.append(f"mm AS (SELECT min(pr) AS lo, max(pr) AS hi FROM pr{n_iters})")
+    ctes.append(
+        f"prnorm AS (SELECT doc_id, (pr - mm.lo) / mm.hi AS pagerank FROM pr{n_iters}, mm)"
+    )
+    return ",\n".join(ctes)
+
+
+def _q9_sql() -> str:
+    return f"""
+WITH {_pagerank_ctes(20, [(7, 1), (13, 5)])}
+SELECT doc_id, round(pagerank, 6) AS pagerank
+FROM prnorm
+ORDER BY round(pagerank, 6) DESC, doc_id ASC LIMIT {TOPK}
+"""
+
+
+def _q11_sql() -> str:
+    return f"""
+WITH {_TFIDF_CORE},
+{_pagerank_ctes(10, [(7, 1)])}
+SELECT s.doc_id,
+  round(s.score + 2.0 * coalesce(p.pagerank, 0.0), 6) AS score
+FROM tfidf s LEFT JOIN prnorm p ON p.doc_id = s.doc_id
+ORDER BY round(s.score + 2.0 * coalesce(p.pagerank, 0.0), 6) DESC, s.doc_id ASC
+LIMIT {TOPK}
+"""
+
+
+def _m2_sql() -> str:
+    probe = lambda i: (
+        f"round(CAST(('0x' || substr(hx, {4 * i + 1}, 4))::int / 65535.0 * 2.0 - 1.0 "
+        f"AS FLOAT)::DOUBLE, 6)"
+    )
+    return f"""
+WITH f AS (
+  SELECT doc_id, strlen(text) AS nbytes, sha256(text) AS hx FROM documents
 )
 SELECT doc_id,
-  round(CASE WHEN len > 0 THEN dot / sqrt(len) ELSE 0.0 END, 6) AS score
-FROM scored
+  least((nbytes + 4095) // 4096, 4)::int AS n_frames,
+  16 AS dim,
+  {probe(0)} AS f0,
+  {probe(8)} AS f8,
+  {probe(15)} AS f15
+FROM f
 """
 
 
@@ -733,10 +907,11 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
         """,
-        # q11_combined_pagerank: iterative — rows-only check
+        "q11_combined_pagerank": _q11_sql(),
         "q8_tfidf_scores": _TFIDF_SQL,
         "q8_bm25_topk": _BM25_SQL,
-        # q9_pagerank: iterative — rows-only check
+        "q8_bm25_porter": _bm25_porter_sql(),
+        "q9_pagerank": _q9_sql(),
         "d1_exact_dedup": """
             SELECT md5(text) AS content_md5, min(doc_id) AS keeper,
                    count(*) AS n_dups
@@ -801,5 +976,5 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS payload_sha256
             FROM documents
         """,
-        # m2_media_features: stub decoder — rows-only check
+        "m2_media_features": _m2_sql(),
     }

@@ -52,26 +52,55 @@ def exact_dedup(df: DataFrame, text: str = "content", id_col: str = "docId") -> 
     )
 
 
+# Universal-hash mixing for MinHash: ONE md5 per shingle, then num_hashes
+# cheap affine mixes mh_j = (a_j*h + b_j) mod P. P < 2^30 keeps a_j*h < 2^60
+# — no int64 overflow in either Spark (wrapping) or DuckDB (erroring).
+MINHASH_P = 1_073_741_789  # largest prime < 2^30 + 35 headroom (2^30 - 35)
+
+
+def minhash_coeffs(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) for the universal-hash family — shared
+    verbatim by the Spark expressions and the DuckDB oracle SQL."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [
+        (int(rng.integers(1, MINHASH_P)), int(rng.integers(0, MINHASH_P)))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame, text: str = "content", id_col: str = "docId",
     num_hashes: int = 12, shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash: sig_j(doc) = min over shingles of h64(j ':' shingle).
+    """MinHash: sig_j(doc) = min over shingles of ((a_j*h64(sh) + b_j) mod P).
 
-    Computed as one exploded (doc, shingle) relation aggregated per doc —
-    num_hashes min() aggregates, single shuffle, no UDF.
+    One md5 per (doc, shingle) — NOT one per (doc, shingle, j) — then
+    ``num_hashes`` affine mixes folded per row with ``array_min``/
+    ``transform``. No explode, no shuffle, no UDF: the whole signature is a
+    per-row JVM projection (docs with zero shingles drop out, matching the
+    previous grouped semantics).
     """
     from ._parallel import ensure_parallelism
 
-    toks = tokens_expr(F.col(text))
-    ex = ensure_parallelism(df).select(
-        F.col(id_col), F.explode(shingles_expr(toks, shingle_n)).alias("sh")
+    sh = shingles_expr(tokens_expr(F.col(text)), shingle_n)
+    base = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), sh.alias("_sh"))
+        .where(F.size("_sh") > 0)
+        .select(
+            F.col(id_col),
+            F.transform("_sh", lambda s: F.pmod(h64(s), F.lit(MINHASH_P))).alias("_hs"),
+        )
     )
-    aggs = [
-        F.min(h64(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"mh{j}")
-        for j in range(num_hashes)
+    mins = [
+        F.array_min(
+            F.transform("_hs", lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_P)))
+        ).alias(f"mh{j}")
+        for j, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
-    return ex.groupBy(id_col).agg(*aggs)
+    return base.select(F.col(id_col), *mins)
 
 
 def lsh_buckets(

@@ -61,11 +61,16 @@ def attach_media(df: DataFrame, text: str = "content", id_col: str = "docId") ->
 
 def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
     """STUB decoder. A real pipeline would decode image/audio bytes here
-    (PIL/librosa are not in this container). Deterministic fake: seed an RNG
-    from the payload digest — stable across runs/partitions."""
-    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal(dim).astype(np.float32)
+    (PIL/librosa are not in this container). Deterministic fake derived by
+    pure arithmetic from the sha256 hex digest — stable across runs AND
+    mirrorable in ANSI SQL so the driver oracle can value-check the full
+    mapInPandas plumbing: feature_i = float32(u16_i/65535*2-1) where u16_i
+    is hex digits [4i, 4i+4) of the digest."""
+    if dim > 16:
+        raise NotImplementedError("stub decoder derives <=16 dims from one sha256")
+    hx = hashlib.sha256(payload).hexdigest()
+    u16 = np.array([int(hx[4 * i : 4 * i + 4], 16) for i in range(dim)], dtype=np.float64)
+    return (u16 / 65535.0 * 2.0 - 1.0).astype(np.float32)
 
 
 def extract_features(media: DataFrame, dim: int = 16, frame_sample: int = 4) -> DataFrame:

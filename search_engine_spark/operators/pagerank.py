@@ -71,13 +71,21 @@ def pagerank_scores(pr: DataFrame) -> DataFrame:
 
 
 def combined_search(
-    tfidf_scores: DataFrame, pr: DataFrame, k: int, weight: float
+    tfidf_scores: DataFrame, pr: DataFrame, k: int, weight: float,
+    round_scores: int | None = None,
 ) -> DataFrame:
-    """Q11 (ICS:184-199): score = tfidf + w*PR; top-k, ties asc docId."""
+    """Q11 (ICS:184-199): score = tfidf + w*PR; top-k, ties asc docId.
+
+    ``round_scores``: round the combined score to N decimals BEFORE the
+    top-k sort. Near-ties at the k boundary otherwise resolve on float-ulp
+    noise (summation order), which is non-deterministic across engines —
+    the cross-engine oracle orders on the same rounded value."""
     joined = tfidf_scores.join(pr, "docId", "left").select(
         "docId",
         (
             F.col("score") + F.lit(weight) * F.coalesce(F.col("pagerank"), F.lit(0.0))
         ).alias("score"),
     )
+    if round_scores is not None:
+        joined = joined.select("docId", F.round("score", round_scores).alias("score"))
     return joined.orderBy(F.desc("score"), F.asc("docId")).limit(k)

@@ -62,10 +62,12 @@ def test_minhash_identical_docs_share_all_buckets(spark):
     sigs = minhash_signatures(corpus, num_hashes=12, shingle_n=3)
     srows = {r.docId: [r[f"mh{j}"] for j in range(12)] for r in sigs.collect()}
     assert srows[0] == srows[1]                       # identical docs
-    # signature values match the python definition
-    exp0 = [
-        min(_py_h64(f"{j}:{sh}") for sh in _shingles(TEXTS[0])) for j in range(12)
-    ]
+    # signature values match the python definition: one h64 per shingle,
+    # then affine universal-hash mixes (a_j*h + b_j) mod P
+    from search_engine_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
+    hs = [_py_h64(sh) % MINHASH_P for sh in _shingles(TEXTS[0])]
+    exp0 = [min((a * h + b) % MINHASH_P for h in hs) for a, b in minhash_coeffs(12)]
     assert srows[0] == exp0
     pairs = {
         (r.a, r.b)
