@@ -236,6 +236,100 @@ def q_q8_bm25_topk(spark, sf_dir):
     return out.select(F.col("docId").alias("doc_id"), F.round("score", 6).alias("score"))
 
 
+GRAPH_ROOT = os.path.join(tempfile.gettempdir(), "se_graph_io")
+
+
+def q_s2_edge_scan(spark, sf_dir):
+    """S2 edge-list scan (IcsSearchEngine.java:92-98 shape): write the
+    deterministic synthetic graph as a real TSV, read it back through
+    ``sources.graph.load_edge_list``, return per-node in-degrees. The oracle
+    recomputes the edge formula directly, so the round-trip proves the TSV
+    reader (schema, separator, int parsing) end-to-end."""
+    from search_engine_spark.sources.graph import load_edge_list
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = d.count()
+    edges = (
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.pmod(F.col("doc_id") * 7 + 1, F.lit(n)).alias("dst"),
+        )
+        .union(
+            d.select(
+                F.col("doc_id").alias("src"),
+                F.pmod(F.col("doc_id") * 13 + 5, F.lit(n)).alias("dst"),
+            )
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    path = os.path.join(GRAPH_ROOT, os.path.basename(sf_dir.rstrip("/")), "edges")
+    edges.write.mode("overwrite").option("sep", "\t").csv(path)
+    back = load_edge_list(spark, path)
+    return back.groupBy("dst").agg(F.count("*").cast("long").alias("indeg"))
+
+
+def q_s3_url_map(spark, sf_dir):
+    """S3 url-map scan (IcsSearchEngineTest.java:57-59 shape): synthesize
+    (doc_id, url), TSV round-trip through ``load_url_map``."""
+    from search_engine_spark.sources.graph import load_url_map
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("https://example.org/doc/"), F.col("doc_id")).alias("url"),
+    )
+    path = os.path.join(GRAPH_ROOT, os.path.basename(sf_dir.rstrip("/")), "urls")
+    urls.write.mode("overwrite").option("sep", "\t").csv(path)
+    return load_url_map(spark, path)
+
+
+WORDBREAK_ROOT = os.path.join(tempfile.gettempdir(), "se_wordbreak_ref")
+
+
+def q_a7_wordbreak(spark, sf_dir):
+    """A7 DP word-break through the distributed pandas-UDF path (self-
+    dictionary mode: each doc's concatenated text re-segmented against its
+    own token frequencies — deterministic, no external dictionary data).
+
+    Oracle construction: a SINGLE-NODE reference run of the same
+    pytest-golden ``WordBreakTokenizer`` (tests/test_analyzers.py mirrors
+    ``WordBreakTokenizerTest.java:23-35``) is written to a side parquet; the
+    SQL joins it back on (doc_id, md5(text)). The check therefore proves the
+    distributed UDF/Arrow path reproduces the single-node algorithm exactly;
+    the algorithm itself is golden-tested against reference fixtures."""
+    import hashlib
+
+    import pandas as pd
+
+    from search_engine_spark.functions.analyzers import tokens_column, wordbreak_selfdict
+
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    wb = [wordbreak_selfdict(t) for t in pdf["text"]]
+    ref = pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "content_md5": [hashlib.md5(t.encode()).hexdigest() for t in pdf["text"]],
+            "n_wb_tokens": [len(t) for t in wb],
+            "tokens_md5": [hashlib.md5(" ".join(t).encode()).hexdigest() for t in wb],
+        }
+    )
+    out = os.path.join(WORDBREAK_ROOT, os.path.basename(sf_dir.rstrip("/")))
+    os.makedirs(out, exist_ok=True)
+    ref.to_parquet(os.path.join(out, "ref.parquet"), index=False)
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokens_column(F.col("text"), "wordbreak")
+    return d.withColumn("_t", toks).select(
+        "doc_id",
+        F.size("_t").alias("n_wb_tokens"),
+        F.md5(F.concat_ws(" ", "_t")).alias("tokens_md5"),
+    )
+
+
 def q_q8_bm25_porter(spark, sf_dir):
     """BM25 top-10 through the FLAGSHIP analyzer chain (A3 punctuation
     tokenize -> A4 stopwords -> A5 porter stem, composed per A6
@@ -471,6 +565,8 @@ def q_m2_media_features(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_filter_project": q_s1_scan,
+        "s2_edge_scan": q_s2_edge_scan,
+        "s3_url_map": q_s3_url_map,
         "a2_token_count": q_a2_token_count,
         "b1_postings": q_b1_postings,
         "b3_term_stats": q_b3_term_stats,
@@ -486,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_tfidf_scores": q_q8_tfidf,
         "q8_bm25_topk": q_q8_bm25_topk,
         "q8_bm25_porter": q_q8_bm25_porter,
+        "a7_wordbreak": q_a7_wordbreak,
         "q9_pagerank": q_q9_pagerank,
         "d1_exact_dedup": q_d1_exact_dedup,
         "d2_minhash_pairs": q_d2_minhash_pairs,
@@ -843,6 +940,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE lang = 'en' AND n_chars > 200
         """,
+        "s2_edge_scan": """
+            WITH nodes AS (SELECT doc_id FROM documents),
+            nn AS (SELECT count(*) AS n FROM nodes),
+            edges AS (
+              SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst
+              FROM nodes, nn WHERE doc_id <> (doc_id * 7 + 1) % nn.n
+              UNION ALL
+              SELECT doc_id, (doc_id * 13 + 5) % nn.n
+              FROM nodes, nn WHERE doc_id <> (doc_id * 13 + 5) % nn.n
+            )
+            SELECT dst, count(*)::int64 AS indeg FROM edges GROUP BY dst
+        """,
+        "s3_url_map": """
+            SELECT doc_id, 'https://example.org/doc/' || doc_id AS url
+            FROM documents
+        """,
         "a2_token_count": r"""
             SELECT doc_id,
               len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_tokens
@@ -911,6 +1024,14 @@ def oracle_sql() -> dict[str, str]:
         "q8_tfidf_scores": _TFIDF_SQL,
         "q8_bm25_topk": _BM25_SQL,
         "q8_bm25_porter": _bm25_porter_sql(),
+        "a7_wordbreak": f"""
+            SELECT r.doc_id, r.n_wb_tokens::int AS n_wb_tokens, r.tokens_md5
+            FROM (
+              SELECT DISTINCT doc_id, content_md5, n_wb_tokens, tokens_md5
+              FROM read_parquet('{WORDBREAK_ROOT}/*/*.parquet')
+            ) r
+            JOIN documents d ON d.doc_id = r.doc_id AND md5(d.text) = r.content_md5
+        """,
         "q9_pagerank": _q9_sql(),
         "d1_exact_dedup": """
             SELECT md5(text) AS content_md5, min(doc_id) AS keeper,

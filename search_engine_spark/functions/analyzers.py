@@ -89,12 +89,27 @@ def porter_analyze(text: str, tokenize: Tokenizer = punctuation_tokenize) -> lis
     return [porter_stem(t) for t in tokenize(text)]
 
 
+def wordbreak_selfdict(text: str) -> list[str]:
+    """A7 as a distributed-safe analyzer: DP word-break of the doc's own
+    whitespace-concatenated text against a dictionary built from the doc's
+    own token frequencies. Guaranteed breakable, pure per-row function (no
+    broadcast state), so it runs inside any executor-side kernel; the fixed
+    82k-dictionary mode of the reference is :func:`make_wordbreak_udf`."""
+    toks = text.lower().split()
+    if not toks:
+        return []
+    from collections import Counter
+
+    return WordBreakTokenizer(dict(Counter(toks))).tokenize("".join(toks))
+
+
 ANALYZERS: dict[str, Tokenizer] = {
     "naive": naive_tokenize,
     "punctuation": punctuation_tokenize,
     "code": code_tokenize,
     "porter": porter_analyze,
     "porter_code": lambda text: [porter_stem(t) for t in code_tokenize(text)],
+    "wordbreak": wordbreak_selfdict,
 }
 
 
@@ -127,6 +142,25 @@ def tokens_column(col, analyzer: str = "porter"):
     if analyzer == "naive":
         return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != F.lit(""))
     return make_analyzer_udf(analyzer)(col)
+
+
+def make_wordbreak_udf(freq_dict: dict[str, float]):
+    """A7/A8 fixed-dictionary mode as a Spark operator: Arrow-batched pandas
+    UDF ``string -> array<string>`` over a shared frequency dictionary
+    (reference ``WordBreakTokenizer.java:44-64`` loads an 82k-entry resource;
+    ``JapaneseTokenizer.java:19-33`` the same shape for a CJK dict). The dict
+    ships to executors once via closure capture — at cluster scale wrap it in
+    ``spark.sparkContext.broadcast`` and capture the broadcast instead; the
+    tokenizer (DP tables included) is built once per executor batch stream,
+    not per row."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(ArrayType(StringType()))
+    def wb(texts: pd.Series) -> pd.Series:
+        tok = WordBreakTokenizer(freq_dict)
+        return texts.map(lambda t: tok.tokenize(t) if t else [])
+
+    return wb
 
 
 # --- A7/A8: DP word-break tokenizer (optional operator) ---------------------

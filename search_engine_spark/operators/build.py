@@ -270,12 +270,44 @@ def _pa_types():
 
 
 def _binary_offsets(arr) -> tuple[np.ndarray, np.ndarray]:
-    """(offsets, data) of an Arrow Binary/String array as numpy — zero-copy
-    views into the Arrow buffers, honoring the array's slice offset."""
+    """(offsets, data) of an Arrow (Large)Binary/(Large)String array as numpy
+    — zero-copy views into the Arrow buffers, honoring the array's slice
+    offset. Large types carry int64 offsets (the >2 GiB-per-partition case —
+    see :func:`_combine_large`)."""
+    import pyarrow as pa
+
     buffers = arr.buffers()
-    offs = np.frombuffer(buffers[1], dtype=np.int32)[arr.offset : arr.offset + len(arr) + 1]
+    wide = pa.types.is_large_binary(arr.type) or pa.types.is_large_string(arr.type)
+    dt = np.int64 if wide else np.int32
+    offs = np.frombuffer(buffers[1], dtype=dt)[arr.offset : arr.offset + len(arr) + 1]
     data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.empty(0, np.uint8)
     return offs.astype(np.int64), data
+
+
+def _combine_large(batch_list):
+    """Combine input Arrow batches into ONE chunk per column safely.
+
+    ``combine_chunks`` on 32-bit-offset binary/string columns overflows
+    (ArrowInvalid) once a reduce partition's concatenated payload exceeds
+    2 GiB — exactly the regime large builds hit. Cast every binary/string
+    column to its large_* (64-bit-offset) type BEFORE combining; downstream
+    numpy code reads offsets via :func:`_binary_offsets` either way.
+    """
+    import pyarrow as pa
+
+    tbl = pa.Table.from_batches(batch_list)
+    fields = [
+        pa.field(
+            f.name,
+            pa.large_binary()
+            if pa.types.is_binary(f.type)
+            else pa.large_string()
+            if pa.types.is_string(f.type)
+            else f.type,
+        )
+        for f in tbl.schema
+    ]
+    return tbl.cast(pa.schema(fields)).combine_chunks()
 
 
 def _gather_bytes(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -312,7 +344,7 @@ def _segment_encoder(batches):
     batch_list = [b for b in batches if b.num_rows]
     if not batch_list:
         return
-    tbl = pa.Table.from_batches(batch_list).combine_chunks()
+    tbl = _combine_large(batch_list)
     n = tbl.num_rows
     term_arr = tbl.column("term").chunk(0)
     salt = tbl.column("salt").chunk(0).to_numpy().astype(np.int64)
@@ -345,15 +377,22 @@ def _segment_encoder(batches):
         lens_s = (p_offs[1:] - p_offs[:-1])[order]
     else:
         starts_s = lens_s = None
-    yield _pack_sorted(
+    yield from _pack_sorted(
         vocab, codes_s, salt_s, docid_s, tf_s, dl_s,
         (p_data if has_pos else None), starts_s, lens_s, gs, ge,
     )
 
 
+# flush a packed output batch once its binary payload reaches this size —
+# keeps every emitted RecordBatch far below the 2 GiB int32-offset ceiling
+# of the (non-large) Arrow binary columns Spark expects back
+_PACK_FLUSH_BYTES = 256 << 20
+
+
 def _pack_sorted(vocab, codes_s, salt_s, docid_s, tf_s, dl_s,
                  pos_data, pos_starts_s, pos_lens_s, gs, ge):
-    """Sorted posting-level flat arrays -> one packed-segment RecordBatch.
+    """Sorted posting-level flat arrays -> packed-segment RecordBatches
+    (a generator: output is CHUNKED by payload bytes, never one giant batch).
 
     ``pos_data``: byte pool holding every posting's position blob;
     ``pos_starts_s``/``pos_lens_s``: per-posting (start, len) into it, in
@@ -361,16 +400,20 @@ def _pack_sorted(vocab, codes_s, salt_s, docid_s, tf_s, dl_s,
     """
     import pyarrow as pa
 
+    types = _pa_types()
+    schema = pa.schema([pa.field(f.name, types[f.name]) for f in SEGMENT_SCHEMA.fields])
     has_pos = pos_data is not None
     if has_pos:
         gathered, out_offs = _gather_bytes(pos_data, pos_starts_s, pos_lens_s)
         gbytes = gathered.tobytes()
     out = {c.name: [] for c in SEGMENT_SCHEMA.fields}
+    pend = 0
     for gi in range(len(gs)):
         s, e = int(gs[gi]), int(ge[gi])
         if has_pos:
             pos_bin = gbytes[int(out_offs[s]) : int(out_offs[e])]
             poslens_bin = varbyte_encode(pos_lens_s[s:e])
+            pend += len(pos_bin) + len(poslens_bin)
         else:
             pos_bin = None
             poslens_bin = None
@@ -382,6 +425,7 @@ def _pack_sorted(vocab, codes_s, salt_s, docid_s, tf_s, dl_s,
             packed[:7],
         ):
             out[name].append(val)
+        pend += len(packed[4]) + len(packed[5]) + len(packed[6])
         out["poslens"].append(poslens_bin)
         out["positions"].append(pos_bin)
         for name, val in zip(
@@ -389,10 +433,12 @@ def _pack_sorted(vocab, codes_s, salt_s, docid_s, tf_s, dl_s,
             packed[7:],
         ):
             out[name].append(val)
-    types = _pa_types()
-    return pa.RecordBatch.from_pydict(out, schema=pa.schema(
-        [pa.field(f.name, types[f.name]) for f in SEGMENT_SCHEMA.fields]
-    ))
+        if pend >= _PACK_FLUSH_BYTES:
+            yield pa.RecordBatch.from_pydict(out, schema=schema)
+            out = {c.name: [] for c in SEGMENT_SCHEMA.fields}
+            pend = 0
+    if out["term"]:
+        yield pa.RecordBatch.from_pydict(out, schema=schema)
 
 
 def _encode_counts(docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> tuple:
@@ -566,7 +612,7 @@ def _merge_encoder(batches):
     batch_list = [b for b in batches if b.num_rows]
     if not batch_list:
         return
-    tbl = pa.Table.from_batches(batch_list).combine_chunks()
+    tbl = _combine_large(batch_list)
     nrows = tbl.num_rows
     counts = tbl.column("ndocs").chunk(0).to_numpy().astype(np.int64)
     npost = int(counts.sum())
@@ -626,7 +672,7 @@ def _merge_encoder(batches):
     newgrp[1:] = (key_s[1:] != key_s[:-1]) | (salt_s[1:] != salt_s[:-1])
     gs = np.flatnonzero(newgrp)
     ge = np.append(gs[1:], npost)
-    yield _pack_sorted(
+    yield from _pack_sorted(
         vocab, codes_s, salt_s, docid_s, tf_s, dl_s,
         (pb_data if has_pos else None),
         (pstarts[order] if has_pos else None),

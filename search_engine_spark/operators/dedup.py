@@ -207,17 +207,59 @@ def embedding_near_dups(
     emb: DataFrame, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",
     n_planes: int = 8, seed: int = 42,
+    n_tables: int = 1, max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup candidates: random-hyperplane LSH bucket
-    join, then exact cosine filter within buckets."""
-    from .similarity import cosine_expr, hyperplane_bucket
+    join, then exact cosine filter within buckets.
 
-    e = emb.select(
-        F.col(id_col), F.col(vec_col),
-        hyperplane_bucket(F.col(vec_col), n_planes=n_planes, seed=seed).alias("bucket"),
+    Scale levers (all default to the single-table toy config so small runs
+    and the cross-engine oracle are unchanged):
+
+    - ``n_planes``: size via :func:`similarity.planes_for_corpus` — the
+      bucket-local self-join is O(Σ bucket²), so the bucket count must grow
+      with the corpus, not stay fixed.
+    - ``n_tables`` > 1: banding. Each table hashes with independent planes
+      (seed+t); a pair is a candidate if it collides in ANY table — the
+      recall lever that makes many-plane (small-bucket) configs usable.
+      Cross-table duplicate pairs are deduped BEFORE the cosine filter.
+    - ``max_bucket``: drop buckets wider than this before the self-join
+      (documented recall tradeoff: a monster bucket is O(width²) pairs and
+      at web scale is almost always a degenerate cluster — cap it, count
+      it, move on). At 10⁹ vectors this bounds the worst reducer.
+    """
+    from .similarity import hyperplane_bucket
+
+    tabs = [
+        emb.select(
+            F.col(id_col), F.col(vec_col), F.lit(t).alias("tbl"),
+            hyperplane_bucket(
+                F.col(vec_col), n_planes=n_planes, seed=seed + t
+            ).alias("bucket"),
+        )
+        for t in range(n_tables)
+    ]
+    e = tabs[0]
+    for t in tabs[1:]:
+        e = e.unionByName(t)
+    if max_bucket is not None:
+        wide = (
+            e.groupBy("tbl", "bucket")
+            .agg(F.count("*").alias("_w"))
+            .where(F.col("_w") > max_bucket)
+            .select("tbl", "bucket")
+        )
+        e = e.join(F.broadcast(wide), ["tbl", "bucket"], "left_anti")
+    a = e.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "tbl", "bucket")
+    b = e.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "tbl", "bucket")
+    pairs = a.join(b, ["tbl", "bucket"]).where(F.col("a") < F.col("b"))
+    if n_tables > 1:
+        pairs = pairs.dropDuplicates(["a", "b"])
+    return pairs.select("a", "b", _cos("va", "vb").alias("cosine")).where(
+        F.col("cosine") >= threshold
     )
-    a = e.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
-    b = e.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")
-    pairs = a.join(b, "bucket").where(F.col("a") < F.col("b"))
-    cos = cosine_expr(F.col("va"), F.col("vb"))
-    return pairs.select("a", "b", cos.alias("cosine")).where(F.col("cosine") >= threshold)
+
+
+def _cos(a: str, b: str):
+    from .similarity import cosine_expr
+
+    return cosine_expr(F.col(a), F.col(b))

@@ -44,6 +44,19 @@ def plane_literals(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[flo
     return [[round(float(x), 6) for x in p] for p in planes]
 
 
+def planes_for_corpus(n_items: int, target_bucket: int = 4096, min_planes: int = 4) -> int:
+    """Scale the plane count with corpus size: 2^planes buckets sized so the
+    EXPECTED bucket holds ~``target_bucket`` vectors, keeping the
+    bucket-local self-join O(n * target_bucket) instead of O(n²/2^planes)
+    with a FIXED plane count (the toy default of 8 planes = 256 buckets is
+    catastrophic at 10⁹ vectors: ~10¹⁵ candidate pairs)."""
+    import math
+
+    if n_items <= target_bucket:
+        return min_planes
+    return max(min_planes, math.ceil(math.log2(n_items / target_bucket)))
+
+
 def hyperplane_bucket(vec: Column, dim: int = 64, n_planes: int = 8, seed: int = 42) -> Column:
     """LSH bucket id = sign bits of the vector against `n_planes` planes."""
     planes = plane_literals(dim, n_planes, seed)
@@ -71,18 +84,31 @@ def cosine_topk(
 def lsh_topk(
     emb: DataFrame, query_vec: list[float], k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    n_planes: int = 8, seed: int = 42,
+    n_planes: int = 8, seed: int = 42, n_probes: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: restrict to the query's hyperplane bucket, exact
-    cosine inside. Bucket filter prunes ~2^-n_planes of the corpus."""
+    """Approximate top-k: restrict to the query's hyperplane bucket(s),
+    exact cosine inside. Bucket filter prunes ~n_probes/2^n_planes of the
+    corpus.
+
+    ``n_probes`` > 1 is the multi-probe recall lever that keeps a LARGE
+    ``n_planes`` (see :func:`planes_for_corpus`) usable: with many planes a
+    single bucket's recall collapses, so also probe the buckets across the
+    query's (n_probes - 1) nearest hyperplanes — flip the bits whose plane
+    dot-products are smallest in magnitude (the standard multi-probe LSH
+    order). n_probes=1 is exactly the single-bucket behavior."""
     dim = len(query_vec)
     planes = plane_literals(dim, n_planes, seed)
     qv = np.array(query_vec, dtype=np.float64)
-    qbucket = sum((1 << i) for i, p in enumerate(planes) if float(np.dot(qv, p)) >= 0)
+    dots = np.array([float(np.dot(qv, p)) for p in planes])
+    qbucket = sum((1 << i) for i in range(n_planes) if dots[i] >= 0)
+    flip_order = np.argsort(np.abs(dots))
+    probes = [qbucket] + [
+        qbucket ^ (1 << int(i)) for i in flip_order[: max(0, n_probes - 1)]
+    ]
     bucket = hyperplane_bucket(F.col(vec_col), dim, n_planes, seed)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        emb.where(bucket == qbucket)
+        emb.where(bucket.isin(probes))
         .select(F.col(id_col), cosine_expr(F.col(vec_col), q).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)

@@ -152,3 +152,39 @@ def test_build_metrics_recorded(spark, tmp_index):
     assert met["postings_per_sec"] > 0
     assert met["segment_bytes"] > 0
     assert met["shuffle_skew_ratio"] >= 1.0
+
+
+def test_pack_kernel_chunked_output_and_large_offsets():
+    """The Arrow encoders must (a) emit chunked output batches (one giant
+    batch overflows int32 binary offsets past 2 GiB/partition) and (b) read
+    64-bit offsets from large_binary inputs (_combine_large casts inputs
+    before combine_chunks). Pure-kernel test, no Spark."""
+    import pyarrow as pa
+
+    from search_engine_spark.operators import build as B
+
+    def make_batch(n):
+        return pa.RecordBatch.from_pydict({
+            "term": pa.array([f"t{i % 7}" for i in range(n)], pa.string()),
+            "salt": pa.array([0] * n, pa.int32()),
+            "docId": pa.array(list(range(n)), pa.int64()),
+            "tf": pa.array([1 + i % 3 for i in range(n)], pa.int64()),
+            "dl": pa.array([10] * n, pa.int64()),
+            "posbin": pa.array([bytes([1])] * n, pa.binary()),
+        })
+
+    out1 = list(B._segment_encoder(iter([make_batch(100)])))
+    orig = B._PACK_FLUSH_BYTES
+    try:
+        B._PACK_FLUSH_BYTES = 1
+        out2 = list(B._segment_encoder(iter([make_batch(100)])))
+    finally:
+        B._PACK_FLUSH_BYTES = orig
+    assert len(out2) > len(out1) >= 1
+    t1 = pa.Table.from_batches(out1).sort_by("term").to_pylist()
+    t2 = pa.Table.from_batches(out2).sort_by("term").to_pylist()
+    assert t1 == t2  # chunking never changes content
+
+    arr = pa.array([b"ab", b"c"], pa.large_binary())
+    offs, data = B._binary_offsets(arr)
+    assert offs.tolist() == [0, 2, 3] and bytes(data) == b"abc"

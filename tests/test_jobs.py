@@ -73,3 +73,48 @@ def test_query_job(built, capsys, mode):
     if mode in ("bm25", "tfidf") and out["results"]:
         scores = [r["score"] for r in out["results"]]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_pagerank_job_rank_window(spark, tmp_path_factory, capsys):
+    """jobs/pagerank.py over a fixture edge TSV: the hub of a star graph
+    must rank in the top window (IcsSearchEnginePageRankTest.java:74-108
+    asserts named URLs inside top-5/20/100 windows; here the graph is
+    synthetic so the window is exact)."""
+    import json
+
+    from jobs.pagerank import main as pr_main
+
+    root = tmp_path_factory.mktemp("prjob")
+    edges_p = root / "id-graph.tsv"
+    urls_p = root / "url.tsv"
+    # star: everyone links to 0; plus a ring so every node has outdeg
+    lines = [f"{i}\t0" for i in range(1, 21)] + [f"{i}\t{(i + 1) % 21}" for i in range(21)]
+    edges_p.write_text("\n".join(lines) + "\n")
+    urls_p.write_text("\n".join(f"{i}\thttps://u/{i}" for i in range(21)) + "\n")
+    rc = pr_main([
+        "--edges", str(edges_p), "--urls", str(urls_p),
+        "--iterations", "30", "--topk", "5", "--master", "local[4]",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    top = out["topk"]
+    assert top[0]["docId"] == 0                      # the hub wins
+    # reference normalization is (PR-min)/max — NOT /(max-min) — so the top
+    # value is (max-min)/max, strictly below 1 whenever min > 0 (ICS:143-145)
+    assert 0.9 < top[0]["pagerank"] < 1.0
+    assert top[0]["url"] == "https://u/0"
+    assert all(top[i]["pagerank"] >= top[i + 1]["pagerank"] for i in range(4))
+
+
+def test_edge_and_url_readers(spark, tmp_path_factory):
+    """S2/S3 readers parse the reference TSV shapes with explicit schemas."""
+    from search_engine_spark.sources.graph import graph_nodes, load_edge_list, load_url_map
+
+    root = tmp_path_factory.mktemp("graphsrc")
+    (root / "g.tsv").write_text("1\t2\n2\t3\n3\t1\n")
+    (root / "u.tsv").write_text("1\thttps://a\n2\thttps://b\n")
+    e = load_edge_list(spark, str(root / "g.tsv"))
+    assert {(r.src, r.dst) for r in e.collect()} == {(1, 2), (2, 3), (3, 1)}
+    assert {r.docId for r in graph_nodes(e).collect()} == {1, 2, 3}
+    u = {r.doc_id: r.url for r in load_url_map(spark, str(root / "u.tsv")).collect()}
+    assert u == {1: "https://a", 2: "https://b"}

@@ -209,3 +209,63 @@ def test_decode_image_is_explicit_stub():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def _emb_fixture(spark, n=60, dim=8, seed=3, dup_pairs=3):
+    """Seeded random unit-ish vectors + `dup_pairs` exact duplicate pairs."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, dim)).round(3)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    for j in range(dup_pairs):  # ids n..n+dup_pairs-1 duplicate ids 0..dup_pairs-1
+        rows.append((n + j, [float(x) for x in vecs[j]]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_neardup_multitable_superset_and_bucket_cap(spark):
+    """n_tables>1 only ADDS candidates (recall lever); max_bucket bounds the
+    self-join width (drops monster buckets instead of exploding O(w²))."""
+    from search_engine_spark.operators.dedup import embedding_near_dups
+
+    e = _emb_fixture(spark)
+    one = {(r.a, r.b) for r in embedding_near_dups(e, 0.9, n_planes=6).collect()}
+    two = {(r.a, r.b) for r in embedding_near_dups(e, 0.9, n_planes=6, n_tables=3).collect()}
+    assert one <= two
+    # exact duplicates always collide in every table
+    assert {(0, 60), (1, 61), (2, 62)} <= two
+    # all-identical vectors -> ONE bucket of width 40 -> cap drops it entirely
+    ident = spark.createDataFrame(
+        [(i, [1.0, 0.5, -0.25, 2.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    capped = embedding_near_dups(ident, 0.5, n_planes=4, max_bucket=10).count()
+    assert capped == 0
+    uncapped = embedding_near_dups(ident, 0.5, n_planes=4).count()
+    assert uncapped == 40 * 39 // 2
+
+
+def test_planes_for_corpus_scaling():
+    from search_engine_spark.operators.similarity import planes_for_corpus
+
+    assert planes_for_corpus(1_000) == 4                     # floor
+    assert planes_for_corpus(10**9, target_bucket=1024) == 20  # 2^20 buckets
+    assert planes_for_corpus(10**12, target_bucket=4096) >= 27
+    assert planes_for_corpus(10**9) > planes_for_corpus(10**6) > 0
+
+
+def test_lsh_topk_multiprobe_recall(spark):
+    """Multi-probe recall >= single-bucket recall vs the exact top-k, and
+    n_probes=1 reproduces the single-bucket result exactly."""
+    from search_engine_spark.operators.similarity import cosine_topk, lsh_topk
+
+    e = _emb_fixture(spark, n=120)
+    q = [float(x) for x in e.where("vec_id = 5").first().embedding]
+    rest = e.where("vec_id <> 5")
+    exact = [r.vec_id for r in cosine_topk(rest, q, 10).collect()]
+    got1 = [r.vec_id for r in lsh_topk(rest, q, 10, n_planes=6, n_probes=1).collect()]
+    got4 = [r.vec_id for r in lsh_topk(rest, q, 10, n_planes=6, n_probes=4).collect()]
+    r1 = len(set(got1) & set(exact))
+    r4 = len(set(got4) & set(exact))
+    assert r4 >= r1
+    assert set(got1) <= set(got4) | set(got1)  # probe set only grows
