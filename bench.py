@@ -66,6 +66,11 @@ def main() -> None:
 
     docs = load_documents(spark, sf_dir)
     n_docs_sf = docs.count()  # warm the JVM/reader outside timings
+    from pyspark.sql import functions as _F
+
+    corpus_mb = (
+        docs.agg(_F.sum(_F.length("content")).alias("b")).first()["b"] or 0
+    ) / (1024.0 * 1024.0)
 
     idx = tempfile.mkdtemp(prefix="bench_idx_")
     shutil.rmtree(idx, ignore_errors=True)
@@ -97,8 +102,8 @@ def main() -> None:
     )
     timed(
         "tfidf_all",
-        lambda: score_query(
-            spark, decode_postings(segs, q_ranked), stats, q_ranked, n_docs,
+        lambda: score_query_daat(
+            spark, segs, stats, q_ranked, n_docs,
             avgdl, Scorer("tfidf_cosine"), k=None, analyzer="naive",
         ).count(),
     )
@@ -130,9 +135,22 @@ def main() -> None:
     qv = list(e.where(F.col("vec_id") == 0).select("embedding").first()[0])
     timed("cosine_topk", lambda: cosine_topk(e.where(F.col("vec_id") != 0), qv, 20).collect())
 
-    # larger synthetic corpus: the throughput figure the scaling runs extend
+    # larger synthetic corpus: the throughput figure the scaling runs extend.
+    # Materialized to parquet FIRST: the generator is lazy, so building
+    # straight from it would re-run the (Python-heavy) row generation on
+    # every pass over the corpus — the timed figure would measure corpus
+    # generation, not indexing. Reading stored parquet is also the real
+    # input shape of the north rule.
     n_syn = int(os.environ.get("SPARK_GRAFT_SYN_DOCS", "40000"))
-    syn = synthetic_corpus(spark, n_docs=n_syn, vocab_size=20000, partitions=4 * int(cpus))
+    syn_dir = tempfile.mkdtemp(prefix="bench_syn_src_")
+    shutil.rmtree(syn_dir, ignore_errors=True)
+    synthetic_corpus(
+        spark, n_docs=n_syn, vocab_size=20000, partitions=4 * int(cpus)
+    ).write.parquet(syn_dir)
+    syn = spark.read.parquet(syn_dir)
+    thr["synthetic_corpus_mb"] = round(
+        (syn.agg(_F.sum(_F.length("content")).alias("b")).first()["b"] or 0) / 2**20, 1
+    )
     idx2 = tempfile.mkdtemp(prefix="bench_syn_")
     shutil.rmtree(idx2, ignore_errors=True)
     timed(
@@ -146,20 +164,105 @@ def main() -> None:
 
     shutil.rmtree(idx, ignore_errors=True)
     shutil.rmtree(idx2, ignore_errors=True)
+    shutil.rmtree(syn_dir, ignore_errors=True)
     spark.stop()
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "throughput": thr,
-            }
+    result = {
+        "metric": "headline_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "throughput": thr,
+    }
+    try:
+        write_bench_md(times, thr, result["sf"], corpus_mb)
+    except Exception as ex:  # the table is best-effort; never fail the bench
+        print(f"# BENCH.md update skipped: {ex}", file=sys.stderr)
+    print(json.dumps(result))
+
+
+BENCH_MD = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
+MARK_A, MARK_B = "<!-- bench:auto -->", "<!-- /bench:auto -->"
+
+
+def _latest_prior_bench() -> tuple[str, dict]:
+    """Most recent driver-recorded BENCH_r{N}.json — the carry-forward
+    column that makes regressions visible round over round."""
+    import glob
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+    if not paths:
+        return "", {}
+    with open(paths[-1]) as f:
+        data = json.load(f)
+    data = data.get("parsed", data)  # driver wraps the JSON line under "parsed"
+    return os.path.basename(paths[-1]), data.get("queries", {})
+
+
+def write_bench_md(times: dict, thr: dict, sf, corpus_mb: float) -> None:
+    """Rewrite the auto section of BENCH.md: per-query seconds, delta vs the
+    previous round's recorded bench, and ratio vs the BASELINE.md envelope.
+
+    Envelope derivation (BASELINE.md "Reference-derived envelope"):
+    - build queries: the reference indexes at >= ~0.85 MB/s single-thread
+      (Team2StressTest) => envelope_sec = corpus_MB / 0.85;
+    - the query suite combined: the reference's end-to-end budget is 900 s
+      for its ~1 GB corpus (IcsSearchEngineTest) => 900 * corpus_MB / 1024.
+    Ratio < 1 means faster than the reference envelope at equivalent bytes.
+    """
+    prior_name, prior = _latest_prior_bench()
+    # build rows compare THROUGHPUT against the reference floor (0.85 MB/s
+    # single-thread, Team2StressTest): size-independent, so meaningful at
+    # this tiny sf. Query rows are dominated by fixed Spark job-launch
+    # overhead (~1-2 s) at a 1-2 MB corpus — a seconds-vs-envelope ratio at
+    # this sf would measure overhead, not the operator — so they carry the
+    # prior-round column for regression tracking instead.
+    build_mb = {"index_build": corpus_mb}
+    if "synthetic_build_40k" in times and "synthetic_corpus_mb" in thr:
+        build_mb["synthetic_build_40k"] = thr["synthetic_corpus_mb"]
+
+    lines = [
+        MARK_A,
+        "## Per-query bench vs baseline envelope (auto-generated by bench.py)",
+        "",
+        f"sf={sf}, corpus ≈ {corpus_mb:.1f} MB; reference envelope: ≥0.85 MB/s "
+        "single-thread build (Team2StressTest), 900 s/GB end-to-end "
+        "(IcsSearchEngineTest). Build rows show measured MB/s and the ratio "
+        "vs 0.85 MB/s (>1 = faster than the reference's single thread; the "
+        "whole 32-thread job, not per-core). Query rows track the prior "
+        f"round ({prior_name or 'n/a'}) — at this corpus size their wall "
+        "time is fixed job-launch overhead, which vanishes at scale.",
+        "",
+        "| query | sec | prior sec | delta | MB/s | vs 0.85 MB/s |",
+        "|---|---|---|---|---|---|",
+    ]
+    for k, v in times.items():
+        p = prior.get(k)
+        delta = f"{v - p:+.1f}s" if p is not None else "—"
+        if k in build_mb and v > 0:
+            mbs = build_mb[k] / v
+            mbs_s, ratio = f"{mbs:.2f}", f"{mbs / 0.85:.2f}x"
+        else:
+            mbs_s = ratio = "—"
+        lines.append(
+            f"| {k} | {v:.2f} | {p if p is not None else '—'} | {delta} | {mbs_s} | {ratio} |"
         )
-    )
+    for k, v in thr.items():
+        lines.append(f"| {k} | {v} | — | — | — | — |")
+    lines.append(MARK_B)
+    block = "\n".join(lines)
+
+    text = open(BENCH_MD).read() if os.path.exists(BENCH_MD) else "# BENCH\n"
+    if MARK_A in text and MARK_B in text:
+        pre = text.split(MARK_A)[0]
+        post = text.split(MARK_B, 1)[1]
+        text = pre + block + post
+    else:
+        text = text.rstrip() + "\n\n" + block + "\n"
+    with open(BENCH_MD, "w") as f:
+        f.write(text)
 
 
 if __name__ == "__main__":

@@ -82,8 +82,7 @@ def main() -> None:
         "trials_N": [r["sec"] for r in los], "trials_4N": [r["sec"] for r in his],
     }
     print(json.dumps(report))
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(f"""# BENCH — scaling evidence (north rule)
+    block = f"""# BENCH — scaling evidence (north rule)
 
 Same index-build job (tokenize -> salted hash-repartition(term, salt) ->
 delta+varbyte packed segments + term stats) on the SAME input
@@ -108,7 +107,27 @@ from neighbors over minutes), so N/4N trials are interleaved and the best of
 All trials (s): N = {[r['sec'] for r in los]}, 4N = {[r['sec'] for r in his]}
 
 Reproduce: `python tools/scaling_bench.py {n_docs} {n} {trials}`
-""")
+"""
+    _write_section(block)
+
+
+MARK_A, MARK_B = "<!-- scaling:auto -->", "<!-- /scaling:auto -->"
+
+
+def _write_section(block: str) -> None:
+    """Replace only this tool's marked section of BENCH.md (bench.py owns a
+    sibling section; neither writer may clobber the other's)."""
+    p = os.path.join(REPO, "BENCH.md")
+    block = f"{MARK_A}\n{block}\n{MARK_B}"
+    text = open(p).read() if os.path.exists(p) else ""
+    if MARK_A in text and MARK_B in text:
+        text = text.split(MARK_A)[0] + block + text.split(MARK_B, 1)[1]
+    elif text:
+        text = block + "\n\n" + text  # scaling evidence leads the doc
+    else:
+        text = block + "\n"
+    with open(p, "w") as f:
+        f.write(text)
 
 
 if __name__ == "__main__":
