@@ -445,6 +445,20 @@ def q_q11_combined(spark, sf_dir):
     return out.select(F.col("docId").alias("doc_id"), F.col("score"))
 
 
+def q_q12_doc_iteration(spark, sf_dir):
+    """Q12 ``documentIterator`` (IIM:905-938): every doc in docId order. The
+    driver's value compare is order-insensitive, so the ORDER itself is
+    captured as a ``row_number`` column and verified by the hash."""
+    from pyspark.sql.window import Window
+
+    from search_engine_spark.operators.query import document_iterator
+
+    it = document_iterator(_docs(spark, sf_dir))
+    return it.select(
+        F.col("docId").alias("doc_id"), F.md5("content").alias("content_md5")
+    ).withColumn("rank", F.row_number().over(Window.orderBy("doc_id")))
+
+
 def q_d1_exact_dedup(spark, sf_dir):
     from search_engine_spark.operators.dedup import exact_dedup
 
@@ -584,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_bm25_porter": q_q8_bm25_porter,
         "a7_wordbreak": q_a7_wordbreak,
         "q9_pagerank": q_q9_pagerank,
+        "q12_doc_iteration": q_q12_doc_iteration,
         "d1_exact_dedup": q_d1_exact_dedup,
         "d2_minhash_pairs": q_d2_minhash_pairs,
         "d3_simhash": q_d3_simhash,
@@ -1033,6 +1048,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN documents d ON d.doc_id = r.doc_id AND md5(d.text) = r.content_md5
         """,
         "q9_pagerank": _q9_sql(),
+        "q12_doc_iteration": """
+            SELECT doc_id, md5(text) AS content_md5,
+                   row_number() OVER (ORDER BY doc_id)::int AS rank
+            FROM documents
+        """,
         "d1_exact_dedup": """
             SELECT md5(text) AS content_md5, min(doc_id) AS keeper,
                    count(*) AS n_dups

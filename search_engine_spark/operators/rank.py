@@ -176,6 +176,7 @@ def _daat_segment(
     k: int | None,
     prune: bool,
     ties: str = "desc",
+    stats: dict | None = None,
 ) -> pd.DataFrame:
     """Score one segment's packed rows for the query terms.
 
@@ -185,11 +186,14 @@ def _daat_segment(
 
     - Phase A (essential): rows in UB-desc order decode fully, θ = k-th best
       partial sum so far (a valid lower bound for bm25). A row becomes
-      non-essential once ``suffix_ub(i) <= θ`` — a doc found only from row i
+      non-essential once ``suffix_ub(i) < θ`` — a doc found only from row i
       onward is bounded by suffix_ub(i) and cannot enter the top k.
-    - Phase B (non-essential): decode only blocks that (a) overlap the
-      candidate docId set and (b) have
-      ``prefix_ub + block_ub + suffix_rest >= θ``.
+    - Phase B (non-essential): decode only blocks that (a) contain at least
+      one current candidate doc and (b) satisfy
+      ``max_candidate_partial_in_block + block_ub + suffix_rest >= θ`` —
+      the block bound uses the candidates' ACTUAL accumulated partial
+      scores, not the sum of prior rows' theoretical UBs (which is so loose
+      it never prunes: Σ prior UBs ≫ θ whenever several terms exist).
     """
     rows = []
     for r in pdf.itertuples(index=False):
@@ -197,9 +201,24 @@ def _daat_segment(
         ub = float(qtf * idf * _tf_upper(scorer, np.array([r.max_tf]))[0])
         rows.append((ub, r))
     rows.sort(key=lambda x: -x[0])
+    # Per-doc remaining-gain bounds, SALT-AWARE: a doc appears in at most ONE
+    # row per term (salt = f(docId); batches partition docIds), so the gain
+    # still available to any doc from rows i.. is Σ over TERMS of that term's
+    # max row-UB among rows i.. — NOT the sum over all remaining rows, which
+    # over-counts salted terms by n_salts and (measured) never prunes.
+    n_rows = len(rows)
+    terms_of = [r.term for _, r in rows]
     ubs = np.array([ub for ub, _ in rows], dtype=np.float64)
-    suffix_ub = np.concatenate((ubs[::-1].cumsum()[::-1], [0.0]))
-    prefix_ub = np.concatenate(([0.0], ubs.cumsum()))
+    suffix_max: dict[str, np.ndarray] = {
+        t: np.zeros(n_rows + 1) for t in set(terms_of)
+    }
+    for t, arr in suffix_max.items():
+        for i in range(n_rows - 1, -1, -1):
+            arr[i] = max(arr[i + 1], ubs[i] if terms_of[i] == t else 0.0)
+    # suffix_ub[i] = max TOTAL gain from rows i.. for any single doc
+    suffix_ub = np.zeros(n_rows + 1)
+    for arr in suffix_max.values():
+        suffix_ub += arr
 
     can_prune = prune and k is not None and scorer.kind == "bm25"
 
@@ -218,20 +237,34 @@ def _daat_segment(
     acc_dot: list[np.ndarray] = []
     acc_len: list[np.ndarray] = []
     theta = -np.inf
-    candidates: np.ndarray | None = None
+    # running (sorted candidate docIds, their accumulated partial scores) —
+    # refreshed after every decoded row; drives both θ and the block bounds
+    cand: np.ndarray | None = None
+    cpart: np.ndarray | None = None
     for i, (ub, r) in enumerate(rows):
         # strict <: a doc tying θ exactly could still enter top-k on tiebreak
         non_essential = can_prune and theta > -np.inf and suffix_ub[i] < theta
         blast = np.asarray(r.block_last_docid, dtype=np.int64)
         take = np.ones(len(blast), dtype=bool)
         if non_essential:
-            want = candidates if candidates is not None else np.empty(0, np.int64)
-            lo = np.searchsorted(want, np.concatenate(([np.int64(-1)], blast[:-1])), "right")
+            want = cand if cand is not None else np.empty(0, np.int64)
+            prev = np.concatenate(([np.int64(-1)], blast[:-1]))
+            lo = np.searchsorted(want, prev, "right")
             hi = np.searchsorted(want, blast, "right")
             take &= hi > lo
             idf, qtf = qmeta[r.term]
             bub = qtf * idf * _tf_upper(scorer, np.asarray(r.block_max_tf))
-            take &= (prefix_ub[i] + bub + suffix_ub[i + 1]) >= theta
+            # best any candidate in this block could still reach: its
+            # accumulated partial + this block's UB + later rows of OTHER
+            # terms only (this row is the doc's single row for this term)
+            rest_other = suffix_ub[i + 1] - suffix_max[r.term][i + 1]
+            maxp = np.full(len(blast), -np.inf)
+            for b in np.flatnonzero(take):
+                maxp[b] = cpart[lo[b] : hi[b]].max()
+            take &= (maxp + bub + rest_other) >= theta
+        if stats is not None:  # pruning-effectiveness audit (tools/wand_audit.py)
+            stats["blocks_total"] = stats.get("blocks_total", 0) + int(len(take))
+            stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + int(take.sum())
         d, t, l = _decode_row_blocks(r, take)
         if len(d) == 0:
             continue
@@ -240,12 +273,12 @@ def _daat_segment(
         acc_dot.append(dot)
         if ln is not None:
             acc_len.append(ln)
-        if can_prune and not non_essential:
+        if can_prune:
             all_doc = np.concatenate(acc_doc)
-            candidates, inv = np.unique(all_doc, return_inverse=True)
-            partial = np.bincount(inv, weights=np.concatenate(acc_dot))
-            if len(partial) >= k:
-                theta = float(np.partition(partial, -k)[-k])
+            cand, inv = np.unique(all_doc, return_inverse=True)
+            cpart = np.bincount(inv, weights=np.concatenate(acc_dot))
+            if len(cpart) >= k:
+                theta = float(np.partition(cpart, -k)[-k])
     if not acc_doc:
         return pd.DataFrame({"docId": [], "score": []}).astype(
             {"docId": "int64", "score": "float64"}

@@ -116,7 +116,14 @@ def build_index(
 
     Each batch = reference ``flush`` unit: select corpus slice by
     ``xxhash64(docId) % n_batches``, build postings, salt heavy terms, one
-    range shuffle, packed parquet write, manifest commit.
+    hash shuffle, packed parquet write, manifest commit.
+
+    Sizing ``num_segments``: 2-4x the total core count, NOT 1x — many
+    smaller merge kernels load-balance dynamically across waves and absorb
+    stragglers (measured 2-3x faster than one reduce partition per core),
+    and each partition's postings must fit a worker's memory anyway
+    (~total_postings/num_segments). Default = spark.sql.shuffle.partitions,
+    which should itself be sized 2-4x cores.
     """
     if num_segments is None:
         num_segments = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))

@@ -234,3 +234,17 @@ def test_wordbreak_spark_udf_and_analyzer(spark):
     assert posting[("join", 0)] == 1
     # doc 1: self-dict makes "b" breakable too (its own vocab)
     assert ("shuffle", 1) in posting and ("b", 1) in posting
+
+
+def test_japanese_tokenizer_spark_udf(spark):
+    """A8 on Spark: the fixed-dictionary word-break UDF over a CJK dict
+    (JapaneseTokenizer.java:19-84 shape — algorithm only, no data copied)."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.functions.analyzers import make_wordbreak_udf
+
+    dic = {"こんにちは": 50, "世界": 30, "こん": 5, "にちは": 1}
+    udf = make_wordbreak_udf(dic)
+    df = spark.createDataFrame([("こんにちは世界",), ("世界こんにちは",)], "s string")
+    got = [r[0] for r in df.select(udf(F.col("s"))).collect()]
+    assert got == [["こんにちは", "世界"], ["世界", "こんにちは"]]

@@ -182,3 +182,41 @@ def test_daat_local_topk_tiebreak_both_modes(spark, tmp_path_factory):
             nd, avg, R.Scorer(), k=3, analyzer="naive", ties=ties,
         ).collect()
         assert [r.docId for r in decl] == expect, ties
+
+
+def test_wand_pruning_skips_blocks_and_preserves_topk(spark, tmp_path_factory):
+    """Block-max MaxScore must actually SKIP blocks on an idf-skewed query
+    (salt-aware bounds: a doc has at most one salted row per term) and be a
+    pure I/O optimization — pruned and exhaustive top-k identical."""
+    import numpy as np
+
+    from search_engine_spark.operators.build import term_stats_from_segments
+    from search_engine_spark.operators.rank import _daat_segment, query_tfs
+    from search_engine_spark.sources.corpus import synthetic_corpus
+
+    p = str(tmp_path_factory.mktemp("wand") / "idx")
+    src = str(tmp_path_factory.mktemp("wand_src") / "corpus")
+    synthetic_corpus(spark, n_docs=8000, vocab_size=8000, seed=5).write.parquet(src)
+    corpus = spark.read.parquet(src)
+    m = S.build_index(spark, corpus, p, analyzer="naive", n_batches=1,
+                      num_segments=8, heavy_threshold=400, heavy_sample_mod=1)
+    segs = S.load_segments(spark, p)
+    nd, avg = m["stats"]["n_docs"], m["stats"]["avgdl"]
+    sc = R.Scorer("bm25")
+    q = ["tok3", "tok31", "tok900"]  # heavy + mid + rare: idf-skewed
+    qtfs = query_tfs(q, "naive")
+    ts = term_stats_from_segments(segs)
+    rows = ts.where(ts.term.isin(list(qtfs))).collect()
+    qmeta = {
+        r.term: (float(sc.idf(float(nd), np.array([r.df]))[0]), qtfs[r.term])
+        for r in rows
+    }
+    pdf = segs.where(segs.term.isin(list(qmeta))).select(
+        "term", "max_tf", "docids", "tfs", "dls", "block_last_docid",
+        "block_max_tf", "block_docid_off", "block_tf_off", "block_dl_off"
+    ).toPandas()
+    stats = {}
+    pruned = _daat_segment(pdf, qmeta, sc, avg, 10, prune=True, ties="asc", stats=stats)
+    exhaustive = _daat_segment(pdf, qmeta, sc, avg, 10, prune=False, ties="asc")
+    assert pruned.reset_index(drop=True).equals(exhaustive.reset_index(drop=True))
+    assert stats["blocks_decoded"] < stats["blocks_total"], stats

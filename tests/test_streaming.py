@@ -151,3 +151,56 @@ def test_windowed_term_counts_match_batch(spark, tmp_path):
     }
     assert got == exp_closed
     assert got  # at least one window actually closed
+
+
+def test_stateful_first_seen_dedup_across_restarts(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator: only the first
+    occurrence of each content hash passes — within a micro-batch, across
+    micro-batches, AND across a query restart (state restored from the
+    streaming checkpoint)."""
+    import pandas as pd
+
+    from search_engine_spark.streaming.state import first_seen_dedup
+
+    schema = StructType(
+        [
+            StructField("docId", LongType(), False),
+            StructField("content_md5", StringType(), False),
+        ]
+    )
+    src = tmp_path / "dedup_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            first_seen_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: h1 twice (in-batch dup), h2 once
+    pd.DataFrame(
+        {"docId": [1, 2, 3], "content_md5": ["h1", "h1", "h2"]}
+    ).to_parquet(src / "a.parquet", index=False)
+    run_once()
+    got1 = {(r.docId, r.content_md5) for r in spark.read.parquet(out_dir).collect()}
+    assert {m for _, m in got1} == {"h1", "h2"} and len(got1) == 2
+    keeper_h1 = next(d for d, m in got1 if m == "h1")
+    assert keeper_h1 in (1, 2)  # arrival order within the batch decides
+
+    # batch 2 after RESTART: h1/h2 again (must be dropped via restored
+    # state), h3 new (must pass)
+    pd.DataFrame(
+        {"docId": [4, 5, 6], "content_md5": ["h1", "h2", "h3"]}
+    ).to_parquet(src / "b.parquet", index=False)
+    run_once()
+    got2 = {(r.docId, r.content_md5) for r in spark.read.parquet(out_dir).collect()}
+    assert got2 - got1 == {(6, "h3")}

