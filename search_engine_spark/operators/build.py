@@ -606,6 +606,22 @@ def _merge_encoder(batches):
     restarts are undone with a cumsum base-correction), then the flat
     posting arrays feed the same lexsort + pack as the posting-level path.
     """
+    yield from _merge_encoder_impl(batches, restarts_per_block=False)
+
+
+def _compact_merge_encoder(batches):
+    """Compaction reduce kernel: PACKED SEGMENT rows (delta chains restart
+    every BLOCK_SIZE postings, not per row) -> merged packed segment rows.
+
+    Same vectorized whole-buffer decode as :func:`_merge_encoder`; only the
+    restart positions differ. This is B4/B5 at scale: the compaction
+    shuffle moves packed rows (bytes), never per-posting rows, and the
+    kernel never materializes Python objects per posting.
+    """
+    yield from _merge_encoder_impl(batches, restarts_per_block=True)
+
+
+def _merge_encoder_impl(batches, restarts_per_block: bool):
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -624,20 +640,34 @@ def _merge_encoder(batches):
         offs, data = _binary_offsets(tbl.column(name).chunk(0))
         return offs, data
 
-    # docids: decode all rows' delta streams at once, then undo the per-row
-    # chain restart: subtract the cumsum value just before each row start
+    # docids: decode every row's delta stream in one pass, then undo the
+    # chain restarts with a cumsum base-correction. Restarts sit at each row
+    # start (mini-blocks) or additionally every BLOCK_SIZE postings within a
+    # row (packed segment rows).
     d_offs, d_data = col_bytes("docids")
     deltas = varbyte_decode(d_data.tobytes(), int(d_offs[0]), int(d_offs[-1] - d_offs[0]))
     csum = np.cumsum(deltas)
-    base = np.zeros(nrows, dtype=np.int64)
-    base[1:] = csum[vstarts[1:-1] - 1]
-    docid = csum - base[row_of_post]
+    if restarts_per_block:
+        nblocks = (counts + BLOCK_SIZE - 1) // BLOCK_SIZE
+        rb_starts = np.zeros(nrows + 1, dtype=np.int64)
+        np.cumsum(nblocks, out=rb_starts[1:])
+        total_blocks = int(rb_starts[-1])
+        # restart value-index of every block: row_start + 128 * (block # in row)
+        block_row = np.repeat(np.arange(nrows), nblocks)
+        within = np.arange(total_blocks) - rb_starts[block_row]
+        restarts = vstarts[block_row] + within * BLOCK_SIZE
+    else:
+        restarts = vstarts[:-1]
+    base_per = np.zeros(len(restarts), dtype=np.int64)
+    base_per[1:] = csum[restarts[1:] - 1]
+    seg_lens = np.diff(np.append(restarts, npost))
+    docid = csum - np.repeat(base_per, seg_lens)
     t_offs, t_data = col_bytes("tfs")
     tf = varbyte_decode(t_data.tobytes(), int(t_offs[0]), int(t_offs[-1] - t_offs[0]))
     l_offs, l_data = col_bytes("dls")
     dl = varbyte_decode(l_data.tobytes(), int(l_offs[0]), int(l_offs[-1] - l_offs[0]))
 
-    pos_col = tbl.column("posbin").chunk(0)
+    pos_col = tbl.column("positions" if restarts_per_block else "posbin").chunk(0)
     has_pos = pos_col.null_count < nrows
     if has_pos:
         pl_offs, pl_data = col_bytes("poslens")

@@ -404,25 +404,35 @@ def _group_terms(rows) -> dict:
 def compact(spark: SparkSession, index_dir: str, batches: list[int]) -> dict:
     """B4/B5 merge: repack the given batches into one new batch.
 
-    DocIDs are global => merge is decode -> re-encode grouped by term (the
-    reference's docID-rebase, IIM:616-620, is unnecessary). Commit order:
-    write new batch, flip manifest, then drop old dirs — crash-safe at every
-    step (manifest is the source of truth).
+    DocIDs are global => merge is a by-term regroup (the reference's
+    docID-rebase, IIM:616-620, is unnecessary). The shuffle moves PACKED
+    rows — compressed byte columns, one row per (term, salt) per source
+    batch — and the reduce kernel decodes whole Arrow buffers vectorized
+    (``_compact_merge_encoder``); per-posting rows never exist, so merging
+    a 100 TB index shuffles roughly its compressed size. Rows keep their
+    original salt, so heavy terms stay fanned out across reducers.
+
+    Commit order: write new batch, flip manifest, then drop old dirs —
+    crash-safe at every step (manifest is the source of truth).
     """
     import shutil
+
+    from ..operators.build import SEGMENT_SCHEMA, _compact_merge_encoder
 
     m = read_manifest(index_dir)
     new_id = max((int(k) for k in m["batches"] if str(k).isdigit()), default=-1) + 1
     batches = [str(b) for b in batches]
     srcs = [m["batches"][str(b)]["path"] for b in batches]
     segs = spark.read.parquet(*srcs)
-    # packed decode: positions stay per-doc blobs end-to-end (no int decode)
-    decoded = decode_postings_packed(segs)
     heavy = sorted({t for b in batches for t in m["batches"][str(b)].get("heavy_terms", [])})
     out = os.path.join(index_dir, "segments", f"batch={new_id}")
-    encode_segments(decoded, m["num_segments"], heavy, m.get("n_salts", 8)).write.mode(
-        "overwrite"
-    ).parquet(out)
+    packed = (
+        segs.select("term", "salt", "ndocs", "docids", "tfs", "dls", "poslens", "positions")
+        .repartition(m["num_segments"], "term", "salt")
+        .mapInArrow(_compact_merge_encoder, SEGMENT_SCHEMA)
+        .withColumn("seg", F.spark_partition_id())
+    )
+    packed.write.mode("overwrite").parquet(out)
     merged = {
         "committed": True,
         "path": out,

@@ -137,9 +137,12 @@ def test_merge_all_batches(spark, tmp_index):
     S.build_index(spark, corpus, tmp_index, analyzer="naive", n_batches=3,
                   num_segments=2)
     before = S.segment_dict(spark, tmp_index)
+    before_pos = S.segment_dict(spark, tmp_index, positional=True)
     m = S.merge_all_batches(spark, tmp_index)
     assert len(m["batches"]) == 1
     assert S.segment_dict(spark, tmp_index) == before
+    # positions survive the byte-level packed compaction path too
+    assert S.segment_dict(spark, tmp_index, positional=True) == before_pos
 
 
 def test_build_metrics_recorded(spark, tmp_index):
@@ -188,3 +191,24 @@ def test_pack_kernel_chunked_output_and_large_offsets():
     arr = pa.array([b"ab", b"c"], pa.large_binary())
     offs, data = B._binary_offsets(arr)
     assert offs.tolist() == [0, 2, 3] and bytes(data) == b"abc"
+
+
+def test_compact_salted_batches(spark, tmp_index):
+    """Packed compaction over SALTED rows: per-(term, salt) rows from two
+    batches merge byte-level; decoded postings and positions unchanged."""
+    texts = [f"dog cat common{'x' * (i % 2)} dog" for i in range(40)]
+    corpus = corpus_from_texts(spark, texts)
+    S.build_index(spark, corpus, tmp_index, analyzer="naive", n_batches=2,
+                  num_segments=2, heavy_threshold=5, n_salts=4,
+                  heavy_sample_mod=1)
+    before = S.segment_dict(spark, tmp_index)
+    before_pos = S.segment_dict(spark, tmp_index, positional=True)
+    assert before["dog"] == list(range(40))
+    S.merge_all_batches(spark, tmp_index)
+    assert S.segment_dict(spark, tmp_index) == before
+    assert S.segment_dict(spark, tmp_index, positional=True) == before_pos
+    # salted fan-out survives the merge (heavy term still split over rows)
+    segs = S.load_segments(spark, tmp_index)
+    from pyspark.sql import functions as F
+
+    assert segs.where(F.col("term") == "dog").count() > 1
