@@ -136,16 +136,24 @@ def lsh_buckets(
     )
 
 
-def candidate_pairs(buckets: DataFrame, id_col: str = "docId") -> DataFrame:
+def candidate_pairs(
+    buckets: DataFrame, id_col: str = "docId", spill_path: str | None = None
+) -> DataFrame:
     """Distinct candidate pairs (a < b) from shared LSH buckets. The
     self-join is bucket-local (equi-join on band+bucket).
 
-    The bucket relation is materialized first (localCheckpoint): it is tiny
-    (id, band, bucket) but its lineage is the full shingle->minhash pipeline,
-    which a self-join would otherwise execute twice. At cluster scale the
-    same role is played by writing signatures to a table between stages.
+    The bucket relation is materialized first: it is tiny (id, band, bucket)
+    but its lineage is the full shingle->minhash pipeline, which a self-join
+    would otherwise execute twice. ``spill_path=None`` uses localCheckpoint
+    (single-app, executor-resident — fine locally); at cluster scale pass a
+    durable ``spill_path`` so the materialization is a restartable parquet
+    table rather than executor block storage that dies with the app.
     """
-    buckets = buckets.localCheckpoint(eager=True)
+    if spill_path is not None:
+        buckets.write.mode("overwrite").parquet(spill_path)
+        buckets = buckets.sparkSession.read.parquet(spill_path)
+    else:
+        buckets = buckets.localCheckpoint(eager=True)
     a = buckets.select("band", "bucket", F.col(id_col).alias("a"))
     b = buckets.select("band", "bucket", F.col(id_col).alias("b"))
     return (

@@ -1,0 +1,86 @@
+"""Property tests for the Arrow pack/merge kernels (no Spark session).
+
+Random posting sets -> ``_segment_encoder`` -> decoded dict must equal the
+input; feeding the packed rows through ``_compact_merge_encoder`` (the
+byte-level compaction kernel, which re-derives absolute docIds from the
+per-BLOCK delta restarts) must preserve everything again. This fuzzes the
+parts golden tests can't reach: block boundaries at exactly/off-by-one
+BLOCK_SIZE, empty position blobs, large docId gaps, multi-chunk output.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+hyp = pytest.importorskip("hypothesis")
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from search_engine_spark.functions.codec import varbyte_decode
+from search_engine_spark.operators import build as B
+from search_engine_spark.sources.segments import blockwise_delta_decode
+
+postings_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["alpha", "beta", "g", "dddd"]),
+        st.integers(0, 2**40),          # docId (large gaps stress varbyte)
+        st.integers(1, 300),            # tf
+        st.integers(1, 500),            # dl
+        st.binary(min_size=0, max_size=6),  # opaque per-posting posbin
+    ),
+    min_size=1,
+    max_size=400,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+def _encode(posts):
+    batch = pa.RecordBatch.from_pydict(
+        {
+            "term": pa.array([p[0] for p in posts], pa.string()),
+            "salt": pa.array([0] * len(posts), pa.int32()),
+            "docId": pa.array([p[1] for p in posts], pa.int64()),
+            "tf": pa.array([p[2] for p in posts], pa.int64()),
+            "dl": pa.array([p[3] for p in posts], pa.int64()),
+            "posbin": pa.array([p[4] for p in posts], pa.binary()),
+        }
+    )
+    return pa.Table.from_batches(list(B._segment_encoder(iter([batch]))))
+
+
+def _decode(tbl) -> dict:
+    out = {}
+    for r in tbl.to_pylist():
+        docids = blockwise_delta_decode(r["docids"])
+        tfs = varbyte_decode(r["tfs"])
+        dls = varbyte_decode(r["dls"])
+        lens = varbyte_decode(r["poslens"])
+        offs = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        # block metadata must describe the decoded stream exactly
+        bstarts = np.arange(0, len(docids), B.BLOCK_SIZE)
+        last = docids[np.minimum(bstarts + B.BLOCK_SIZE - 1, len(docids) - 1)]
+        assert list(last) == r["block_last_docid"]
+        for i, (d, tf, dl) in enumerate(zip(docids, tfs, dls)):
+            pos = r["positions"][int(offs[i]) : int(offs[i + 1])]
+            out[(r["term"], int(d))] = (int(tf), int(dl), bytes(pos))
+    return out
+
+
+@settings(max_examples=30, deadline=None)
+@given(postings_strategy)
+def test_segment_encoder_roundtrip_and_compact_idempotent(posts):
+    expected = {(t, d): (tf, dl, pb) for t, d, tf, dl, pb in posts}
+    packed = _encode(posts)
+    assert _decode(packed) == expected
+    # compaction kernel over the packed rows (single partition) re-derives
+    # identical content — byte-level merge is lossless
+    cols = packed.select(
+        ["term", "salt", "ndocs", "docids", "tfs", "dls", "poslens", "positions"]
+    )
+    merged = pa.Table.from_batches(
+        list(B._compact_merge_encoder(iter(cols.to_batches())))
+    )
+    assert _decode(merged) == expected

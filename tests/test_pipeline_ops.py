@@ -269,3 +269,22 @@ def test_lsh_topk_multiprobe_recall(spark):
     r4 = len(set(got4) & set(exact))
     assert r4 >= r1
     assert set(got1) <= set(got4) | set(got1)  # probe set only grows
+
+
+def test_candidate_pairs_spill_path_equivalent(spark, tmp_path):
+    """Durable-table materialization (cluster mode) produces the same pairs
+    as the localCheckpoint default."""
+    from search_engine_spark.operators.dedup import (
+        candidate_pairs,
+        lsh_buckets,
+        minhash_signatures,
+    )
+
+    corpus = corpus_from_texts(spark, TEXTS)
+    b = lsh_buckets(minhash_signatures(corpus), bands=4, rows_per_band=3)
+    local = {(r.a, r.b) for r in candidate_pairs(b).collect()}
+    spilled = {
+        (r.a, r.b)
+        for r in candidate_pairs(b, spill_path=str(tmp_path / "bk")).collect()
+    }
+    assert local == spilled and (0, 1) in local
