@@ -36,6 +36,7 @@ MINHASHES, BANDS, ROWS_PER_BAND, SHINGLE_N = 12, 4, 3, 3
 SIMHASH_BITS = 16
 NEARDUP_TAU = 0.10
 N_PLANES, PLANE_SEED, EMB_DIM = 8, 42, 64
+IVF_CENTROIDS, IVF_NPROBE = 8, 2
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -547,6 +548,30 @@ def q_t3_fingerprint(spark, sf_dir):
     return fingerprint(d, "text", "doc_id", SHINGLE_N)
 
 
+def q_t4_bpe_tokens(spark, sf_dir):
+    """BPE-ish pre-token count (letter runs / digit runs / single symbols)
+    — the cheap LLM-token-budget proxy over the documents table."""
+    from search_engine_spark.operators.textstats import bpe_token_count_expr
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", bpe_token_count_expr(F.col("text")).alias("n_bpe_tokens"))
+
+
+def q_e3_ivf_topk(spark, sf_dir):
+    """IVF ANN top-k: deterministic coarse quantizer (lowest-id vectors as
+    the codebook), argmax-dot assignment, nprobe nearest cells probed, exact
+    cosine inside — the brief's IVF scale path next to the LSH one (e2)."""
+    from search_engine_spark.operators.similarity import ivf_topk
+
+    e = _emb(spark, sf_dir)
+    qv = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = ivf_topk(
+        e.where(F.col("vec_id") != 0), list(qv), ANN_K,
+        n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE,
+    )
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 def q_m1_media_meta(spark, sf_dir):
     from search_engine_spark.operators.multimodal import attach_media
 
@@ -606,6 +631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d5_embedding_neardup": q_d5_embedding_neardup,
         "e1_cosine_topk": q_e1_cosine_topk,
         "e2_lsh_topk": q_e2_lsh_topk,
+        "e3_ivf_topk": q_e3_ivf_topk,
+        "t4_bpe_tokens": q_t4_bpe_tokens,
         "t1_lang_id": q_t1_lang_id,
         "t2_quality_score": q_t2_quality,
         "t3_fingerprint": q_t3_fingerprint,
@@ -1099,6 +1126,42 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, planes, q
             WHERE vec_id <> 0 AND {_bucket_sql("embedding")} = q.qbucket
             ORDER BY {_cosine_sql("embedding", "q.qv")} DESC, vec_id ASC
+            LIMIT {ANN_K}
+        """,
+        "t4_bpe_tokens": r"""
+            SELECT doc_id,
+              len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
+            FROM documents
+        """,
+        "e3_ivf_topk": f"""
+            WITH cent AS (
+              SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+              WHERE vec_id <> 0 ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+            ),
+            assign AS (
+              SELECT e.vec_id, e.embedding, c.cid,
+                row_number() OVER (
+                  PARTITION BY e.vec_id
+                  ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+                           c.cid ASC
+                ) AS rn
+              FROM embeddings e, cent c WHERE e.vec_id <> 0
+            ),
+            b AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            probe AS (
+              SELECT cid FROM (
+                SELECT c.cid,
+                  row_number() OVER (
+                    ORDER BY list_dot_product(q.qv::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+                             c.cid ASC
+                  ) AS rn
+                FROM cent c, q
+              ) WHERE rn <= {IVF_NPROBE}
+            )
+            SELECT b.vec_id, round({_cosine_sql("b.embedding", "q.qv")}, 6) AS cosine
+            FROM b JOIN probe USING (cid), q
+            ORDER BY {_cosine_sql("b.embedding", "q.qv")} DESC, b.vec_id ASC
             LIMIT {ANN_K}
         """,
         "t1_lang_id": _lang_id_sql(),

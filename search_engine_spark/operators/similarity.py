@@ -67,6 +67,69 @@ def hyperplane_bucket(vec: Column, dim: int = 64, n_planes: int = 8, seed: int =
     return bucket.cast("int")
 
 
+def ivf_assign(
+    emb: DataFrame, n_centroids: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: returns (centroids, assignment).
+
+    Centroids are the ``n_centroids`` lowest-id vectors — a deterministic,
+    data-derived codebook (a production system plugs k-means centroids into
+    the same plumbing; only this selection line changes). Assignment =
+    argmax dot-product, ties to the lower centroid id, via a cross join
+    against the (broadcast-small) centroid set + one row_number window.
+    At 10⁹ vectors the window shuffle is avoidable by inlining the argmax
+    as literal-array expressions; the relational form is kept here because
+    the DuckDB oracle mirrors it exactly.
+    """
+    from pyspark.sql.window import Window
+
+    cent = (
+        emb.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    )
+    d = dot_expr(F.col(vec_col), F.col("cvec"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("_dot"), F.asc("cid"))
+    assign = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(F.col(id_col), F.col(vec_col), F.col("cid"), d.alias("_dot"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, vec_col, "cid")
+    )
+    return cent, assign
+
+
+def ivf_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_centroids: int = 8, nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN top-k: probe the ``nprobe`` centroid cells nearest the query
+    (by dot product), exact cosine inside. The scale path of the brief's
+    "IVF or LSH-bucketed variant" — cells shrink the candidate set to
+    ~nprobe/n_centroids of the corpus, and n_centroids grows with corpus
+    size exactly like :func:`planes_for_corpus` buckets."""
+    cent, assign = ivf_assign(emb, n_centroids, id_col, vec_col)
+
+    def seqdot(a, b):  # sequential left fold — bit-identical to dot_expr
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    dots = {int(r.cid): seqdot(query_vec, r.cvec) for r in cent.collect()}
+    probe = [c for c, _ in sorted(dots.items(), key=lambda kv: (-kv[1], kv[0]))[:nprobe]]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assign.where(F.col("cid").isin([int(c) for c in probe]))
+        .select(F.col(id_col), cosine_expr(F.col(vec_col), q).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def cosine_topk(
     emb: DataFrame, query_vec: list[float], k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",

