@@ -285,6 +285,12 @@ def q_s3_url_map(spark, sf_dir):
 
 
 WORDBREAK_ROOT = os.path.join(tempfile.gettempdir(), "se_wordbreak_ref")
+JAPANESE_ROOT = os.path.join(tempfile.gettempdir(), "se_japanese_ref")
+# Bound on the driver-side single-node reference runs (a7/a8 oracle side
+# tables): they deliberately re-run the pytest-golden Python tokenizer on the
+# driver, so cap the row count to keep the driver O(1)-ish at any sf. Both
+# the Spark query and the oracle SQL apply the same predicate.
+SIDE_DOC_CAP = 100_000
 
 
 def q_a7_wordbreak(spark, sf_dir):
@@ -307,6 +313,7 @@ def q_a7_wordbreak(spark, sf_dir):
     pdf = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id", "text")
+        .where(F.col("doc_id") < SIDE_DOC_CAP)
         .toPandas()
     )
     wb = [wordbreak_selfdict(t) for t in pdf["text"]]
@@ -322,11 +329,67 @@ def q_a7_wordbreak(spark, sf_dir):
     os.makedirs(out, exist_ok=True)
     ref.to_parquet(os.path.join(out, "ref.parquet"), index=False)
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < SIDE_DOC_CAP
+    )
     toks = tokens_column(F.col("text"), "wordbreak")
     return d.withColumn("_t", toks).select(
         "doc_id",
         F.size("_t").alias("n_wb_tokens"),
+        F.md5(F.concat_ws(" ", "_t")).alias("tokens_md5"),
+    )
+
+
+def q_a8_japanese(spark, sf_dir):
+    """A8 CJK dictionary analyzer (JapaneseTokenizer.java:19-84 +
+    JapaneseStopWords.java) through the distributed pandas-UDF path.
+
+    Input texts are synthesized deterministically per doc_id from the
+    committed CJK fixture dictionary (cjk.jp_text_for — always segmentable,
+    stop words mixed in so removal is exercised). Oracle construction
+    mirrors a7: a SINGLE-NODE run of the same pytest-golden JapaneseTokenizer
+    is written to a side parquet together with the input text; the Spark
+    query re-reads the text column and tokenizes it DISTRIBUTED via the
+    registered "japanese" analyzer UDF, so the check proves the Arrow/UDF
+    path reproduces the single-node DP + stop-word semantics exactly."""
+    import hashlib
+
+    import pandas as pd
+
+    from search_engine_spark.functions.analyzers import (
+        JapaneseTokenizer,
+        make_analyzer_udf,
+    )
+    from search_engine_spark.functions.cjk import jp_text_for
+
+    ids = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .where(F.col("doc_id") < SIDE_DOC_CAP)
+        .toPandas()["doc_id"]
+    )
+    tok = JapaneseTokenizer()
+    texts = [jp_text_for(int(i)) for i in ids]
+    toks = [tok.tokenize(t) for t in texts]
+    ref = pd.DataFrame(
+        {
+            "doc_id": ids,
+            "jp_text": texts,
+            "n_jp_tokens": [len(t) for t in toks],
+            "tokens_md5": [hashlib.md5(" ".join(t).encode()).hexdigest() for t in toks],
+        }
+    )
+    out = os.path.join(JAPANESE_ROOT, os.path.basename(sf_dir.rstrip("/")))
+    os.makedirs(out, exist_ok=True)
+    ref.to_parquet(os.path.join(out, "ref.parquet"), index=False)
+
+    side = spark.read.parquet(os.path.join(out, "ref.parquet")).select(
+        "doc_id", "jp_text"
+    )
+    jp = make_analyzer_udf("japanese")(F.col("jp_text"))
+    return side.withColumn("_t", jp).select(
+        "doc_id",
+        F.size("_t").alias("n_jp_tokens"),
         F.md5(F.concat_ws(" ", "_t")).alias("tokens_md5"),
     )
 
@@ -622,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_bm25_topk": q_q8_bm25_topk,
         "q8_bm25_porter": q_q8_bm25_porter,
         "a7_wordbreak": q_a7_wordbreak,
+        "a8_japanese": q_a8_japanese,
         "q9_pagerank": q_q9_pagerank,
         "q12_doc_iteration": q_q12_doc_iteration,
         "d1_exact_dedup": q_d1_exact_dedup,
@@ -1073,6 +1137,16 @@ def oracle_sql() -> dict[str, str]:
               FROM read_parquet('{WORDBREAK_ROOT}/*/*.parquet')
             ) r
             JOIN documents d ON d.doc_id = r.doc_id AND md5(d.text) = r.content_md5
+            WHERE r.doc_id < {SIDE_DOC_CAP}
+        """,
+        "a8_japanese": f"""
+            SELECT r.doc_id, r.n_jp_tokens::int AS n_jp_tokens, r.tokens_md5
+            FROM (
+              SELECT DISTINCT doc_id, n_jp_tokens, tokens_md5
+              FROM read_parquet('{JAPANESE_ROOT}/*/*.parquet')
+            ) r
+            JOIN documents d ON d.doc_id = r.doc_id
+            WHERE r.doc_id < {SIDE_DOC_CAP}
         """,
         "q9_pagerank": _q9_sql(),
         "q12_doc_iteration": """

@@ -103,6 +103,20 @@ def wordbreak_selfdict(text: str) -> list[str]:
     return WordBreakTokenizer(dict(Counter(toks))).tokenize("".join(toks))
 
 
+def japanese_tokenize(text: str) -> list[str]:
+    """A8 as a registered analyzer: dictionary-DP CJK segmentation + Japanese
+    stop-word removal over the committed fixture dict (:mod:`.cjk`). The
+    tokenizer (with its precomputed log-prob table) is built once per
+    process, not per row."""
+    global _JAPANESE
+    if _JAPANESE is None:
+        _JAPANESE = JapaneseTokenizer()
+    return _JAPANESE.tokenize(text)
+
+
+_JAPANESE = None
+
+
 ANALYZERS: dict[str, Tokenizer] = {
     "naive": naive_tokenize,
     "punctuation": punctuation_tokenize,
@@ -110,6 +124,7 @@ ANALYZERS: dict[str, Tokenizer] = {
     "porter": porter_analyze,
     "porter_code": lambda text: [porter_stem(t) for t in code_tokenize(text)],
     "wordbreak": wordbreak_selfdict,
+    "japanese": japanese_tokenize,
 }
 
 
@@ -215,6 +230,47 @@ class WordBreakTokenizer:
             i = j
         toks.reverse()
         return [t for t in toks if t not in STOP_WORDS]
+
+
+class JapaneseTokenizer:
+    """A8: dictionary-driven DP segmentation of CJK text
+    (``JapaneseTokenizer.java:19-84`` + ``JapaneseStopWords.java``).
+
+    Reference semantics mirrored:
+
+    - empty text -> ``[]``; text containing any of ``, . ; ? !`` raises
+      (``JapaneseTokenizer.java:40-44`` throws on punctuation input);
+    - segmentation maximizes the sum of per-word ``log(freq/total)`` over a
+      FULL segmentation into dictionary words, raising if none exists
+      (``:45-78``). The reference uses an O(n^3) interval DP; the objective
+      is additive over segments, so the O(n * max_word_len) Viterbi DP in
+      :class:`WordBreakTokenizer` finds the same optimum (fixture
+      frequencies are distinct, so the optimum is unique and tie order is
+      moot);
+    - Japanese stop words are removed from the result AFTER segmentation
+      (``:82``, ``results.removeAll``).
+
+    The dictionary is pluggable; the default is the committed fixture
+    (:data:`search_engine_spark.functions.cjk.CJK_FREQ_DICT`) — the
+    reference's 82k-entry ``JapaneseDic.txt`` resource is NOT copied.
+    CJK has no case or (in this pipeline) whitespace, so the inner
+    word-break's lower()/whitespace-strip are identity transforms here.
+    """
+
+    PUNCT = (",", ".", ";", "?", "!")
+
+    def __init__(self, freq_dict: dict[str, float] | None = None):
+        from .cjk import CJK_FREQ_DICT, JAPANESE_STOP_WORDS
+
+        self._wb = WordBreakTokenizer(freq_dict or CJK_FREQ_DICT)
+        self._stop = JAPANESE_STOP_WORDS
+
+    def tokenize(self, text: str) -> list[str]:
+        if any(p in text for p in self.PUNCT):
+            raise ValueError(
+                "punctuation should not be input to JapaneseTokenizer"
+            )
+        return [t for t in self._wb.tokenize(text) if t not in self._stop]
 
 
 def term_positions(tokens: Iterable[str]) -> dict[str, list[int]]:

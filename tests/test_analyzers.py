@@ -248,3 +248,58 @@ def test_japanese_tokenizer_spark_udf(spark):
     df = spark.createDataFrame([("こんにちは世界",), ("世界こんにちは",)], "s string")
     got = [r[0] for r in df.select(udf(F.col("s"))).collect()]
     assert got == [["こんにちは", "世界"], ["世界", "こんにちは"]]
+
+
+def test_japanese_tokenizer_reference_semantics():
+    """A8 first-class tokenizer (JapaneseTokenizer.java:19-84 +
+    JapaneseStopWords.java): DP segmentation over the committed fixture
+    dict, punctuation raise, stop-word removal AFTER segmentation."""
+    from search_engine_spark.functions.analyzers import JapaneseTokenizer
+    from search_engine_spark.functions.cjk import (
+        CJK_FREQ_DICT,
+        JAPANESE_STOP_WORDS,
+    )
+
+    assert len(JAPANESE_STOP_WORDS) == 45  # JapaneseStopWords.java:17-63
+    tok = JapaneseTokenizer()
+    # particles は/が/です segment out and are then removed as stop words
+    assert tok.tokenize("私は猫が好きです") == ["私", "猫", "好き"]
+    assert tok.tokenize("") == []
+    # multi-char dict word beats splitting into its substrings
+    # (log p(日本) > log p(日) + log p(本))
+    assert tok.tokenize("日本") == ["日本"]
+    assert tok.tokenize("学生は学校で先生と話す") == ["学生", "学校", "先生", "話す"]
+    # all-stop-word text -> []
+    assert tok.tokenize("はがを") == []
+    # ASCII punctuation raises (JapaneseTokenizer.java:40-44)
+    with pytest.raises(ValueError):
+        tok.tokenize("私は,猫")
+    # unsegmentable text raises (:74-76)
+    with pytest.raises(ValueError):
+        tok.tokenize("私はXYZ")
+    # pluggable dictionary, same semantics
+    small = JapaneseTokenizer({"こんにちは": 50, "世界": 30, "は": 90})
+    assert small.tokenize("こんにちは世界") == ["こんにちは", "世界"]
+    assert all(f > 0 for f in CJK_FREQ_DICT.values())
+
+
+def test_japanese_analyzer_registered(spark):
+    """A8 as a registered analyzer name usable anywhere an analyzer is
+    (contract row a8_japanese runs this same UDF distributed)."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.functions.analyzers import (
+        JapaneseTokenizer,
+        get_analyzer,
+        make_analyzer_udf,
+    )
+    from search_engine_spark.functions.cjk import jp_text_for
+
+    fn = get_analyzer("japanese")
+    tok = JapaneseTokenizer()
+    texts = [jp_text_for(i) for i in range(40)]
+    assert [fn(t) for t in texts] == [tok.tokenize(t) for t in texts]
+
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    got = [r[0] for r in df.select(make_analyzer_udf("japanese")(F.col("s"))).collect()]
+    assert got == [tok.tokenize(t) for t in texts]
