@@ -190,9 +190,16 @@ def _latest_prior_bench() -> tuple[str, dict]:
     """Most recent driver-recorded BENCH_r{N}.json — the carry-forward
     column that makes regressions visible round over round."""
     import glob
+    import re
 
     root = os.path.dirname(os.path.abspath(__file__))
-    paths = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+    # sort by the NUMERIC round (BENCH_r2 < BENCH_r10); lexicographic path
+    # sort would pick the wrong prior once rounds pass one digit
+    def round_no(p: str) -> int:
+        m = re.search(r"BENCH_r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    paths = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")), key=round_no)
     if not paths:
         return "", {}
     with open(paths[-1]) as f:

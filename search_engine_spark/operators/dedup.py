@@ -55,6 +55,14 @@ def exact_dedup(df: DataFrame, text: str = "content", id_col: str = "docId") -> 
 # Universal-hash mixing for MinHash: ONE md5 per shingle, then num_hashes
 # cheap affine mixes mh_j = (a_j*h + b_j) mod P. P < 2^30 keeps a_j*h < 2^60
 # — no int64 overflow in either Spark (wrapping) or DuckDB (erroring).
+#
+# Collision knee of the ~2^30 base hash space: a doc with s distinct shingles
+# sees expected s^2/2P internal collisions, ~2^-15 * (s/2^7.5)^2 — negligible
+# below ~2^15 (32k) shingles/doc, then a slowly growing upward bias on the
+# estimated Jaccard (collisions merge shingles, inflating similarity and LSH
+# candidate recall — a safe direction for dedup). If very large documents
+# dominate a corpus, combine two independent mod-P mixes per hash (j and
+# j+num_hashes) into a 60-bit value; the oracle-mirrorable form stays.
 MINHASH_P = 1_073_741_789  # largest prime < 2^30 + 35 headroom (2^30 - 35)
 
 
