@@ -31,8 +31,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument(
-        "--format", choices=("parquet", "iceberg"), default="parquet",
-        help="input source format (explicit — no path-shape guessing)",
+        "--format", choices=("parquet", "iceberg", "table"), default="parquet",
+        help="input source format (explicit — no path-shape guessing); "
+        "'table' treats --input as a catalog table name (spark.read.table — "
+        "the Iceberg-catalog read path)",
     )
     ap.add_argument("--analyzer", default="porter_code")
     ap.add_argument("--batches", type=int, default=1)
@@ -49,7 +51,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from pyspark.sql import SparkSession
 
-    from search_engine_spark.sources.corpus import with_doc_ids
+    from search_engine_spark.sources.corpus import load_corpus_table, with_doc_ids
     from search_engine_spark.sources.segments import build_index
 
     owns_session = SparkSession.getActiveSession() is None
@@ -60,11 +62,12 @@ def main(argv: list[str] | None = None) -> int:
     else:  # cluster: resources come from spark-submit
         spark = SparkSession.builder.appName("build-index").getOrCreate()
 
-    corpus = (
-        spark.read.format("iceberg").load(a.input)
-        if a.format == "iceberg"
-        else spark.read.parquet(a.input)
-    )
+    if a.format == "table":
+        corpus = load_corpus_table(spark, a.input)
+    elif a.format == "iceberg":
+        corpus = spark.read.format("iceberg").load(a.input)
+    else:
+        corpus = spark.read.parquet(a.input)
     if "docId" not in corpus.columns:
         corpus = with_doc_ids(corpus)
     t0 = time.time()

@@ -8,6 +8,7 @@ partitions ~ cores).
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -36,6 +37,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # catalog-table writes (register_corpus_table / saveAsTable) land in
+        # a temp warehouse, never the working tree; a cluster deployment
+        # overrides this (and the catalog impl) via `extra` / spark-submit
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(tempfile.gettempdir(), "se_warehouse"),
+            ),
+        )
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

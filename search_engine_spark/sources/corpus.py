@@ -159,6 +159,48 @@ def synthetic_corpus(
     return with_doc_ids(corpus)
 
 
+NORTH_RULE_COLUMNS = ("repo", "path", "commit", "lang", "content")
+
+
+def register_corpus_table(
+    spark: SparkSession,
+    corpus: DataFrame,
+    table: str = "code_corpus",
+    mode: str = "overwrite",
+) -> None:
+    """Register a corpus DataFrame as a CATALOG TABLE (``saveAsTable``) so
+    downstream reads go through ``spark.read.table`` — the north-rule input
+    shape ("Iceberg table of source-code repositories", BASELINE.json
+    ``input_hint``). Only the five contract columns are persisted; docIds
+    are re-derived on read so the table stays engine-agnostic."""
+    corpus.select(*NORTH_RULE_COLUMNS).write.mode(mode).saveAsTable(table)
+
+
+def load_corpus_table(spark: SparkSession, table: str) -> DataFrame:
+    """S1 over a catalog table: the Iceberg-shaped read path.
+
+    ``spark.read.table`` resolves through the session's catalog — with an
+    Iceberg catalog configured (``spark.sql.catalog.<name>`` =
+    ``org.apache.iceberg.spark.SparkCatalog`` + the iceberg-spark-runtime
+    jar, neither shipped in this sandbox) the SAME call reads a real Iceberg
+    table with snapshot isolation, partition pruning, and hidden-partition
+    pushdown; here the session catalog's parquet provider exercises the
+    identical reader surface (catalog resolution -> Catalyst -> columnar
+    scan with pushdown/pruning). Columns are validated against the
+    north-rule contract and docId/content_sha256 attached exactly as the
+    path-based reader does, so ``build_index`` runs off a table unchanged.
+    """
+    t = spark.read.table(table)
+    missing = [c for c in NORTH_RULE_COLUMNS if c not in t.columns]
+    if missing:
+        raise ValueError(
+            f"catalog table {table!r} lacks north-rule columns {missing}; "
+            f"expected {NORTH_RULE_COLUMNS}"
+        )
+    t = t.select(*NORTH_RULE_COLUMNS)
+    return with_doc_ids(t)
+
+
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adapter: driver testdata ``documents.parquet`` -> corpus shape.
 
