@@ -67,51 +67,127 @@ def hyperplane_bucket(vec: Column, dim: int = 64, n_planes: int = 8, seed: int =
     return bucket.cast("int")
 
 
+Centroids = list[tuple[int, list[float]]]
+
+
+def lowid_centroids(
+    emb: DataFrame, n_centroids: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> Centroids:
+    """Deterministic stand-in codebook: the ``n_centroids`` lowest-id
+    vectors. Not a quantizer — it is the oracle-mirrorable default (the
+    DuckDB SQL selects the same rows); :func:`kmeans_centroids` is the
+    production codebook. Collect is ``n_centroids`` rows — a codebook, not
+    data."""
+    rows = emb.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+
+
+def ivf_assign_expr(centroids: Centroids, vec_col: str = "embedding"):
+    """Inline argmax cell assignment: array_max over
+    ``array<struct<dot, -cid>>`` built from centroid LITERALS — a pure
+    per-row projection (whole-stage codegen, NO join, NO window, NO
+    shuffle). Struct ordering compares dot first, then -cid, so ties go to
+    the LOWER centroid id — exactly the oracle's ``ORDER BY dot DESC, cid
+    ASC``. This is the 10⁹-vector-safe form of the assignment: the r2
+    row_number-window version shuffled n×n_centroids rows by vec_id."""
+    entries = [
+        F.struct(
+            dot_expr(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cvec])).alias("d"),
+            F.lit(-int(cid)).alias("nc"),
+        )
+        for cid, cvec in centroids
+    ]
+    # array() re-labels struct fields positionally; the cast restores names
+    best = F.array_max(
+        F.array(*entries).cast("array<struct<d: double, nc: bigint>>")
+    )
+    return (-best["nc"]).cast("long")
+
+
 def ivf_assign(
     emb: DataFrame, n_centroids: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",
-) -> tuple[DataFrame, DataFrame]:
-    """IVF coarse quantizer: returns (centroids, assignment).
+    centroids: Centroids | None = None,
+) -> tuple[Centroids, DataFrame]:
+    """IVF coarse quantizer: returns (centroids, assignment DataFrame).
 
-    Centroids are the ``n_centroids`` lowest-id vectors — a deterministic,
-    data-derived codebook (a production system plugs k-means centroids into
-    the same plumbing; only this selection line changes). Assignment =
-    argmax dot-product, ties to the lower centroid id, via a cross join
-    against the (broadcast-small) centroid set + one row_number window.
-    At 10⁹ vectors the window shuffle is avoidable by inlining the argmax
-    as literal-array expressions; the relational form is kept here because
-    the DuckDB oracle mirrors it exactly.
-    """
-    from pyspark.sql.window import Window
+    ``centroids`` defaults to :func:`lowid_centroids` (deterministic,
+    oracle-mirrorable); pass :func:`kmeans_centroids` output for a real
+    codebook — the assignment plumbing is identical. The assignment itself
+    is :func:`ivf_assign_expr` — scan + project only."""
+    if centroids is None:
+        centroids = lowid_centroids(emb, n_centroids, id_col, vec_col)
+    assign = emb.select(
+        F.col(id_col), F.col(vec_col), ivf_assign_expr(centroids, vec_col).alias("cid")
+    )
+    return centroids, assign
 
-    cent = (
-        emb.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-    )
-    d = dot_expr(F.col(vec_col), F.col("cvec"))
-    w = Window.partitionBy(id_col).orderBy(F.desc("_dot"), F.asc("cid"))
-    assign = (
-        emb.crossJoin(F.broadcast(cent))
-        .select(F.col(id_col), F.col(vec_col), F.col("cid"), d.alias("_dot"))
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(id_col, vec_col, "cid")
-    )
-    return cent, assign
+
+def kmeans_centroids(
+    emb: DataFrame, k: int = 8, n_iters: int = 3,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    sample_mod: int = 1,
+) -> Centroids:
+    """Fixed-iteration Lloyd's k-means as a DataFrame job — the production
+    IVF codebook. Init = lowest-id vectors (deterministic); per iteration:
+    inline-argmax assignment (no shuffle) -> per-cell mean via
+    ``posexplode`` + partial/final avg (ONE shuffle of k×dim aggregate
+    rows; the map side combines locally). Driver traffic is k×dim doubles
+    per iteration — a codebook, never data. ``sample_mod`` > 1 trains on a
+    deterministic 1/mod docId-hash slice (at 10⁹ vectors train on ~10⁶; the
+    final assignment still covers everything). Empty cells keep their
+    previous centroid (standard Lloyd's degeneracy guard). Returns cids
+    relabeled 0..k-1 so the codebook is self-describing."""
+    train = emb
+    if sample_mod > 1:
+        train = emb.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
+    cents = [(i, vec) for i, (_, vec) in enumerate(lowid_centroids(train, k, id_col, vec_col))]
+    for _ in range(n_iters):
+        cid = ivf_assign_expr(cents, vec_col)
+        means = (
+            train.select(cid.alias("cid"), F.posexplode(F.col(vec_col)).alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(int(r.cid), {})[int(r.pos)] = float(r.m)
+        cents = [
+            (
+                i,
+                [by_cell[i][p] for p in range(len(old))] if i in by_cell else old,
+            )
+            for i, old in cents
+        ]
+    return cents
 
 
 def ivf_topk(
     emb: DataFrame, query_vec: list[float], k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
     n_centroids: int = 8, nprobe: int = 2,
+    codebook: str = "lowid", kmeans_iters: int = 3, kmeans_sample_mod: int = 1,
 ) -> DataFrame:
     """IVF ANN top-k: probe the ``nprobe`` centroid cells nearest the query
     (by dot product), exact cosine inside. The scale path of the brief's
     "IVF or LSH-bucketed variant" — cells shrink the candidate set to
     ~nprobe/n_centroids of the corpus, and n_centroids grows with corpus
-    size exactly like :func:`planes_for_corpus` buckets."""
-    cent, assign = ivf_assign(emb, n_centroids, id_col, vec_col)
+    size exactly like :func:`planes_for_corpus` buckets.
+
+    ``codebook='lowid'`` (default) keeps the oracle-mirrorable deterministic
+    centroids; ``codebook='kmeans'`` trains :func:`kmeans_centroids` first.
+    """
+    if codebook == "kmeans":
+        cents = kmeans_centroids(
+            emb, n_centroids, kmeans_iters, id_col, vec_col, kmeans_sample_mod
+        )
+    elif codebook == "lowid":
+        cents = lowid_centroids(emb, n_centroids, id_col, vec_col)
+    else:
+        raise ValueError(f"unknown codebook {codebook!r}; 'lowid' or 'kmeans'")
+    _, assign = ivf_assign(emb, n_centroids, id_col, vec_col, centroids=cents)
 
     def seqdot(a, b):  # sequential left fold — bit-identical to dot_expr
         acc = 0.0
@@ -119,7 +195,7 @@ def ivf_topk(
             acc += float(x) * float(y)
         return acc
 
-    dots = {int(r.cid): seqdot(query_vec, r.cvec) for r in cent.collect()}
+    dots = {cid: seqdot(query_vec, cvec) for cid, cvec in cents}
     probe = [c for c, _ in sorted(dots.items(), key=lambda kv: (-kv[1], kv[0]))[:nprobe]]
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (

@@ -307,3 +307,129 @@ def test_ivf_topk_subset_and_recall(spark):
     assert set(got2) <= set(exact) | set(got2)       # cosine values real
     assert got8 == exact                             # all cells = brute force
     assert len(set(got8) & set(exact)) >= len(set(got2) & set(exact))
+
+
+def test_ivf_assign_no_shuffle_plan(spark):
+    """The inline-argmax assignment must be a pure projection: no Window, no
+    shuffle Exchange, no join in the physical plan (the r2 row_number form
+    shuffled n x n_centroids rows — the 10^9-vector killer)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from search_engine_spark.operators.similarity import ivf_assign
+
+    e = _emb_fixture(spark, n=80)
+    _, assign = ivf_assign(e, n_centroids=4)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assign.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Join" not in plan
+
+
+def test_ivf_assign_argmax_matches_relational(spark):
+    """Inline argmax == the relational argmax (crossJoin + row_number) it
+    replaced, including lower-cid tie-breaking on duplicate vectors."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from search_engine_spark.operators.similarity import (
+        dot_expr,
+        ivf_assign,
+        lowid_centroids,
+    )
+
+    e = _emb_fixture(spark, n=100)
+    cents, assign = ivf_assign(e, n_centroids=6)
+    got = {r.vec_id: r.cid for r in assign.collect()}
+
+    cent_df = spark.createDataFrame(
+        [(c, v) for c, v in cents], "cid long, cvec array<double>"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_dot"), F.asc("cid"))
+    rel = (
+        e.crossJoin(F.broadcast(cent_df))
+        .select("vec_id", "cid", dot_expr(F.col("embedding"), F.col("cvec")).alias("_dot"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+    exp = {r.vec_id: r.cid for r in rel.collect()}
+    assert got == exp
+
+
+def test_kmeans_centroids_recovers_clusters(spark):
+    """3-iteration Lloyd's over DataFrame ops separates well-separated
+    synthetic clusters: every k-means cell is pure w.r.t. ground truth, and
+    within-cell distortion beats the lowid stand-in codebook."""
+    import numpy as np
+
+    from search_engine_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_centroids,
+        lowid_centroids,
+    )
+
+    rng = np.random.default_rng(9)
+    centers = np.array([[10.0, 0, 0, 0], [0, 10.0, 0, 0], [0, 0, 10.0, 0]])
+    rows = []
+    for i in range(150):
+        c = i % 3
+        v = centers[c] + rng.standard_normal(4) * 0.2
+        rows.append((i, [float(x) for x in v]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    km = kmeans_centroids(e, k=3, n_iters=3)
+    assert [c for c, _ in km] == [0, 1, 2]
+    _, assign = ivf_assign(e, centroids=km)
+    cells = {}
+    for r in assign.collect():
+        cells.setdefault(r.cid, set()).add(r.vec_id % 3)
+    assert all(len(truth) == 1 for truth in cells.values())  # pure cells
+    assert len(cells) == 3
+
+    def distortion(cents):
+        lut = {c: np.array(v) for c, v in cents}
+        _, a = ivf_assign(e, centroids=cents)
+        return sum(
+            float(np.sum((np.array(r.embedding) - lut[r.cid]) ** 2))
+            for r in a.collect()
+        )
+
+    assert distortion(km) < distortion(lowid_centroids(e, 3))
+
+
+def test_kmeans_sample_mod_and_empty_cells(spark):
+    """sample_mod trains on a slice but still returns k centroids; k larger
+    than distinct points keeps previous centroids for empty cells (no NaNs,
+    no crashes)."""
+    from search_engine_spark.operators.similarity import kmeans_centroids
+
+    e = _emb_fixture(spark, n=40)
+    km = kmeans_centroids(e, k=4, n_iters=2, sample_mod=4)
+    assert len(km) == 4 and all(len(v) == 8 for _, v in km)
+    assert all(all(x == x for x in v) for _, v in km)  # no NaN
+
+    tiny = _emb_fixture(spark, n=3, dup_pairs=0)
+    km2 = kmeans_centroids(tiny, k=3, n_iters=2)
+    assert len(km2) == 3
+
+
+def test_ivf_topk_kmeans_codebook(spark):
+    """codebook='kmeans' flows through ivf_topk; probing all cells is
+    exhaustive (== brute force) regardless of codebook."""
+    from search_engine_spark.operators.similarity import cosine_topk, ivf_topk
+
+    e = _emb_fixture(spark, n=120)
+    q = [float(x) for x in e.where("vec_id = 5").first().embedding]
+    rest = e.where("vec_id <> 5")
+    exact = [r.vec_id for r in cosine_topk(rest, q, 10).collect()]
+    got = [
+        r.vec_id
+        for r in ivf_topk(
+            rest, q, 10, n_centroids=6, nprobe=6, codebook="kmeans", kmeans_iters=2
+        ).collect()
+    ]
+    assert got == exact
