@@ -46,6 +46,12 @@ def main(argv: list[str] | None = None) -> int:
         help="skew stats from a 1/N docId-hash slice (1 = full extra pass)",
     )
     ap.add_argument("--no-positions", action="store_true")
+    ap.add_argument(
+        "--clustered-ids", action="store_true",
+        help="assign docIds clustered by repo (contiguous per-repo ranges) "
+        "so block-max WAND skips whole block runs on repo-correlated "
+        "queries; only applies when the input has no docId column",
+    )
     ap.add_argument("--master", default=None, help="local testing only")
     a = ap.parse_args(argv)
 
@@ -63,13 +69,13 @@ def main(argv: list[str] | None = None) -> int:
         spark = SparkSession.builder.appName("build-index").getOrCreate()
 
     if a.format == "table":
-        corpus = load_corpus_table(spark, a.input)
+        corpus = load_corpus_table(spark, a.input, clustered_ids=a.clustered_ids)
     elif a.format == "iceberg":
         corpus = spark.read.format("iceberg").load(a.input)
     else:
         corpus = spark.read.parquet(a.input)
     if "docId" not in corpus.columns:
-        corpus = with_doc_ids(corpus)
+        corpus = with_doc_ids(corpus, clustered=a.clustered_ids)
     t0 = time.time()
     m = build_index(
         spark, corpus, a.output,

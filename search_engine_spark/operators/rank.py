@@ -180,20 +180,24 @@ def _daat_segment(
 ) -> pd.DataFrame:
     """Score one segment's packed rows for the query terms.
 
-    Two-phase MaxScore with block-max skipping (bm25 only — the tfidf cosine
-    norm is non-monotone in added terms, so that scorer runs exhaustive,
-    exactly like the reference):
+    Block-max WAND with per-block admission on EVERY row (bm25 only — the
+    tfidf cosine norm is non-monotone in added terms, so that scorer runs
+    exhaustive, exactly like the reference):
 
-    - Phase A (essential): rows in UB-desc order decode fully, θ = k-th best
-      partial sum so far (a valid lower bound for bm25). A row becomes
-      non-essential once ``suffix_ub(i) < θ`` — a doc found only from row i
-      onward is bounded by suffix_ub(i) and cannot enter the top k.
-    - Phase B (non-essential): decode only blocks that (a) contain at least
-      one current candidate doc and (b) satisfy
-      ``max_candidate_partial_in_block + block_ub + suffix_rest >= θ`` —
-      the block bound uses the candidates' ACTUAL accumulated partial
-      scores, not the sum of prior rows' theoretical UBs (which is so loose
-      it never prunes: Σ prior UBs ≫ θ whenever several terms exist).
+    Rows decode in UB-desc order; θ = k-th best partial sum so far (a valid
+    lower bound on the k-th final score for bm25). Once θ is live, a block
+    decodes only if someone in it could still reach θ:
+
+    - a NEW doc, bounded by ``block_ub + rest_other`` (rest_other = later
+      rows of OTHER terms — a doc has exactly one salted row per term), or
+    - a KNOWN viable candidate in the block's docId range, bounded by its
+      ACTUAL accumulated partial + ``block_ub + rest_other`` (theoretical
+      prior-row UB sums are so loose they never prune).
+
+    Docs whose partial + total remaining UB < θ are non-viable and neither
+    keep blocks alive nor finish accumulating — they cannot enter the top
+    k, and θ only under-estimates, so pruned and exhaustive top-k are
+    identical (asserted continuously by tools/wand_audit.py).
     """
     rows = []
     for r in pdf.itertuples(index=False):
@@ -243,25 +247,43 @@ def _daat_segment(
     cpart: np.ndarray | None = None
     for i, (ub, r) in enumerate(rows):
         # strict <: a doc tying θ exactly could still enter top-k on tiebreak
-        non_essential = can_prune and theta > -np.inf and suffix_ub[i] < theta
         blast = np.asarray(r.block_last_docid, dtype=np.int64)
         take = np.ones(len(blast), dtype=bool)
-        if non_essential:
-            want = cand if cand is not None else np.empty(0, np.int64)
+        if can_prune and theta > -np.inf:
+            # Per-block admission (block-max WAND, every row): a block must
+            # decode iff SOMEONE in it could still reach the k-th final
+            # score. Two cases, both bounded by this block's UB plus later
+            # rows of OTHER terms only (a doc has exactly one salted row per
+            # term, so this row is its single row for this term):
+            #   new doc   : bub + rest_other            (cpart = 0)
+            #   known doc : maxp + bub + rest_other     (maxp over VIABLE
+            #               candidates in the block's docId range)
+            # VIABLE = cpart + suffix_ub[i] >= θ: a doc below that can never
+            # reach the k-th final (bm25 partials only grow) and must not
+            # keep blocks alive. Top-k docs stay viable at all times (their
+            # partial + remaining UB ≥ their final ≥ θ), so every block a
+            # top-k doc needs still decodes; skipped docs may report
+            # under-accumulated scores but are truncated away, and θ only
+            # ever UNDER-estimates, so pruning stays sound. Clustered docIds
+            # bite exactly here: viable candidates concentrate in few docId
+            # ranges, and block runs outside them fail both cases.
+            idf, qtf = qmeta[r.term]
+            bub = qtf * idf * _tf_upper(scorer, np.asarray(r.block_max_tf))
+            rest_other = suffix_ub[i + 1] - suffix_max[r.term][i + 1]
+            new_ok = (bub + rest_other) >= theta
+            if cand is not None:
+                viable = (cpart + suffix_ub[i]) >= theta
+                want, wpart = cand[viable], cpart[viable]
+            else:
+                want = np.empty(0, np.int64)
+                wpart = np.empty(0, np.float64)
             prev = np.concatenate(([np.int64(-1)], blast[:-1]))
             lo = np.searchsorted(want, prev, "right")
             hi = np.searchsorted(want, blast, "right")
-            take &= hi > lo
-            idf, qtf = qmeta[r.term]
-            bub = qtf * idf * _tf_upper(scorer, np.asarray(r.block_max_tf))
-            # best any candidate in this block could still reach: its
-            # accumulated partial + this block's UB + later rows of OTHER
-            # terms only (this row is the doc's single row for this term)
-            rest_other = suffix_ub[i + 1] - suffix_max[r.term][i + 1]
-            maxp = np.full(len(blast), -np.inf)
-            for b in np.flatnonzero(take):
-                maxp[b] = cpart[lo[b] : hi[b]].max()
-            take &= (maxp + bub + rest_other) >= theta
+            known_ok = np.zeros(len(blast), dtype=bool)
+            for b in np.flatnonzero(hi > lo):
+                known_ok[b] = (wpart[lo[b] : hi[b]].max() + bub[b] + rest_other) >= theta
+            take = new_ok | known_ok
         if stats is not None:  # pruning-effectiveness audit (tools/wand_audit.py)
             stats["blocks_total"] = stats.get("blocks_total", 0) + int(len(take))
             stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + int(take.sum())

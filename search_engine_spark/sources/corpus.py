@@ -62,23 +62,53 @@ FIXTURE_SENTENCES = (
 )
 
 # Zipf-ish vocabulary: a few extremely heavy code terms + a long tail.
-_HEAVY = (
-    "def import return class public static void int string self "
-    "include printf null new for while else break"
-).split()
+# Heavy terms are LANGUAGE-BIASED (each repo is one language, like real
+# corpora): term frequency correlates with repo, which is exactly the
+# structure that makes clustered docId assignment (below) pay off for
+# block-max WAND skipping. A shared slice keeps some terms corpus-wide.
+_HEAVY_BY_LANG = {
+    "java": "public static void class new final int string import".split(),
+    "py": "def import return self class none lambda for in".split(),
+    "c": "include printf int void struct char while break null".split(),
+    "md": "code example usage build install run test readme doc".split(),
+    "txt": "one all data file line text note list item".split(),
+}
+_HEAVY_SHARED = "return for while else new".split()
+_HEAVY = sorted({w for ws in _HEAVY_BY_LANG.values() for w in ws} | set(_HEAVY_SHARED))
+
+_CLUSTER_PREFIX_BITS = 18
 
 
-def doc_id_expr(repo="repo", path="path", commit="commit"):
-    """Deterministic 63-bit docId from (repo, path, commit).
+def doc_id_expr(repo="repo", path="path", commit="commit", clustered: bool = False):
+    """Deterministic 63-bit docId from (repo, path, commit). JVM-side, no
+    Python; :func:`check_docid_collisions` verifies per-corpus and on a
+    collision the salt can be bumped.
 
-    xxhash64 is a stable Spark built-in; masked to non-negative. Collision
-    probability at 10^12 docs is ~2.7e-2 per birthday bound on 63 bits —
-    :func:`check_docid_collisions` verifies per-corpus; on a collision the
-    salt can be bumped. JVM-side, no Python.
+    ``clustered=False``: uniform xxhash64 over the full key — ids spread
+    evenly, which is the WORST case for block-max WAND (strong candidates
+    land in every 128-posting block, so block skipping never bites —
+    measured in tools/wand_audit.py).
+
+    ``clustered=True``: the top ``_CLUSTER_PREFIX_BITS`` bits come from
+    xxhash64(repo), the rest from the full key — docs of one repo share a
+    contiguous docId range, so posting lists sorted by docId group same-repo
+    docs into the same blocks. Queries whose candidates concentrate in few
+    repos (the realistic case: vocabulary correlates with repo/language)
+    then skip whole block runs. The trade is suffix width: 45 bits within a
+    repo — fine up to ~10^5-10^6 files/repo; at 10^12 total files with
+    monster repos, switch to dense range assignment (sort by (repo, path),
+    per-partition offsets from a count pass) — same contract, two-pass.
     """
-    return F.xxhash64(F.col(repo), F.col(path), F.col(commit)).bitwiseAND(
-        F.lit(0x7FFFFFFFFFFFFFFF)
+    if not clustered:
+        return F.xxhash64(F.col(repo), F.col(path), F.col(commit)).bitwiseAND(
+            F.lit(0x7FFFFFFFFFFFFFFF)
+        )
+    suffix_bits = 63 - _CLUSTER_PREFIX_BITS
+    prefix = F.xxhash64(F.col(repo)).bitwiseAND(F.lit((1 << _CLUSTER_PREFIX_BITS) - 1))
+    suffix = F.xxhash64(F.col(repo), F.col(path), F.col(commit)).bitwiseAND(
+        F.lit((1 << suffix_bits) - 1)
     )
+    return F.shiftleft(prefix, suffix_bits).bitwiseOR(suffix)
 
 
 def check_docid_collisions(corpus: DataFrame) -> int:
@@ -91,10 +121,11 @@ def check_docid_collisions(corpus: DataFrame) -> int:
     )
 
 
-def with_doc_ids(corpus: DataFrame) -> DataFrame:
+def with_doc_ids(corpus: DataFrame, clustered: bool = False) -> DataFrame:
     """Attach `docId` and `content_sha256` (per-row invariant vs the source,
-    BASELINE.json input_hint)."""
-    return corpus.withColumn("docId", doc_id_expr()).withColumn(
+    BASELINE.json input_hint). ``clustered`` groups same-repo docs into
+    contiguous docId ranges — see :func:`doc_id_expr`."""
+    return corpus.withColumn("docId", doc_id_expr(clustered=clustered)).withColumn(
         "content_sha256", F.sha2(F.col("content"), 256)
     )
 
@@ -106,17 +137,39 @@ def _gen_rows(start: int, end: int, vocab_size: int, seed: int) -> pd.DataFrame:
     rows = []
     tail = [f"tok{v}" for v in range(vocab_size)]
     for i in range(start, end):
-        repo = f"org{i // 50}/repo{i % 50}"
-        lang = _LANGS[i % len(_LANGS)]
+        # 50 files per repo (docs i//50 == g share one repo), 20 repos per
+        # org — the grouping clustered docIds exploit. Earlier revisions
+        # wrote "org{i//50}/repo{i%50}", i.e. one FILE per repo, which made
+        # repo-level clustering vacuous.
+        g = i // 50
+        repo = f"org{g // 20}/repo{g % 20}"
+        # one language per REPO, like real corpora — term frequency
+        # correlates with repo, the structure clustered docIds exploit
+        lang = _LANGS[g % len(_LANGS)]
         path = f"src/m{i % 7}/file_{i}.{_EXT[lang]}"
         commit = hashlib.sha1(f"{repo}:{path}".encode()).hexdigest()
         rng = np.random.default_rng(seed * 1_000_003 + i)
         n = int(rng.integers(30, 120))
-        # Zipf over the tail vocab + guaranteed heavy terms
+        # Zipf over the tail vocab + guaranteed heavy terms (lang-biased +
+        # a corpus-wide shared slice). Heavy-term density varies per REPO
+        # (terse vs idiom-dense projects — real corpora show strong
+        # project-level tf skew), which is what gives per-block max_tf its
+        # variance once docIds cluster by repo.
         zipf_idx = rng.zipf(1.3, size=n) % vocab_size
         words = [tail[z] for z in zipf_idx]
-        heavy_n = int(rng.integers(3, 12))
-        words += list(rng.choice(_HEAVY, size=heavy_n))
+        lo, hi = ((1, 4), (2, 7), (5, 13))[(i // 50) % 3]
+        heavy_n = int(rng.integers(lo, hi))
+        words += list(rng.choice(_HEAVY_BY_LANG[lang], size=heavy_n))
+        words += list(rng.choice(_HEAVY_SHARED, size=max(1, heavy_n // 3)))
+        # repo-LOCAL identifiers (each repo's own helper/class names — the
+        # realistic shape of tail terms in code: they recur within one
+        # project, not one-doc-per-project corpus-wide). Queries combining a
+        # project identifier with API keywords are where clustered docIds
+        # collapse the candidate range to one repo.
+        words += [
+            f"rid{i // 50}n{int(x)}"
+            for x in rng.integers(0, 5, size=int(rng.integers(1, 4)))
+        ]
         if i % 17 == 0:
             words.append(FIXTURE_SENTENCES[i % len(FIXTURE_SENTENCES)])
         perm = rng.permutation(len(words))
@@ -131,6 +184,7 @@ def synthetic_corpus(
     vocab_size: int = 5000,
     seed: int = 42,
     partitions: int | None = None,
+    clustered_ids: bool = False,
 ) -> DataFrame:
     """Distributed deterministic corpus: each partition generates its own row
     range via ``mapInPandas`` — no driver-side materialization, scales to any
@@ -156,7 +210,7 @@ def synthetic_corpus(
                 yield _gen_rows(int(r.start), int(r.end), vocab_size, seed)
 
     corpus = bounds.mapInPandas(gen, CORPUS_SCHEMA)
-    return with_doc_ids(corpus)
+    return with_doc_ids(corpus, clustered=clustered_ids)
 
 
 NORTH_RULE_COLUMNS = ("repo", "path", "commit", "lang", "content")
@@ -176,7 +230,9 @@ def register_corpus_table(
     corpus.select(*NORTH_RULE_COLUMNS).write.mode(mode).saveAsTable(table)
 
 
-def load_corpus_table(spark: SparkSession, table: str) -> DataFrame:
+def load_corpus_table(
+    spark: SparkSession, table: str, clustered_ids: bool = False
+) -> DataFrame:
     """S1 over a catalog table: the Iceberg-shaped read path.
 
     ``spark.read.table`` resolves through the session's catalog — with an
@@ -198,7 +254,7 @@ def load_corpus_table(spark: SparkSession, table: str) -> DataFrame:
             f"expected {NORTH_RULE_COLUMNS}"
         )
     t = t.select(*NORTH_RULE_COLUMNS)
-    return with_doc_ids(t)
+    return with_doc_ids(t, clustered=clustered_ids)
 
 
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

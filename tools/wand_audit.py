@@ -1,26 +1,29 @@
-"""Block-max WAND pruning-effectiveness audit.
+"""Block-max WAND pruning-effectiveness audit: uniform vs clustered docIds.
 
-Builds a synthetic index, collects the packed posting rows for each query's
-terms, and runs the DAAT kernel twice over them single-node — pruned and
-exhaustive — reporting how many 128-posting blocks the pruned run actually
-byte-decoded, and asserting the two top-k results are identical (pruning is
-a pure I/O optimization, never a semantics change; Ding & Suel, SIGIR'11).
+Builds TWO synthetic indexes over the same content — one with uniform-hash
+docIds (worst case: strong candidates land in every 128-posting block) and
+one with repo-clustered docIds (same-repo docs share contiguous id ranges,
+and the generator's heavy vocabulary is language-per-repo biased, so
+query-relevant docs concentrate in few ranges). For each query the DAAT
+kernel runs pruned and exhaustive over the packed rows single-node,
+reporting how many blocks the pruned run byte-decoded and asserting the two
+top-k results are identical (pruning is a pure I/O optimization, never a
+semantics change; Ding & Suel, SIGIR'11).
 
 Expected profile (classic MaxScore behavior): idf-SKEWED queries (rare +
-common terms) skip 15-40% of blocks; flat all-heavy queries skip ~nothing
-(every doc's score is near the bound, θ never clears the remaining-gain
-sum). Two structural notes for 100 TB: (1) bounds are salt-aware — a doc
-has at most ONE salted row per term, so remaining-gain sums per TERM, not
-per row; (2) docIds here are uniform hashes, which is the worst case for
-block skipping — candidate docs land in every block. Clustering docId
-assignment (by repo/domain) concentrates strong candidates and is the
-standard lever to make block-max skipping bite harder at scale.
+common terms) skip blocks under BOTH id schemes; clustered ids additionally
+let candidate-range block elimination bite on heavy/mixed queries, because
+non-essential rows only decode blocks whose docId range holds a live
+candidate. Bounds are salt-aware — a doc has at most ONE salted row per
+term, so remaining-gain sums per TERM, not per row.
 
 Usage: python tools/wand_audit.py [n_docs] [k]    (defaults 40000, 10)
-Prints one JSON line, e.g.::
+Prints one JSON line::
 
-    {"queries": {"q0": {"blocks_total": 313, "blocks_decoded": 64,
-                        "decode_fraction": 0.204, "identical": true}}, ...}
+    {"n_docs": ..., "k": ..., "queries": {"<q>": {
+        "uniform":   {"blocks_total": N, "blocks_decoded": n,
+                      "decode_fraction": f, "identical_topk": true},
+        "clustered": {...}}}}
 """
 
 from __future__ import annotations
@@ -35,48 +38,43 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+# mixed-selectivity queries over the generator's vocabulary: heavy code
+# keywords (dense posting lists — the WAND win case), mid/rare tail tokens,
+# and lang-correlated combinations (py-only "def"/"self" + shared "return")
+QUERIES = {
+    "heavy3": ["def", "return", "import"],
+    "heavy+mid": ["def", "tok17", "tok123"],
+    "mid3": ["tok5", "tok29", "tok211"],
+    "rare+heavy": ["tok4999", "public", "static"],
+    "lang-corr": ["self", "lambda", "return"],
+    # two project identifiers + a common keyword (repo 0 = java, repo 12 =
+    # c; lang cycles repo % 5): θ locks onto the project docs, the common
+    # term's rows have rest_other = 0, and ALL viable candidates sit in one
+    # repo's docId range — the clustered-id win case ("parseConfig
+    # loadSchema return"-style project search)
+    "repo+common": ["rid0n0", "rid0n1", "return"],
+    "repo+common2": ["rid12n0", "rid12n2", "include"],
+}
 
-    import pandas as pd
 
+def audit_index(spark, corpus, idx, n_docs, k):
+    import numpy as np
+
+    from search_engine_spark.operators.build import term_stats_from_segments
     from search_engine_spark.operators.rank import Scorer, _daat_segment, query_tfs
-    from search_engine_spark.session import get_spark
-    from search_engine_spark.sources.corpus import synthetic_corpus
     from search_engine_spark.sources.segments import build_index, load_segments
 
-    spark = get_spark(master="local[8]", shuffle_partitions=8)
-    spark.sparkContext.setLogLevel("ERROR")
-    src = tempfile.mkdtemp(prefix="wand_src_")
-    shutil.rmtree(src, ignore_errors=True)
-    synthetic_corpus(spark, n_docs=n_docs, vocab_size=20000, partitions=32).write.parquet(src)
-    corpus = spark.read.parquet(src)
-    idx = tempfile.mkdtemp(prefix="wand_idx_")
     shutil.rmtree(idx, ignore_errors=True)
     m = build_index(spark, corpus, idx, analyzer="naive", n_batches=1,
                     num_segments=8, heavy_threshold=n_docs // 20)
     segs = load_segments(spark, idx)
     nd, avg = m["stats"]["n_docs"], m["stats"]["avgdl"]
     scorer = Scorer("bm25")
-
-    # mixed-selectivity queries over the generator's vocabulary: heavy code
-    # keywords (dense posting lists — the WAND win case) + mid/rare tokens
-    queries = {
-        "heavy3": ["def", "return", "import"],
-        "heavy+mid": ["def", "tok17", "tok123"],
-        "mid3": ["tok5", "tok29", "tok211"],
-        "rare+heavy": ["tok4999", "public", "static"],
-    }
-    report = {}
-    from search_engine_spark.operators.build import term_stats_from_segments
-
     tstats = term_stats_from_segments(segs)
-    for name, q in queries.items():
+    report = {}
+    for name, q in QUERIES.items():
         qtfs = query_tfs(q, "naive")
         rows = tstats.where(tstats.term.isin(list(qtfs))).collect()
-        import numpy as np
-
         qmeta = {
             r.term: (float(scorer.idf(float(nd), np.array([r.df]))[0]), qtfs[r.term])
             for r in rows
@@ -101,10 +99,38 @@ def main() -> None:
             "decode_fraction": round(dec / total, 3) if total else None,
             "identical_topk": bool(same),
         }
-    shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(idx, ignore_errors=True)
+    return report
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    from search_engine_spark.session import get_spark
+    from search_engine_spark.sources.corpus import synthetic_corpus
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    per_scheme = {}
+    for scheme, clustered in (("uniform", False), ("clustered", True)):
+        src = tempfile.mkdtemp(prefix=f"wand_src_{scheme}_")
+        shutil.rmtree(src, ignore_errors=True)
+        synthetic_corpus(
+            spark, n_docs=n_docs, vocab_size=20000, partitions=32,
+            clustered_ids=clustered,
+        ).write.parquet(src)
+        idx = tempfile.mkdtemp(prefix=f"wand_idx_{scheme}_")
+        per_scheme[scheme] = audit_index(
+            spark, spark.read.parquet(src), idx, n_docs, k
+        )
+        shutil.rmtree(src, ignore_errors=True)
     spark.stop()
-    print(json.dumps({"n_docs": n_docs, "k": k, "queries": report}))
+    queries = {
+        name: {scheme: per_scheme[scheme][name] for scheme in per_scheme}
+        for name in QUERIES
+    }
+    print(json.dumps({"n_docs": n_docs, "k": k, "queries": queries}))
 
 
 if __name__ == "__main__":
