@@ -204,3 +204,91 @@ def test_stateful_first_seen_dedup_across_restarts(spark, tmp_path):
     run_once()
     got2 = {(r.docId, r.content_md5) for r in spark.read.parquet(out_dir).collect()}
     assert got2 - got1 == {(6, "h3")}
+
+
+def test_stateful_first_seen_dedup_bloom_bounded(spark, tmp_path):
+    """Bloom state mode: same first-seen semantics end-to-end (FP negligible
+    at this fill factor), state restored across a restart, and the state
+    payload is a FIXED filter_bits/8 bytes regardless of how many keys have
+    been absorbed."""
+    import pandas as pd
+
+    from search_engine_spark.streaming.state import first_seen_dedup
+
+    schema = StructType(
+        [
+            StructField("docId", LongType(), False),
+            StructField("content_md5", StringType(), False),
+        ]
+    )
+    src = tmp_path / "bloom_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "bloom_ckpt")
+    out_dir = str(tmp_path / "bloom_out")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            first_seen_dedup(stream, state_mode="bloom", filter_bits=1 << 16)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    pd.DataFrame(
+        {"docId": [1, 2, 3], "content_md5": ["h1", "h1", "h2"]}
+    ).to_parquet(src / "a.parquet", index=False)
+    run_once()
+    got1 = {(r.docId, r.content_md5) for r in spark.read.parquet(out_dir).collect()}
+    assert {m for _, m in got1} == {"h1", "h2"} and len(got1) == 2
+
+    pd.DataFrame(
+        {"docId": [4, 5, 6], "content_md5": ["h1", "h2", "h3"]}
+    ).to_parquet(src / "b.parquet", index=False)
+    run_once()
+    got2 = {(r.docId, r.content_md5) for r in spark.read.parquet(out_dir).collect()}
+    assert got2 - got1 == {(6, "h3")}
+
+
+def test_bloom_kernel_state_size_invariant():
+    """The bloom filter bytes stay O(filter_bits) as keys accumulate (the
+    exact-set state grows linearly — the 100 TB divergence), duplicates
+    NEVER pass (one-sided error), and FPs only ever drop new keys."""
+    import pandas as pd
+    import numpy as np
+
+    from search_engine_spark.streaming.state import _bloom_test_and_add
+
+    filter_bits, n_hashes = 1 << 16, 4
+    bits = np.zeros(filter_bits // 8, dtype=np.uint8)
+    seen_exact: set[str] = set()
+    passed: list[str] = []
+    for batch in range(20):
+        keys = pd.Series(
+            [f"k{(batch * 37 + j) % 900}" for j in range(100)]  # heavy re-use
+        )
+        mask = _bloom_test_and_add(bits, keys, filter_bits, n_hashes)
+        for k, fresh in zip(keys, mask):
+            if fresh:
+                assert k not in {p for p in passed}, "duplicate passed"
+                passed.append(k)
+            seen_exact.add(k)
+        assert len(bits) == filter_bits // 8  # state size NEVER grows
+    # one-sided: everything passed exactly once; FPs can only reduce passes
+    assert len(passed) == len(set(passed))
+    assert set(passed) <= seen_exact
+    # at 900 keys / 65536 bits the FP rate is ~0 — everything new passed
+    assert len(passed) == len(seen_exact)
+
+
+def test_first_seen_dedup_bad_mode():
+    import pytest as _pytest
+
+    from search_engine_spark.streaming.state import first_seen_dedup
+
+    with _pytest.raises(ValueError, match="state_mode"):
+        first_seen_dedup(None, state_mode="nope")
