@@ -7,15 +7,23 @@ line::
     {"metric": "headline_total", "value": <sec>, "unit": "sec",
      "queries": {...per-op sec...}, "sf": <sf>, "throughput": {...}}
 
-Timed stages:
+This host is SHARED: neighbor load swings single-shot wall times 2-6x for
+minutes at a time (BENCH.md methodology notes). The suite therefore runs
+``$SPARK_GRAFT_TRIALS`` (default 2) full INTERLEAVED passes and reports the
+per-query BEST — the same best-of methodology as tools/scaling_bench.py, so
+a loaded window during one pass cannot poison every number.
+
+Timed stages (per trial, fresh temp dirs each):
 - ``index_build``      full resumable segment build over the sf documents table
-  (tokenize -> salted range shuffle -> delta+varbyte packed segments + stats)
+  (tokenize -> salted hash shuffle -> delta+varbyte packed segments + stats)
 - ``bm25_topk_daat``   distributed block-max DAAT BM25 top-10
 - ``bm25_topk_decl``   declarative decode->agg->TakeOrdered BM25 top-10
 - ``tfidf_all``        reference-parity TF-IDF cosine, all matching docs
 - ``boolean_and`` / ``phrase``  boolean + positional phrase retrieval
 - ``minhash_pairs``    MinHash+LSH near-dup candidate pairs
 - ``cosine_topk``      brute-force cosine ANN top-20 over embeddings
+- ``compact_4to1``     byte-level packed-row merge of a 4-batch index into one
+  (B4/B5 path — the merge claim finally carries a number)
 - ``synthetic_build_40k``  index build over a 40k-doc generated corpus
   (the docs/sec throughput figure that BENCH.md's scaling runs extend)
 """
@@ -32,45 +40,37 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+def run_trial(spark, sf_dir: str, docs, n_docs_sf: int, syn, n_syn: int) -> dict:
+    """One full pass over every timed stage; fresh output dirs throughout."""
+    from pyspark.sql import functions as F
 
+    from search_engine_spark.operators.dedup import (
+        candidate_pairs,
+        lsh_buckets,
+        minhash_signatures,
+    )
     from search_engine_spark.operators.query import search_and, search_phrase
     from search_engine_spark.operators.rank import Scorer, score_query, score_query_daat
-    from search_engine_spark.sources.corpus import load_documents, synthetic_corpus
+    from search_engine_spark.operators.similarity import cosine_topk
     from search_engine_spark.sources.segments import (
         build_index,
+        compact,
         decode_postings,
         load_segments,
         load_term_stats,
     )
-    from search_engine_spark.session import get_spark
-
-    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
-    spark.sparkContext.setLogLevel("ERROR")
 
     q_ranked = ["spark", "query", "join"]
     q_and = ["spark", "join", "filter"]
     q_phrase = ["table", "scan"]
 
     times: dict[str, float] = {}
-    thr: dict[str, float] = {}
 
     def timed(name, fn):
         t0 = time.time()
         out = fn()
         times[name] = round(time.time() - t0, 3)
         return out
-
-    docs = load_documents(spark, sf_dir)
-    n_docs_sf = docs.count()  # warm the JVM/reader outside timings
-    from pyspark.sql import functions as _F
-
-    corpus_mb = (
-        docs.agg(_F.sum(_F.length("content")).alias("b")).first()["b"] or 0
-    ) / (1024.0 * 1024.0)
 
     idx = tempfile.mkdtemp(prefix="bench_idx_")
     shutil.rmtree(idx, ignore_errors=True)
@@ -81,7 +81,6 @@ def main() -> None:
             heavy_threshold=max(64, n_docs_sf // 10), n_salts=8,
         ),
     )
-    thr["index_docs_per_sec"] = round(n_docs_sf / times["index_build"], 1)
     segs = load_segments(spark, idx)
     stats = load_term_stats(spark, idx)
     n_docs, avgdl = m["stats"]["n_docs"], m["stats"]["avgdl"]
@@ -112,12 +111,6 @@ def main() -> None:
     timed("boolean_and", lambda: search_and(dec, q_and).count())
     timed("phrase", lambda: search_phrase(dec, q_phrase).count())
 
-    from search_engine_spark.operators.dedup import (
-        candidate_pairs,
-        lsh_buckets,
-        minhash_signatures,
-    )
-
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     timed(
         "minhash_pairs",
@@ -127,30 +120,20 @@ def main() -> None:
         ).count(),
     )
 
-    from pyspark.sql import functions as F
-
-    from search_engine_spark.operators.similarity import cosine_topk
-
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = list(e.where(F.col("vec_id") == 0).select("embedding").first()[0])
     timed("cosine_topk", lambda: cosine_topk(e.where(F.col("vec_id") != 0), qv, 20).collect())
 
-    # larger synthetic corpus: the throughput figure the scaling runs extend.
-    # Materialized to parquet FIRST: the generator is lazy, so building
-    # straight from it would re-run the (Python-heavy) row generation on
-    # every pass over the corpus — the timed figure would measure corpus
-    # generation, not indexing. Reading stored parquet is also the real
-    # input shape of the north rule.
-    n_syn = int(os.environ.get("SPARK_GRAFT_SYN_DOCS", "40000"))
-    syn_dir = tempfile.mkdtemp(prefix="bench_syn_src_")
-    shutil.rmtree(syn_dir, ignore_errors=True)
-    synthetic_corpus(
-        spark, n_docs=n_syn, vocab_size=20000, partitions=4 * int(cpus)
-    ).write.parquet(syn_dir)
-    syn = spark.read.parquet(syn_dir)
-    thr["synthetic_corpus_mb"] = round(
-        (syn.agg(_F.sum(_F.length("content")).alias("b")).first()["b"] or 0) / 2**20, 1
+    # compaction: 4-batch build over the sf docs (untimed setup), then the
+    # byte-level packed-row merge of all four batches into one (timed)
+    idx_c = tempfile.mkdtemp(prefix="bench_cmp_")
+    shutil.rmtree(idx_c, ignore_errors=True)
+    build_index(
+        spark, docs, idx_c, analyzer="naive", n_batches=4,
+        heavy_threshold=max(64, n_docs_sf // 10), n_salts=8,
     )
+    timed("compact_4to1", lambda: compact(spark, idx_c, [0, 1, 2, 3]))
+
     idx2 = tempfile.mkdtemp(prefix="bench_syn_")
     shutil.rmtree(idx2, ignore_errors=True)
     timed(
@@ -160,10 +143,59 @@ def main() -> None:
             heavy_threshold=n_syn // 20, n_salts=8,
         ),
     )
-    thr["synthetic_index_docs_per_sec"] = round(n_syn / times["synthetic_build_40k"], 1)
+    for p in (idx, idx_c, idx2):
+        shutil.rmtree(p, ignore_errors=True)
+    return times
 
-    shutil.rmtree(idx, ignore_errors=True)
-    shutil.rmtree(idx2, ignore_errors=True)
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pyspark.sql import functions as _F
+
+    from search_engine_spark.session import get_spark
+    from search_engine_spark.sources.corpus import load_documents, synthetic_corpus
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_documents(spark, sf_dir)
+    n_docs_sf = docs.count()  # warm the JVM/reader outside timings
+    corpus_mb = (
+        docs.agg(_F.sum(_F.length("content")).alias("b")).first()["b"] or 0
+    ) / (1024.0 * 1024.0)
+
+    # larger synthetic corpus: the throughput figure the scaling runs extend.
+    # Materialized to parquet ONCE, outside timings: the generator is lazy,
+    # so building straight from it would re-run the (Python-heavy) row
+    # generation on every pass — the timed figure would measure corpus
+    # generation, not indexing. Stored parquet is also the real input shape.
+    n_syn = int(os.environ.get("SPARK_GRAFT_SYN_DOCS", "40000"))
+    syn_dir = tempfile.mkdtemp(prefix="bench_syn_src_")
+    shutil.rmtree(syn_dir, ignore_errors=True)
+    synthetic_corpus(
+        spark, n_docs=n_syn, vocab_size=20000, partitions=4 * int(cpus)
+    ).write.parquet(syn_dir)
+    syn = spark.read.parquet(syn_dir)
+    syn_mb = round(
+        (syn.agg(_F.sum(_F.length("content")).alias("b")).first()["b"] or 0) / 2**20, 1
+    )
+
+    trials = [
+        run_trial(spark, sf_dir, docs, n_docs_sf, syn, n_syn)
+        for _ in range(max(1, n_trials))
+    ]
+    times = {k: min(t[k] for t in trials) for k in trials[0]}
+
+    thr = {
+        "index_docs_per_sec": round(n_docs_sf / times["index_build"], 1),
+        "synthetic_corpus_mb": syn_mb,
+        "synthetic_index_docs_per_sec": round(n_syn / times["synthetic_build_40k"], 1),
+        "trials": len(trials),
+    }
     shutil.rmtree(syn_dir, ignore_errors=True)
     spark.stop()
 
@@ -234,7 +266,9 @@ def write_bench_md(times: dict, thr: dict, sf, corpus_mb: float) -> None:
         MARK_A,
         "## Per-query bench vs baseline envelope (auto-generated by bench.py)",
         "",
-        f"sf={sf}, corpus ≈ {corpus_mb:.1f} MB; reference envelope: ≥0.85 MB/s "
+        f"sf={sf}, corpus ≈ {corpus_mb:.1f} MB, best of {thr.get('trials', 1)} "
+        "interleaved trials (shared-host noise guard — same methodology as "
+        "tools/scaling_bench.py); reference envelope: ≥0.85 MB/s "
         "single-thread build (Team2StressTest), 900 s/GB end-to-end "
         "(IcsSearchEngineTest). Build rows show measured MB/s and the ratio "
         "vs 0.85 MB/s (>1 = faster than the reference's single thread; the "

@@ -59,6 +59,34 @@ def attach_media(df: DataFrame, text: str = "content", id_col: str = "docId") ->
     )
 
 
+try:  # real decoder activates only when the imaging library exists
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # this container ships no imaging libs — stub mode only
+    _PILImage = None
+    HAS_PIL = False
+
+
+def decode_image(payload: bytes, dim: int = 16) -> np.ndarray:
+    """Real image decode path (feature-flagged on PIL being installed):
+    decode -> grayscale -> resize to a 4x(dim/4) thumbnail -> [-1, 1]
+    floats. Raises NotImplementedError when PIL is absent, keeping the
+    deterministic sha256 stub (:func:`_fake_decode`) the oracle-checked
+    default in this environment."""
+    if not HAS_PIL:
+        raise NotImplementedError(
+            "image decoding requires PIL; not available in this environment"
+        )
+    import io
+
+    if dim % 4:
+        raise ValueError("dim must be a multiple of 4 for the 4-wide thumbnail")
+    img = _PILImage.open(io.BytesIO(payload)).convert("L").resize((4, dim // 4))
+    arr = np.asarray(img, dtype=np.float64) / 255.0 * 2.0 - 1.0
+    return arr.reshape(-1).astype(np.float32)
+
+
 def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
     """STUB decoder. A real pipeline would decode image/audio bytes here
     (PIL/librosa are not in this container). Deterministic fake derived by
@@ -73,19 +101,31 @@ def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
     return (u16 / 65535.0 * 2.0 - 1.0).astype(np.float32)
 
 
-def extract_features(media: DataFrame, dim: int = 16, frame_sample: int = 4) -> DataFrame:
+def extract_features(
+    media: DataFrame, dim: int = 16, frame_sample: int = 4, decoder: str = "stub"
+) -> DataFrame:
     """Partition-parallel feature extraction over binary payloads.
 
-    Real Arrow-batched ``mapInPandas`` plumbing; the per-payload decode is
-    the stub above. ``n_frames`` mimics frame sampling for video payloads
+    Real Arrow-batched ``mapInPandas`` plumbing; ``decoder`` picks the
+    per-payload decode: ``"stub"`` (default — deterministic sha256 features,
+    oracle-mirrorable) or ``"image"`` (:func:`decode_image`, requires PIL —
+    raises up front when absent so jobs fail fast, not per-task).
+    ``n_frames`` mimics frame sampling for video payloads
     (ceil(size / 4096) capped at `frame_sample`).
     """
+    if decoder not in ("stub", "image"):
+        raise ValueError(f"unknown decoder {decoder!r}; 'stub' or 'image'")
+    if decoder == "image" and not HAS_PIL:
+        raise NotImplementedError(
+            "decoder='image' requires PIL; not available in this environment"
+        )
+    decode = _fake_decode if decoder == "stub" else decode_image
 
     def kernel(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            feats = [_fake_decode(p, dim).tolist() for p in pdf["payload"]]
+            feats = [decode(p, dim).tolist() for p in pdf["payload"]]
             n_frames = (
                 np.minimum((pdf["payload_size"] + 4095) // 4096, frame_sample)
                 .astype("int32")
@@ -104,6 +144,3 @@ def extract_features(media: DataFrame, dim: int = 16, frame_sample: int = 4) -> 
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - explicit stub
-    """Real image decode — requires PIL, not shipped in this container."""
-    raise NotImplementedError("image decoding requires PIL; not available in this environment")

@@ -204,11 +204,58 @@ def test_multimodal_plumbing(spark):
     }
 
 
-def test_decode_image_is_explicit_stub():
-    from search_engine_spark.operators.multimodal import decode_image
+def test_decode_image_gate_without_pil():
+    """Without PIL the real decoder and the decoder='image' operator both
+    fail FAST with NotImplementedError (never per-task on executors); the
+    stub mode is unaffected."""
+    from search_engine_spark.operators.multimodal import (
+        HAS_PIL,
+        decode_image,
+        extract_features,
+    )
 
+    if HAS_PIL:
+        pytest.skip("PIL installed — gate inactive; real path tested below")
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        extract_features(None, decoder="image")
+
+
+def test_extract_features_bad_decoder():
+    from search_engine_spark.operators.multimodal import extract_features
+
+    with pytest.raises(ValueError, match="decoder"):
+        extract_features(None, decoder="nope")
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "search_engine_spark.operators.multimodal", fromlist=["HAS_PIL"]
+    ).HAS_PIL,
+    reason="PIL not installed in this container — stub decoder is the default",
+)
+def test_decode_image_real_path(spark):
+    """With PIL present (not in this container — exercised wherever the lib
+    exists): decode a real PNG through the same mapInPandas plumbing."""
+    import io
+
+    from PIL import Image
+
+    from search_engine_spark.operators.multimodal import decode_image, extract_features
+
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 32), (128, 64, 200)).save(buf, format="PNG")
+    png = buf.getvalue()
+    f = decode_image(png, dim=16)
+    assert f.shape == (16,) and all(-1.0 <= x <= 1.0 for x in f)
+
+    df = spark.createDataFrame(
+        [(1, "image/png", bytearray(png), len(png))],
+        "docId long, mime string, payload binary, payload_size int",
+    )
+    rows = extract_features(df, dim=16, decoder="image").collect()
+    assert len(rows) == 1 and len(rows[0].feature) == 16
 
 
 def _emb_fixture(spark, n=60, dim=8, seed=3, dup_pairs=3):
