@@ -556,6 +556,28 @@ def q_d2_minhash_pairs(spark, sf_dir):
     return candidate_pairs(lsh_buckets(sigs, "doc_id", BANDS, ROWS_PER_BAND), "doc_id")
 
 
+def q_d6_dedup_clusters(spark, sf_dir):
+    """d6: duplicate-cluster assignment + keep/drop over the same MinHash
+    LSH candidate pairs as d2 (connected components by min-label
+    propagation; ``dedup.dedup_clusters``). Oracle = recursive-CTE
+    transitive closure over the identical pair set — min reachable id per
+    node, singletons keep themselves."""
+    from search_engine_spark.operators.dedup import (
+        candidate_pairs,
+        dedup_clusters,
+        lsh_buckets,
+        minhash_signatures,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = minhash_signatures(d, "text", "doc_id", MINHASHES, SHINGLE_N)
+    pairs = candidate_pairs(lsh_buckets(sigs, "doc_id", BANDS, ROWS_PER_BAND), "doc_id")
+    cl = dedup_clusters(d, pairs, id_col="doc_id")
+    return cl.select(
+        "doc_id", "cluster_id", F.col("keep").cast("int").alias("keep")
+    )
+
+
 def q_d3_simhash(spark, sf_dir):
     from search_engine_spark.operators.dedup import simhash
 
@@ -704,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_doc_iteration": q_q12_doc_iteration,
         "d1_exact_dedup": q_d1_exact_dedup,
         "d2_minhash_pairs": q_d2_minhash_pairs,
+        "d6_dedup_clusters": q_d6_dedup_clusters,
         "d3_simhash": q_d3_simhash,
         "d4_ngram_jaccard": q_d4_jaccard,
         "d5_embedding_neardup": q_d5_embedding_neardup,
@@ -1174,6 +1197,25 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "d2_minhash_pairs": f"WITH {_SHINGLES}, {_minhash_ctes()} SELECT a, b FROM pairs",
+        "d6_dedup_clusters": f"""
+            WITH RECURSIVE {_SHINGLES}, {_minhash_ctes()},
+            sym AS (
+              SELECT a AS s, b AS d FROM pairs
+              UNION SELECT b AS s, a AS d FROM pairs
+            ),
+            reach(id, r) AS (
+              SELECT s, d FROM sym
+              UNION
+              SELECT reach.id, sym.d FROM reach JOIN sym ON reach.r = sym.s
+            ),
+            comp AS (
+              SELECT id, least(min(r), id) AS cluster_id FROM reach GROUP BY id
+            )
+            SELECT dd.doc_id,
+                   coalesce(c.cluster_id, dd.doc_id) AS cluster_id,
+                   (coalesce(c.cluster_id, dd.doc_id) = dd.doc_id)::int AS keep
+            FROM documents dd LEFT JOIN comp c ON dd.doc_id = c.id
+        """,
         "d3_simhash": _simhash_sql(),
         "d4_ngram_jaccard": f"""
             WITH {_SHINGLES}, {_minhash_ctes()}

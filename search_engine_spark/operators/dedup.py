@@ -279,3 +279,100 @@ def _cos(a: str, b: str):
     from .similarity import cosine_expr
 
     return cosine_expr(F.col(a), F.col(b))
+
+
+def dedup_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str = "docId",
+    a: str = "a", b: str = "b", max_iter: int = 25,
+) -> DataFrame:
+    """Assign every document a duplicate-cluster id from candidate pairs
+    (the output of :func:`candidate_pairs` / :func:`embedding_near_dups`),
+    plus the keep/drop decision a training-data pipeline acts on.
+
+    Connected components by iterative min-label propagation over the
+    symmetric edge list: ``lbl(v) <- min(lbl(v), min_{(v,u) in E} lbl(u))``
+    until a fixpoint; ``cluster_id`` = the component's minimum doc id and
+    ``keep`` = (doc == cluster_id). Docs in no pair are singletons —
+    ``cluster_id = doc_id, keep = true`` — closed with ONE left join at the
+    end, so the iteration only ever touches docs that appear in a pair
+    (at web scale the dup graph is a small fraction of the corpus; the
+    100 TB cost is the pair generation, not this).
+
+    Scale posture: each round is one equi-join + one min-groupBy on the
+    edge partitioning (2 shuffles over |E|, with map-side partial min);
+    lineage is cut every round with an eager localCheckpoint so the plan
+    stays O(1) deep, and convergence is a cheap count on the checkpointed
+    frame. Rounds needed = max component diameter — near-dup clusters are
+    shallow (stars/cliques around a popular page), so this converges in a
+    handful of rounds; for adversarial chain-shaped graphs swap in
+    pointer-jumping (large-star/small-star, O(log D) rounds) — same
+    per-round shuffle shape.
+    """
+    edges = (
+        pairs.select(F.col(a).alias("s"), F.col(b).alias("d"))
+        .union(pairs.select(F.col(b).alias("s"), F.col(a).alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("s").alias("id")).distinct().withColumn(
+        "lbl", F.col("id")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.select(F.col("id").alias("d"), "lbl"), "d")
+            .groupBy("s")
+            .agg(F.min("lbl").alias("nbr_min"))
+        )
+        nxt = (
+            labels.join(nbr.withColumnRenamed("s", "id"), "id", "left")
+            .select(
+                "id",
+                F.col("lbl").alias("_old"),
+                F.least("lbl", F.coalesce("nbr_min", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = nxt.where(F.col("lbl") != F.col("_old")).count()
+        labels = nxt.select("id", "lbl")
+        if changed == 0:
+            break
+    clustered = labels.select(
+        F.col("id").alias(id_col), F.col("lbl").alias("cluster_id")
+    )
+    return (
+        df.select(id_col)
+        .join(clustered, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("cluster_id") == F.col(id_col))
+    )
+
+
+def canonical_pick(
+    clusters: DataFrame, scores: DataFrame, id_col: str = "docId",
+    score_col: str = "score",
+) -> DataFrame:
+    """Re-pick each cluster's keeper by a quality score instead of min id:
+    keep the highest-``score_col`` doc per cluster (ties -> lowest id).
+
+    One shuffle on ``cluster_id``; the per-cluster max is a plain agg (no
+    window over the whole corpus), then a broadcast-friendly semi-join back.
+    """
+    j = clusters.join(scores.select(id_col, score_col), id_col, "left").withColumn(
+        score_col, F.coalesce(score_col, F.lit(float("-inf")))
+    )
+    best = j.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col(score_col), (-F.col(id_col)).alias("_negid"))).alias("_b")
+    ).select(
+        "cluster_id", (-F.col("_b._negid")).alias("_keep_id")
+    )
+    return (
+        j.join(best, "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            (F.col(id_col) == F.col("_keep_id")).alias("keep"),
+        )
+    )

@@ -480,3 +480,72 @@ def test_ivf_topk_kmeans_codebook(spark):
         ).collect()
     ]
     assert got == exact
+
+
+def _py_components(n_ids, pairs):
+    """Brute-force union-find reference for cluster assignment."""
+    parent = {i: i for i in n_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in n_ids}
+
+
+def test_dedup_clusters_matches_union_find(spark):
+    """Chain, clique, singleton components: min-label propagation reproduces
+    union-find; keep = (doc == component min); singletons keep themselves."""
+    from search_engine_spark.operators.dedup import dedup_clusters
+
+    ids = list(range(12))
+    # chain 0-1-2-3 (diameter 3), clique {5,6,7}, pair {9,11}; 4,8,10 singles
+    pairs = [(0, 1), (1, 2), (2, 3), (5, 6), (5, 7), (6, 7), (9, 11)]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    pdf = spark.createDataFrame(pairs, "a long, b long")
+    got = {
+        r.doc_id: (r.cluster_id, r.keep)
+        for r in dedup_clusters(docs, pdf, id_col="doc_id").collect()
+    }
+    ref = _py_components(ids, pairs)
+    assert got == {i: (ref[i], ref[i] == i) for i in ids}
+
+
+def test_dedup_clusters_reversed_chain_converges(spark):
+    """Worst-case label flow (min id at the chain's far end) still converges
+    within max_iter and matches union-find."""
+    from search_engine_spark.operators.dedup import dedup_clusters
+
+    n = 9
+    pairs = [(i, i + 1) for i in range(n - 1)]  # 0-1-...-8 chain
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pdf = spark.createDataFrame(pairs, "a long, b long")
+    out = dedup_clusters(docs, pdf, id_col="doc_id", max_iter=n).collect()
+    assert all(r.cluster_id == 0 for r in out)
+    assert sorted(r.doc_id for r in out if r.keep) == [0]
+
+
+def test_canonical_pick_by_score(spark):
+    """Quality-based keeper: highest score per cluster wins, ties -> lowest
+    id, missing scores never win over scored members."""
+    from search_engine_spark.operators.dedup import canonical_pick, dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pdf = spark.createDataFrame([(0, 1), (1, 2), (3, 4)], "a long, b long")
+    clusters = dedup_clusters(docs, pdf, id_col="doc_id")
+    scores = spark.createDataFrame(
+        [(0, 0.1), (1, 0.9), (2, 0.9), (4, 0.5)], "doc_id long, score double"
+    )  # doc 3 unscored; cluster {0,1,2} tie between 1 and 2
+    got = {
+        r.doc_id: (r.cluster_id, r.keep)
+        for r in canonical_pick(clusters, scores, id_col="doc_id").collect()
+    }
+    assert got[1] == (0, True) and got[0] == (0, False) and got[2] == (0, False)
+    assert got[4] == (3, True) and got[3] == (3, False)  # 3 unscored loses
+    assert got[5] == (5, True)  # singleton keeps itself
