@@ -626,6 +626,39 @@ def q_d5_embedding_neardup(spark, sf_dir):
     return out.select("a", "b", F.round("cosine", 6).alias("cosine"))
 
 
+def q_t5_stratified_sample(spark, sf_dir):
+    """t5: deterministic per-language Bernoulli sample (training-data
+    mixing). Pure projection+filter, no shuffle; ticket = h64(salt:id)
+    mod 1e6 mirrored verbatim in the oracle."""
+    from search_engine_spark.operators.sampling import stratified_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(
+        d, {"en": 0.5, "zh": 0.3}, strata_col="lang", id_col="doc_id",
+        salt="v1", default_rate=0.1,
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_t6_token_budget(spark, sf_dir):
+    """t6: per-language token-budget cap — keep each language's docs in
+    deterministic (ticket, id) order while the running BPE-token total
+    stays within budget. Distributed two-phase prefix sum (bucketed
+    windows, no whole-stratum reducer)."""
+    from search_engine_spark.operators.sampling import token_budget_sample
+    from search_engine_spark.operators.textstats import bpe_token_count_expr
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "n_tokens", bpe_token_count_expr(F.col("text")).cast("long")
+    )
+    out = token_budget_sample(
+        d, {"en": 5000, "es": 2000, "zh": 1000}, token_col="n_tokens",
+        strata_col="lang", id_col="doc_id", salt="v1", n_buckets=8,
+        default_budget=0,
+    )
+    return out.select("doc_id", "lang", "n_tokens")
+
+
 def q_t1_lang_id(spark, sf_dir):
     from search_engine_spark.operators.textstats import lang_id
 
@@ -734,6 +767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2_lsh_topk": q_e2_lsh_topk,
         "e3_ivf_topk": q_e3_ivf_topk,
         "t4_bpe_tokens": q_t4_bpe_tokens,
+        "t5_stratified_sample": q_t5_stratified_sample,
+        "t6_token_budget": q_t6_token_budget,
         "t1_lang_id": q_t1_lang_id,
         "t2_quality_score": q_t2_quality,
         "t3_fingerprint": q_t3_fingerprint,
@@ -1262,6 +1297,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
             FROM documents
+        """,
+        "t5_stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5('v1:' || doc_id::varchar), 1, 15))::int64 % 1000000
+              < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 300000 ELSE 100000 END
+        """,
+        "t6_token_budget": r"""
+            WITH tk AS (
+              SELECT doc_id, lang,
+                len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::int64 AS n_tokens,
+                ('0x' || substr(md5('v1:' || doc_id::varchar), 1, 15))::int64 % 1000000 AS ticket
+              FROM documents
+            ),
+            cum AS (
+              SELECT doc_id, lang, n_tokens,
+                sum(n_tokens) OVER (PARTITION BY lang ORDER BY ticket, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS c
+              FROM tk
+            )
+            SELECT doc_id, lang, n_tokens FROM cum
+            WHERE c <= CASE lang WHEN 'en' THEN 5000 WHEN 'es' THEN 2000
+                                 WHEN 'zh' THEN 1000 ELSE 0 END
         """,
         "e3_ivf_topk": f"""
             WITH cent AS (

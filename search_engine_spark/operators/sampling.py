@@ -1,0 +1,122 @@
+"""Deterministic sampling operators for training-data mixing.
+
+Not in the reference (it has no pipeline layer) — these are the standard
+companions of a 100 TB corpus build: per-language Bernoulli rates and
+per-language token budgets, both deterministic (hash-keyed, salt-versioned)
+so a re-run reproduces the exact mix and an incremental run never resamples
+already-kept docs differently.
+
+Cross-engine hash: the same ``h64(md5)`` primitive as dedup.py, reduced
+mod 1e6 to a uniform "ticket" in [0, 1e6) — identical in Spark and DuckDB,
+so every operator here is value-exactly oracle-mirrorable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import h64
+
+TICKETS = 1_000_000
+
+
+def sample_ticket(id_col: Column, salt: str) -> Column:
+    """Deterministic uniform ticket in [0, TICKETS): changing the salt
+    draws an independent sample; the same (salt, id) always gets the same
+    ticket on every engine and every run."""
+    return F.pmod(h64(F.concat(F.lit(salt + ":"), id_col.cast("string"))), F.lit(TICKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "v1",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic Bernoulli sample: keep a row iff its
+    ticket < rate(stratum) * TICKETS.
+
+    Scale posture: a pure per-row projection + filter — NO shuffle, no
+    sampling state, nothing driver-side. The rates map is inlined as a
+    literal CASE expression (strata counts are human-scale: languages,
+    source buckets), so Catalyst folds it and the filter pushes into the
+    scan's row-group pruning where stats allow. Expected kept fraction per
+    stratum is exact in distribution and reproducible row-for-row.
+    """
+    rate = F.lit(int(default_rate * TICKETS))
+    for s, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == s, F.lit(int(r * TICKETS))).otherwise(rate)
+    return df.where(sample_ticket(F.col(id_col), salt) < rate)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    token_col: str = "n_tokens",
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "v1",
+    n_buckets: int = 64,
+    default_budget: int = 0,
+) -> DataFrame:
+    """Cap each stratum at a token budget: order the stratum's docs by
+    (ticket, id) and keep the prefix whose running token total stays
+    <= budget (inclusive). Deterministic: the same corpus + salt always
+    selects the same docs, and raising a budget only ever ADDS docs.
+
+    Scale posture — the naive form is a window over each whole stratum
+    (one reducer per language: the classic skew trap). Instead, a
+    two-phase distributed prefix sum:
+
+    1. ticket -> one of ``n_buckets`` ordered slices per stratum
+       (bucket = ticket * B / TICKETS, monotone in ticket);
+    2. per-(stratum, bucket) token sums — ONE small agg shuffle;
+    3. exclusive prefix offsets across each stratum's B buckets computed
+       on the <= |strata| * B aggregate rows (driver-side, tiny) and
+       broadcast-joined back;
+    4. running sum WITHIN a (stratum, bucket) window — partition width is
+       |stratum| / B, so no reducer sees a whole language.
+
+    Raise ``n_buckets`` with corpus size (B ~ corpus_tokens / budget works
+    well); correctness is independent of B.
+    """
+    spark = df.sparkSession
+    t = df.withColumn("_ticket", sample_ticket(F.col(id_col), salt)).withColumn(
+        "_bucket", (F.col("_ticket") * n_buckets / TICKETS).cast("int")
+    )
+    sums = (
+        t.groupBy(strata_col, "_bucket")
+        .agg(F.sum(token_col).alias("_bsum"))
+        .collect()
+    )
+    by_stratum: dict[str, list] = {}
+    for r in sums:
+        by_stratum.setdefault(r[strata_col], []).append((r["_bucket"], r["_bsum"]))
+    offsets = []
+    for s, lst in by_stratum.items():
+        acc = 0
+        for b, bs in sorted(lst):
+            offsets.append((s, b, acc))
+            acc += bs
+    off = spark.createDataFrame(
+        offsets, f"{strata_col} string, _bucket int, _offset long"
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(strata_col, "_bucket")
+        .orderBy("_ticket", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = F.lit(default_budget)
+    for s, b in sorted(budgets.items()):
+        budget = F.when(F.col(strata_col) == s, F.lit(b)).otherwise(budget)
+    return (
+        t.join(F.broadcast(off), [strata_col, "_bucket"])
+        .withColumn("_cum", F.col("_offset") + F.sum(token_col).over(w))
+        .where(F.col("_cum") <= budget)
+        .drop("_ticket", "_bucket", "_offset", "_cum")
+    )

@@ -549,3 +549,48 @@ def test_canonical_pick_by_score(spark):
     assert got[1] == (0, True) and got[0] == (0, False) and got[2] == (0, False)
     assert got[4] == (3, True) and got[3] == (3, False)  # 3 unscored loses
     assert got[5] == (5, True)  # singleton keeps itself
+
+
+def _docs_fixture(spark, n=400):
+    rows = [(i, ["en", "zh", "es", "de"][i % 4], 10 + (i * 7) % 90) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+
+
+def test_stratified_sample_rates_and_no_shuffle(spark):
+    """Kept fraction tracks the per-stratum rate; default applies to
+    unlisted strata; the plan is a pure scan+filter (no Exchange)."""
+    from search_engine_spark.operators.sampling import stratified_sample
+
+    d = _docs_fixture(spark, 2000)
+    out = stratified_sample(d, {"en": 0.6, "zh": 0.2}, default_rate=0.05)
+    got = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert abs(got["en"] / 500 - 0.6) < 0.1
+    assert abs(got["zh"] / 500 - 0.2) < 0.1
+    assert got.get("es", 0) / 500 < 0.12 and got.get("de", 0) / 500 < 0.12
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # determinism: same salt -> identical rows; new salt -> independent draw
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in stratified_sample(d, {"en": 0.6, "zh": 0.2}, default_rate=0.05).collect()}
+    c = {r.doc_id for r in stratified_sample(d, {"en": 0.6, "zh": 0.2}, salt="v2", default_rate=0.05).collect()}
+    assert a == b and a != c
+
+
+def test_token_budget_sample_budget_and_bucket_invariance(spark):
+    """Running token total per stratum stays <= budget; the bucketed
+    two-phase prefix sum equals the naive B=1 single-window form; raising
+    a budget only adds docs."""
+    from search_engine_spark.operators.sampling import token_budget_sample
+
+    d = _docs_fixture(spark, 400)
+    budgets = {"en": 900, "zh": 400, "es": 150}
+    out = token_budget_sample(d, budgets, n_buckets=16)
+    sums = {r.lang: r.s for r in out.groupBy("lang").agg(F.sum("n_tokens").alias("s")).collect()}
+    for lang, cap in budgets.items():
+        assert sums.get(lang, 0) <= cap, (lang, sums)
+    assert "de" not in sums  # default budget 0 drops unlisted strata
+    naive = token_budget_sample(d, budgets, n_buckets=1)
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in naive.collect()}
+    bigger = token_budget_sample(d, {**budgets, "zh": 800}, n_buckets=16)
+    kept, kept_big = {r.doc_id for r in out.collect()}, {r.doc_id for r in bigger.collect()}
+    assert kept < kept_big  # strictly more docs, none removed
