@@ -232,6 +232,18 @@ def build_one_batch(
             "shuffle_skew_ratio": round(max(posts) / (npost / num_segments), 3)
             if posts and npost
             else None,
+            # per-reduce-partition lineage (north rule): which segment files
+            # this batch committed and what each holds — the unit Spark's
+            # task-commit protocol checkpoints, so a resume audit can tie
+            # every parquet partition back to its batch + counts
+            "per_segment": sorted(
+                (
+                    {"seg": int(r["seg"]), "postings": int(r["post"] or 0),
+                     "bytes": int(r["bytes"] or 0)}
+                    for r in per_seg
+                ),
+                key=lambda d: d["seg"],
+            ) if len(per_seg) <= 4096 else None,
         },
         "committed_at": time.time(),
     }

@@ -88,7 +88,7 @@ def main() -> int:
             mismatches.append({"q": q, "ids_ok": ids_ok, "err": err})
     sec = round(time.time() - t0, 2)
 
-    print(json.dumps({
+    report = {
         "n_docs": n_docs,
         "n_queries": n_queries,
         "k": k,
@@ -98,8 +98,44 @@ def main() -> int:
         "sec": sec,
         "queries_per_sec": round(n_queries / sec, 2) if sec else None,
         "mismatches": mismatches[:10],
-    }))
+    }
+    print(json.dumps(report))
+    try:
+        _write_bench_section(report)
+    except Exception as ex:  # best-effort doc update; never fail the metric
+        print(f"# BENCH.md update skipped: {ex}", file=sys.stderr)
     return 0 if identical == n_queries else 1
+
+
+MARK_A, MARK_B = "<!-- rank_identity:auto -->", "<!-- /rank_identity:auto -->"
+
+
+def _write_bench_section(r: dict) -> None:
+    """Record the north-star rank-identity rate in its own marked BENCH.md
+    section (scaling_bench.py and bench.py own sibling sections)."""
+    p = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH.md")
+    block = f"""{MARK_A}
+## BM25 top-{r['k']} rank-identity rate (north-star metric)
+
+Distributed block-max DAAT (pruning ON, salted heavy terms, 2-batch index)
+vs the single-node numpy oracle, over {r['n_queries']} df-stratified 1-3 term
+queries on a {r['n_docs']:,}-doc porter-analyzed corpus; a query counts only
+if the full top-{r['k']} docID sequence is identical AND every score agrees
+within 1e-9.
+
+**rank-identical: {r['rank_identical']}/{r['n_queries']} = {r['rate']:.1%}**,
+max |score err| = {r['max_abs_score_err']:.2e}, {r['queries_per_sec']} queries/s
+end-to-end (each query a full Spark job at local[8]).
+
+Reproduce: `python tools/rank_identity.py {r['n_docs']} {r['n_queries']} {r['k']}`
+{MARK_B}"""
+    text = open(p).read() if os.path.exists(p) else ""
+    if MARK_A in text and MARK_B in text:
+        text = text.split(MARK_A)[0] + block + text.split(MARK_B, 1)[1]
+    else:
+        text = text.rstrip() + "\n\n" + block + "\n"
+    with open(p, "w") as f:
+        f.write(text)
 
 
 if __name__ == "__main__":
