@@ -5,8 +5,8 @@ documents table (segments on disk, salted term-range shuffle, delta+varbyte
 packing) and run a BM25 top-10 via the distributed block-max DAAT path.
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
-from SURVEY.md §2 plus the training-data pipeline operators (36 queries,
-ALL 36 with value-exact DuckDB oracles — iterative PageRank is checked via
+from SURVEY.md §2 plus the training-data pipeline operators (40 queries,
+ALL 40 with value-exact DuckDB oracles — iterative PageRank is checked via
 an unrolled-CTE power iteration, the non-SQL analyzers via single-node side
 tables); every SQL-expressible operator's oracle is built on the *same*
 naive tokenization (lower + split on whitespace) so values match exactly.
@@ -241,6 +241,43 @@ def q_q8_bm25_topk(spark, sf_dir):
         spark, load_segments(spark, idx), load_term_stats(spark, idx), Q_RANKED,
         m["stats"]["n_docs"], m["stats"]["avgdl"],
         Scorer("bm25", BM25_K1, BM25_B), k=TOPK, analyzer="naive", ties="asc",
+    )
+    return out.select(F.col("docId").alias("doc_id"), F.round("score", 6).alias("score"))
+
+
+DELETE_MOD = 7
+
+
+def q_b7_delete_search(spark, sf_dir):
+    """B7 deletion — the engine's real tombstone path (the reference leaves
+    ``deleteDocuments`` as ``UnsupportedOperationException``, IIM:1375-1377;
+    ``operators/delete.py`` implements it Lucene-style). Tombstone every doc
+    with ``doc_id % DELETE_MOD == 0``, then run the q8 BM25 top-10 through
+    the distributed DAAT kernel with its deleted-docs mask. Lazy-deletion
+    semantics (df/idf/avgdl stay as-built until purge) are mirrored exactly
+    in the oracle: the identical scoring CTEs over ALL docs, with deleted
+    docs filtered from the final ranking only."""
+    from search_engine_spark.operators import delete as D
+    from search_engine_spark.operators.rank import Scorer, score_query_daat
+    from search_engine_spark.sources.segments import (
+        load_segments,
+        load_term_stats,
+        read_manifest,
+    )
+
+    idx, m = _index(spark, sf_dir)
+    if not read_manifest(idx).get("tombstones"):  # idempotent per process
+        dead = (
+            _docs(spark, sf_dir)
+            .where(F.col("docId") % DELETE_MOD == 0)
+            .select("docId")
+        )
+        D.add_tombstones(spark, idx, dead)
+    out = score_query_daat(
+        spark, load_segments(spark, idx), load_term_stats(spark, idx), Q_RANKED,
+        m["stats"]["n_docs"], m["stats"]["avgdl"],
+        Scorer("bm25", BM25_K1, BM25_B), k=TOPK, analyzer="naive", ties="asc",
+        deleted=D.deleted_array(spark, idx),
     )
     return out.select(F.col("docId").alias("doc_id"), F.round("score", 6).alias("score"))
 
@@ -752,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_combined_pagerank": q_q11_combined,
         "q8_tfidf_scores": q_q8_tfidf,
         "q8_bm25_topk": q_q8_bm25_topk,
+        "b7_delete_search": q_b7_delete_search,
         "q8_bm25_porter": q_q8_bm25_porter,
         "a7_wordbreak": q_a7_wordbreak,
         "a8_japanese": q_a8_japanese,
@@ -883,6 +921,17 @@ _BM25_SQL = f"""
 WITH {_TOKS},
 {_bm25_scored_ctes(_qterm_values(Q_RANKED))}
 SELECT doc_id, round(score, 6) AS score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
+"""
+
+# B7 lazy deletion: SAME scoring CTEs over ALL docs (tombstoned docs still
+# contribute df/avgdl until purge), deleted ids filtered from the final
+# ranking only — mirrors the DAAT kernel's deleted-mask semantics.
+_B7_DELETE_SQL = f"""
+WITH {_TOKS},
+{_bm25_scored_ctes(_qterm_values(Q_RANKED))}
+SELECT doc_id, round(score, 6) AS score FROM scored
+WHERE doc_id % {DELETE_MOD} <> 0
 ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
 """
 
@@ -1201,6 +1250,7 @@ def oracle_sql() -> dict[str, str]:
         "q11_combined_pagerank": _q11_sql(),
         "q8_tfidf_scores": _TFIDF_SQL,
         "q8_bm25_topk": _BM25_SQL,
+        "b7_delete_search": _B7_DELETE_SQL,
         "q8_bm25_porter": _bm25_porter_sql(),
         "a7_wordbreak": f"""
             SELECT r.doc_id, r.n_wb_tokens::int AS n_wb_tokens, r.tokens_md5

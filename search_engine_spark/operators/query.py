@@ -141,7 +141,9 @@ def document_iterator(corpus: DataFrame) -> DataFrame:
 
 
 def delete_documents(keyword: str) -> None:
-    """B7 parity: declared but unimplemented in the reference
-    (``UnsupportedOperationException``, IIM:1375-1377). The real Spark-side
-    mapping would be Iceberg delete files + segment tombstones."""
+    """B7 parity surface: declared but unimplemented in the reference
+    (``UnsupportedOperationException``, IIM:1375-1377) — this mirror keeps
+    the parity map honest. The engine's REAL deletion path lives in
+    ``operators/delete.py`` (tombstone sets + query-side anti-filter +
+    ``purge_deletes`` segment rewrite), going beyond the reference."""
     raise NotImplementedError("deletion is unimplemented, mirroring IIM:1375-1377")

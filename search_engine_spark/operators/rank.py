@@ -177,6 +177,7 @@ def _daat_segment(
     prune: bool,
     ties: str = "desc",
     stats: dict | None = None,
+    deleted: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Score one segment's packed rows for the query terms.
 
@@ -288,6 +289,15 @@ def _daat_segment(
             stats["blocks_total"] = stats.get("blocks_total", 0) + int(len(take))
             stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + int(take.sum())
         d, t, l = _decode_row_blocks(r, take)
+        if deleted is not None and len(d):
+            # tombstone mask (operators/delete.py): drop deleted docs as
+            # they decode — θ then only ever reflects live docs, and block
+            # upper bounds remain valid over-estimates, so lazy deletion
+            # composes with block-max pruning. `deleted` is sorted.
+            pos = np.searchsorted(deleted, d)
+            pos[pos == deleted.size] = 0
+            keep = deleted[pos] != d if deleted.size else np.ones(len(d), bool)
+            d, t, l = d[keep], t[keep], l[keep]
         if len(d) == 0:
             continue
         dot, ln = contribs(r, t, l)
@@ -438,11 +448,16 @@ def score_query_daat(
     prune: bool = True,
     ties: str = "desc",
     n_buckets: int | None = None,
+    deleted: np.ndarray | None = None,
 ) -> DataFrame:
     """Distributed block-max DAAT: parquet pushdown on term -> byte-level
     block re-key by docId bucket -> per-bucket MaxScore kernel with local
     top-k -> global TakeOrderedAndProject (≙ the reference's per-segment
-    top-k + global PQ, IIM:1282-1313)."""
+    top-k + global PQ, IIM:1282-1313).
+
+    ``deleted``: sorted int64 tombstone array (operators/delete.py
+    ``deleted_array``) — masked inside the kernel as blocks decode, so
+    pruning and lazy deletion compose."""
     qtfs = query_tfs(keywords, analyzer)
     rows = _idf_rows(term_stats, qtfs, scorer, n_docs)
     if not rows:
@@ -473,7 +488,7 @@ def score_query_daat(
     )
 
     def kernel(key, pdf):
-        return _daat_segment(pdf, qmeta, scorer, avgdl, k, prune, ties)
+        return _daat_segment(pdf, qmeta, scorer, avgdl, k, prune, ties, deleted=deleted)
 
     local = bucketed.groupBy("bucket").applyInPandas(kernel, SCORE_SCHEMA)
     order = [F.desc("score"), F.desc("docId") if ties == "desc" else F.asc("docId")]
