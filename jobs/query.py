@@ -7,6 +7,10 @@ Usage::
 
 Modes: bm25 (block-max DAAT), tfidf (reference-parity cosine), and/or/phrase
 (boolean + positional), keyword. Prints one JSON line with results + latency.
+
+Tombstoned docs (jobs/delete.py / operators/delete.py) are excluded by
+default — the DAAT kernel masks them as blocks decode, the boolean paths
+anti-filter; ``--ignore-deleted`` queries the raw index instead.
 """
 
 from __future__ import annotations
@@ -24,6 +28,10 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["bm25", "tfidf", "and", "or", "phrase", "keyword"])
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--master", default=None, help="local testing only")
+    ap.add_argument(
+        "--ignore-deleted", action="store_true",
+        help="query the raw index, skipping any tombstone sets",
+    )
     ap.add_argument("terms", nargs="+")
     a = ap.parse_args(argv)
 
@@ -52,25 +60,32 @@ def main(argv: list[str] | None = None) -> int:
     else:
         spark = SparkSession.builder.appName("query").getOrCreate()
 
+    from search_engine_spark.operators.delete import deleted_array, live, load_tombstones
+
     m = read_manifest(a.index)
     analyzer = m.get("analyzer", "porter")
     segs = load_segments(spark, a.index)
     stats = load_term_stats(spark, a.index)
     n_docs, avgdl = m["stats"]["n_docs"], m["stats"]["avgdl"]
+    tomb = None if a.ignore_deleted else load_tombstones(spark, a.index)
+    deleted = None if tomb is None else deleted_array(spark, a.index)
 
     t0 = time.time()
     if a.mode == "bm25":
         out = score_query_daat(spark, segs, stats, a.terms, n_docs, avgdl,
-                               Scorer("bm25"), k=a.k, analyzer=analyzer)
+                               Scorer("bm25"), k=a.k, analyzer=analyzer,
+                               deleted=deleted)
         rows = [{"docId": r.docId, "score": round(r.score, 6)} for r in out.collect()]
     elif a.mode == "tfidf":
-        dec = decode_postings(segs, analyze_query(a.terms, analyzer))
+        dec = live(decode_postings(segs, analyze_query(a.terms, analyzer)), tomb)
         out = score_query(spark, dec, stats, a.terms, n_docs, avgdl,
                           Scorer("tfidf_cosine"), k=a.k, analyzer=analyzer)
         rows = [{"docId": r.docId, "score": round(r.score, 6)} for r in out.collect()]
     else:
         terms = analyze_query(a.terms, analyzer)
-        dec = decode_postings(segs, terms, with_positions=(a.mode == "phrase"))
+        dec = live(
+            decode_postings(segs, terms, with_positions=(a.mode == "phrase")), tomb
+        )
         fn = {
             "and": lambda: search_and(dec, terms),
             "or": lambda: search_or(dec, terms),

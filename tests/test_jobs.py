@@ -118,3 +118,47 @@ def test_edge_and_url_readers(spark, tmp_path_factory):
     assert {r.docId for r in graph_nodes(e).collect()} == {1, 2, 3}
     u = {r.doc_id: r.url for r in load_url_map(spark, str(root / "u.tsv")).collect()}
     assert u == {1: "https://a", 2: "https://b"}
+
+
+def test_delete_job_and_query_exclusion(spark, tmp_path_factory, capsys):
+    """jobs/delete.py end-to-end: tombstone a top hit -> default queries
+    exclude it, --ignore-deleted still sees it, --purge makes the exclusion
+    physical (stats shrink, tombstones cleared)."""
+    from jobs.build_index import main as build_main
+    from jobs.delete import main as delete_main
+    from jobs.query import main as query_main
+
+    from search_engine_spark.sources.corpus import synthetic_corpus
+    from search_engine_spark.sources.segments import read_manifest
+
+    def last_json():
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    root = tmp_path_factory.mktemp("deljob")
+    src, idx = str(root / "c"), str(root / "i")
+    synthetic_corpus(spark, n_docs=80, vocab_size=300, seed=7).write.parquet(src)
+    assert build_main([
+        "--input", src, "--output", idx, "--analyzer", "porter",
+        "--batches", "1", "--segments", "4", "--master", "local[4]",
+    ]) == 0
+    q = ["--index", idx, "--mode", "bm25", "--k", "5", "--master", "local[4]"]
+    assert query_main(q + ["apple"]) == 0
+    res = last_json()["results"]
+    assert res
+    dead = res[0]["docId"]
+
+    assert delete_main(["--index", idx, "--ids", str(dead), "--master", "local[4]"]) == 0
+    dm = last_json()
+    assert dm["tombstone_sets"] and dm["tombstone_sets"][0]["ndocs"] == 1
+
+    assert query_main(q + ["apple"]) == 0
+    assert dead not in [r["docId"] for r in last_json()["results"]]
+    assert query_main(q + ["--ignore-deleted", "apple"]) == 0
+    assert dead in [r["docId"] for r in last_json()["results"]]
+
+    assert delete_main(["--index", idx, "--purge", "--master", "local[4]"]) == 0
+    pm = last_json()
+    assert pm["purged"] and not pm["tombstone_sets"]
+    assert read_manifest(idx)["stats"]["n_docs"] == 79
+    assert query_main(q + ["apple"]) == 0
+    assert dead not in [r["docId"] for r in last_json()["results"]]
