@@ -28,6 +28,16 @@ from pyspark.sql import functions as F
 
 BM25_K1, BM25_B = 1.2, 0.75
 Q_RANKED = ["spark", "query", "join"]
+# batch workload for q8_bm25_batch: mixed lengths, a repeated keyword
+# (qtf=2), and an absent-term query that must yield zero rows
+BATCH_QUERIES = {
+    0: ["spark", "query", "join"],
+    1: ["hash", "merge"],
+    2: ["window", "stream", "batch"],
+    3: ["vector"],
+    4: ["sort", "sort", "fast"],
+    5: ["zebra"],
+}
 Q_KEYWORD = "spark"
 Q_AND = ["spark", "join", "filter"]
 Q_PHRASE = ["table", "scan"]
@@ -243,6 +253,45 @@ def q_q8_bm25_topk(spark, sf_dir):
         Scorer("bm25", BM25_K1, BM25_B), k=TOPK, analyzer="naive", ties="asc",
     )
     return out.select(F.col("docId").alias("doc_id"), F.round("score", 6).alias("score"))
+
+
+def q_q8_bm25_batch(spark, sf_dir):
+    """Batch BM25: score the whole BATCH_QUERIES workload in ONE Spark job
+    (one ``term IN`` postings scan for the union of query terms, one
+    groupBy(qid, docId) shuffle, zero-shuffle partial top-k). The reference
+    scores queries one at a time (IIM:1131-1315); this is the
+    throughput-oriented generalization a cluster serving a query log needs.
+    Ties/rounding follow the q8 convention (rank on raw score, round after);
+    the per-qid rank is emitted so order is value-checked."""
+    from pyspark.sql import Window
+
+    from search_engine_spark.operators.rank import Scorer, score_queries_batch
+    from search_engine_spark.sources.segments import (
+        decode_postings,
+        load_segments,
+        load_term_stats,
+    )
+
+    idx, m = _index(spark, sf_dir)
+    out = score_queries_batch(
+        spark,
+        decode_postings(load_segments(spark, idx)),
+        load_term_stats(spark, idx),
+        BATCH_QUERIES,
+        m["stats"]["n_docs"],
+        m["stats"]["avgdl"],
+        Scorer("bm25", BM25_K1, BM25_B),
+        k=TOPK,
+        analyzer="naive",
+        ties="asc",
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docId"))
+    return out.select(
+        "qid",
+        F.col("docId").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        F.row_number().over(w).alias("rank"),
+    )
 
 
 DELETE_MOD = 7
@@ -789,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_combined_pagerank": q_q11_combined,
         "q8_tfidf_scores": q_q8_tfidf,
         "q8_bm25_topk": q_q8_bm25_topk,
+        "q8_bm25_batch": q_q8_bm25_batch,
         "b7_delete_search": q_b7_delete_search,
         "q8_bm25_porter": q_q8_bm25_porter,
         "a7_wordbreak": q_a7_wordbreak,
@@ -922,6 +972,46 @@ WITH {_TOKS},
 {_bm25_scored_ctes(_qterm_values(Q_RANKED))}
 SELECT doc_id, round(score, 6) AS score FROM scored
 ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
+"""
+
+def _batch_qterm_values() -> str:
+    from collections import Counter
+
+    vals = []
+    for qid, kws in sorted(BATCH_QUERIES.items()):
+        c = Counter(t.lower() for t in kws)
+        vals.extend(f"({qid}, '{t}', {n})" for t, n in sorted(c.items()))
+    return ", ".join(vals)
+
+
+# Batch workload: same scoring expression as _BM25_SQL with qid threaded
+# through the join + group keys; per-qid top-k via row_number (ranked on the
+# raw score, rounded after — the q8 convention).
+_BM25_BATCH_SQL = f"""
+WITH {_TOKS},
+qterms(qid, qt, qtf) AS (VALUES {_batch_qterm_values()}),
+ndocs AS (SELECT count(*)::double AS n FROM documents),
+dlsum AS (SELECT sum(tf)::double AS tot FROM postings),
+stats AS (SELECT ndocs.n AS n, dlsum.tot / ndocs.n AS avgdl FROM ndocs, dlsum),
+tstats AS (SELECT term, count(*)::double AS df FROM postings GROUP BY term),
+scored AS (
+  SELECT q.qid, p.doc_id,
+    sum(q.qtf * ln((s.n - t.df + 0.5) / (t.df + 0.5) + 1.0)
+        * p.tf * ({BM25_K1} + 1.0)
+        / (p.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * p.dl / s.avgdl))) AS score
+  FROM postings p
+  JOIN qterms q ON p.term = q.qt
+  JOIN tstats t ON p.term = t.term
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT qid::bigint AS qid, doc_id, round(score, 6) AS score, rank::int AS rank
+FROM ranked WHERE rank <= {TOPK}
 """
 
 # B7 lazy deletion: SAME scoring CTEs over ALL docs (tombstoned docs still
@@ -1250,6 +1340,7 @@ def oracle_sql() -> dict[str, str]:
         "q11_combined_pagerank": _q11_sql(),
         "q8_tfidf_scores": _TFIDF_SQL,
         "q8_bm25_topk": _BM25_SQL,
+        "q8_bm25_batch": _BM25_BATCH_SQL,
         "b7_delete_search": _B7_DELETE_SQL,
         "q8_bm25_porter": _bm25_porter_sql(),
         "a7_wordbreak": f"""

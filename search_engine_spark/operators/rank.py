@@ -137,6 +137,141 @@ def score_query(
     return scores.limit(k) if k is not None else scores
 
 
+BATCH_SCHEMA = StructType(
+    [
+        StructField("qid", LongType(), False),
+        StructField("docId", LongType(), False),
+        StructField("score", DoubleType(), False),
+    ]
+)
+
+
+def score_queries_batch(
+    spark: SparkSession,
+    decoded: DataFrame,
+    term_stats: DataFrame,
+    queries: dict[int, list[str]],
+    n_docs: int,
+    avgdl: float,
+    scorer: Scorer = Scorer(),
+    k: int | None = 10,
+    analyzer: str = "porter",
+    ties: str = "desc",
+) -> DataFrame:
+    """Score a WHOLE QUERY WORKLOAD in one Spark job -> (qid, docId, score).
+
+    The per-query path (:func:`score_query`) launches one job per query —
+    right for latency, wrong for throughput: a 1000-executor cluster serving
+    a query log pays the scan + scheduling cost per query. This batch path
+    amortizes both across Q queries:
+
+    - ONE postings scan with ``term IN (union of all query terms)`` pushed
+      into parquet (S10 seek over the batch's term set);
+    - a broadcast join against the tiny (qid, term, idf, qtf) map — a term
+      shared by multiple queries fans its postings out to each, which is
+      exactly the reuse a shared scan buys;
+    - ONE ``groupBy(qid, docId)`` aggregation (partial + final, same shuffle
+      volume as a single heavy query);
+    - two-stage top-k: a zero-shuffle ``mapInPandas`` partial top-k per
+      partition (state = Q small heaps), then a final per-qid selection over
+      ≤ partitions × k rows per query. No window function, so no re-shuffle
+      of the full candidate set and no single-task hot spot for heavy
+      queries — the generalization of TakeOrderedAndProject to Q queries.
+
+    Scores and tie-breaks are identical to :func:`score_query` (same
+    contribution expression, same (score desc, docId ``ties``) order).
+    """
+    per_q: list[tuple[int, dict[str, int]]] = [
+        (int(qid), query_tfs(kw, analyzer)) for qid, kw in queries.items()
+    ]
+    all_terms = sorted({t for _, qtfs in per_q for t in qtfs})
+    if not all_terms:
+        return spark.createDataFrame([], BATCH_SCHEMA)
+    df_rows = {
+        r.term: int(r.df)
+        for r in term_stats.where(F.col("term").isin(all_terms))
+        .select("term", "df")
+        .collect()
+    }
+    qrows = []
+    for qid, qtfs in per_q:
+        for t, qtf in qtfs.items():
+            if t in df_rows:
+                idf = float(scorer.idf(float(n_docs), np.array([df_rows[t]]))[0])
+                qrows.append((qid, t, idf, int(qtf)))
+    if not qrows:
+        return spark.createDataFrame([], BATCH_SCHEMA)
+    qdf = spark.createDataFrame(qrows, "qid long, term string, idf double, qtf int")
+    p = postings_for(decoded, sorted({r[1] for r in qrows})).join(
+        F.broadcast(qdf), "term"
+    )
+    if scorer.kind == "bm25":
+        contrib = (
+            F.col("qtf")
+            * F.col("idf")
+            * (F.col("tf") * (scorer.k1 + 1.0))
+            / (
+                F.col("tf")
+                + scorer.k1 * (1.0 - scorer.b + scorer.b * F.col("dl") / F.lit(avgdl))
+            )
+        )
+        scores = p.groupBy("qid", "docId").agg(F.sum(contrib).alias("score"))
+    elif scorer.kind == "tfidf_cosine":
+        wd = F.col("tf") * F.col("idf")
+        scores = p.groupBy("qid", "docId").agg(
+            (F.sum(wd * F.col("qtf") * F.col("idf"))).alias("_dot"),
+            (F.sum(wd * wd)).alias("_len"),
+        )
+        scores = scores.select(
+            "qid",
+            "docId",
+            F.when(F.col("_len") > 0, F.col("_dot") / F.sqrt(F.col("_len")))
+            .otherwise(F.lit(0.0))
+            .alias("score"),
+        )
+    else:  # pragma: no cover - Scorer only has two kinds
+        raise ValueError(f"unknown scorer kind {scorer.kind!r}")
+    if k is None:
+        return scores
+    return _batch_topk(scores, k, ties)
+
+
+def _batch_topk(scores: DataFrame, k: int, ties: str) -> DataFrame:
+    """Two-stage per-qid top-k. Stage 1 is a zero-shuffle partition-local
+    prune (each partition emits ≤ Q×k rows); stage 2 selects over the
+    pruned union. Tie order matches the single-query paths: score desc,
+    then docId desc (``ties='desc'``) or asc."""
+    doc_asc = ties == "asc"
+
+    def _topk_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pdf.sort_values(
+                ["score", "docId"], ascending=[False, doc_asc], kind="mergesort"
+            )
+            .groupby("qid", sort=False)
+            .head(k)
+        )
+
+    def partial(batches):
+        acc: list[pd.DataFrame] = []
+        for pdf in batches:
+            acc.append(pdf)
+            # re-prune periodically so partition-local state stays O(Q*k)
+            if sum(len(a) for a in acc) > 64 * 1024:
+                acc = [_topk_pdf(pd.concat(acc, ignore_index=True))]
+        if acc:
+            yield _topk_pdf(pd.concat(acc, ignore_index=True))
+
+    pruned = scores.mapInPandas(partial, BATCH_SCHEMA)
+
+    out = pruned.groupBy("qid").applyInPandas(
+        lambda pdf: _topk_pdf(pdf), BATCH_SCHEMA
+    )
+    return out.orderBy(
+        "qid", F.desc("score"), F.asc("docId") if doc_asc else F.desc("docId")
+    )
+
+
 # --- DAAT kernel with MaxScore / block-max pruning --------------------------
 
 

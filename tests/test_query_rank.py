@@ -158,6 +158,73 @@ def test_rank_identity_synthetic(spark, tmp_path_factory):
         assert all(abs(a - b) < 1e-9 for (_, a), (_, b) in zip(got, exp))
 
 
+def test_batch_scoring_matches_per_query(spark, tmp_path_factory):
+    """score_queries_batch (one job, Q queries) must reproduce score_query
+    (one job per query) exactly: same docIds, same order, same scores —
+    both scorers, both tie modes, including a query whose terms are absent."""
+    from search_engine_spark.sources.corpus import synthetic_corpus
+
+    p = str(tmp_path_factory.mktemp("batch") / "idx")
+    corpus = synthetic_corpus(spark, n_docs=300, vocab_size=500, seed=7)
+    m = S.build_index(spark, corpus, p, analyzer="porter", n_batches=2)
+    segs, stats = S.load_segments(spark, p), S.load_term_stats(spark, p)
+    nd, avg = m["stats"]["n_docs"], m["stats"]["avgdl"]
+    queries = {
+        0: ["def", "import"],
+        1: ["apple", "rotten", "tok3"],
+        2: ["tok1"],
+        3: ["string", "void", "tok7"],
+        4: ["zzz_not_in_corpus"],
+        5: ["tok3", "tok3", "import"],  # repeated keyword -> qtf=2
+    }
+    decoded = S.decode_postings(segs)
+    for kind in ("bm25", "tfidf_cosine"):
+        for ties in ("asc", "desc"):
+            sc = R.Scorer(kind)
+            batch = R.score_queries_batch(
+                spark, decoded, stats, queries, nd, avg, sc, k=10,
+                analyzer="porter", ties=ties,
+            ).collect()
+            by_q = {}
+            for r in batch:
+                by_q.setdefault(r.qid, []).append((r.docId, r.score))
+            assert 4 not in by_q  # absent-term query yields no rows
+            for qid, kw in queries.items():
+                single = [
+                    (r.docId, r.score)
+                    for r in R.score_query(
+                        spark, decoded, stats, kw, nd, avg, sc, k=10,
+                        analyzer="porter", ties=ties,
+                    ).collect()
+                ]
+                got = by_q.get(qid, [])
+                assert [d for d, _ in got] == [d for d, _ in single], (kind, ties, qid)
+                assert all(
+                    abs(a - b) < 1e-9 for (_, a), (_, b) in zip(got, single)
+                ), (kind, ties, qid)
+
+
+def test_batch_topk_partial_prune_bounded(spark):
+    """The mapInPandas partial top-k must re-prune its accumulator (state
+    stays O(Q*k)) and still produce the exact per-qid top-k with ties."""
+    import pandas as pd
+
+    rows = [(i % 3, i, float(i % 97)) for i in range(6000)]
+    scores = spark.createDataFrame(rows, "qid long, docId long, score double")
+    out = R._batch_topk(scores.repartition(2), 5, "asc").collect()
+    exp = {}
+    pdf = pd.DataFrame(rows, columns=["qid", "docId", "score"])
+    for qid, g in pdf.groupby("qid"):
+        exp[qid] = list(
+            g.sort_values(["score", "docId"], ascending=[False, True])
+            .head(5)["docId"]
+        )
+    got = {}
+    for r in out:
+        got.setdefault(r.qid, []).append(r.docId)
+    assert got == exp
+
+
 def test_daat_local_topk_tiebreak_both_modes(spark, tmp_path_factory):
     """Equal-score docs straddling the k boundary inside ONE bucket: the
     local truncation must honor `ties`. With ties=asc the global winners are
