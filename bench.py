@@ -50,7 +50,12 @@ def run_trial(spark, sf_dir: str, docs, n_docs_sf: int, syn, n_syn: int) -> dict
         minhash_signatures,
     )
     from search_engine_spark.operators.query import search_and, search_phrase
-    from search_engine_spark.operators.rank import Scorer, score_query, score_query_daat
+    from search_engine_spark.operators.rank import (
+        Scorer,
+        score_queries_batch,
+        score_query,
+        score_query_daat,
+    )
     from search_engine_spark.operators.similarity import cosine_topk
     from search_engine_spark.sources.segments import (
         build_index,
@@ -104,6 +109,28 @@ def run_trial(spark, sf_dir: str, docs, n_docs_sf: int, syn, n_syn: int) -> dict
         lambda: score_query_daat(
             spark, segs, stats, q_ranked, n_docs,
             avgdl, Scorer("tfidf_cosine"), k=None, analyzer="naive",
+        ).count(),
+    )
+
+    # batch workload: 32 deterministic 3-term queries over the corpus vocab,
+    # scored in ONE job (shared scan + one shuffle) — the throughput path
+    vocab = [
+        "spark", "query", "join", "hash", "merge", "window", "stream",
+        "batch", "vector", "sort", "fast", "scan", "filter", "table", "row",
+        "column", "group", "agg", "key", "value", "data", "line", "small",
+        "big", "slow", "order", "part", "customer",
+    ]
+    nv = len(vocab)
+    q_batch = {
+        i: [vocab[i % nv], vocab[(i * 7 + 3) % nv], vocab[(i * 13 + 5) % nv]]
+        for i in range(32)
+    }
+    batch_terms = sorted({t for kw in q_batch.values() for t in kw})
+    timed(
+        "bm25_batch32",
+        lambda: score_queries_batch(
+            spark, decode_postings(segs, batch_terms), stats, q_batch, n_docs,
+            avgdl, Scorer("bm25"), k=10, analyzer="naive",
         ).count(),
     )
 
@@ -192,6 +219,7 @@ def main() -> None:
 
     thr = {
         "index_docs_per_sec": round(n_docs_sf / times["index_build"], 1),
+        "batch_queries_per_sec": round(32 / times["bm25_batch32"], 1),
         "synthetic_corpus_mb": syn_mb,
         "synthetic_index_docs_per_sec": round(n_syn / times["synthetic_build_40k"], 1),
         "trials": len(trials),

@@ -169,6 +169,7 @@ def ivf_topk(
     id_col: str = "vec_id", vec_col: str = "embedding",
     n_centroids: int = 8, nprobe: int = 2,
     codebook: str = "lowid", kmeans_iters: int = 3, kmeans_sample_mod: int = 1,
+    centroids: list | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: probe the ``nprobe`` centroid cells nearest the query
     (by dot product), exact cosine inside. The scale path of the brief's
@@ -178,8 +179,14 @@ def ivf_topk(
 
     ``codebook='lowid'`` (default) keeps the oracle-mirrorable deterministic
     centroids; ``codebook='kmeans'`` trains :func:`kmeans_centroids` first.
+    A codebook is a per-CORPUS artifact, not a per-query one — for a query
+    workload, train once (``kmeans_centroids``/``lowid_centroids``) and pass
+    it via ``centroids=[(cid, vec), ...]``; the per-query work is then just
+    the driver-side nprobe pick + the probed-cell scan.
     """
-    if codebook == "kmeans":
+    if centroids is not None:
+        cents = [(int(c), list(v)) for c, v in centroids]
+    elif codebook == "kmeans":
         cents = kmeans_centroids(
             emb, n_centroids, kmeans_iters, id_col, vec_col, kmeans_sample_mod
         )

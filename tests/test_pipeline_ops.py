@@ -482,6 +482,34 @@ def test_ivf_topk_kmeans_codebook(spark):
     assert got == exact
 
 
+def test_ivf_topk_precomputed_codebook(spark):
+    """centroids= (the per-corpus codebook reuse path for query workloads)
+    must give exactly the in-function-trained result, for both codebooks."""
+    from search_engine_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+        lowid_centroids,
+    )
+
+    e = _emb_fixture(spark, n=120)
+    q = [float(x) for x in e.where("vec_id = 5").first().embedding]
+    rest = e.where("vec_id <> 5")
+    for cb_name, train in (("lowid", lowid_centroids), ("kmeans", kmeans_centroids)):
+        kw = {"kmeans_iters": 2} if cb_name == "kmeans" else {}
+        inline = [
+            (r.vec_id, r.cosine)
+            for r in ivf_topk(
+                rest, q, 10, n_centroids=6, nprobe=2, codebook=cb_name, **kw
+            ).collect()
+        ]
+        cb = train(rest, 6) if cb_name == "lowid" else train(rest, 6, 2)
+        pre = [
+            (r.vec_id, r.cosine)
+            for r in ivf_topk(rest, q, 10, nprobe=2, centroids=cb).collect()
+        ]
+        assert pre == inline, cb_name
+
+
 def _py_components(n_ids, pairs):
     """Brute-force union-find reference for cluster assignment."""
     parent = {i: i for i in n_ids}

@@ -91,30 +91,39 @@ def main() -> int:
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     n_q = int(sys.argv[3]) if len(sys.argv) > 3 else 24
 
-    from search_engine_spark.operators.similarity import ivf_topk, lsh_topk
+    from search_engine_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+        lowid_centroids,
+        lsh_topk,
+    )
     from search_engine_spark.session import get_spark
 
     spark = get_spark(app="ann_recall", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
 
-    methods = {
-        "lsh_p8_probe1": lambda d, qv: lsh_topk(d, qv, k, n_planes=8, n_probes=1),
-        "lsh_p8_probe4": lambda d, qv: lsh_topk(d, qv, k, n_planes=8, n_probes=4),
-        "ivf_c8_probe2_lowid": lambda d, qv: ivf_topk(
-            d, qv, k, n_centroids=8, nprobe=2, codebook="lowid"
-        ),
-        "ivf_c8_probe2_kmeans": lambda d, qv: ivf_topk(
-            d, qv, k, n_centroids=8, nprobe=2, codebook="kmeans", kmeans_iters=3
-        ),
-    }
+    def make_methods(emb):
+        # a codebook is a per-corpus artifact: train ONCE, reuse per query
+        cb_low = lowid_centroids(emb, 8)
+        cb_km = kmeans_centroids(emb, 8, 3)
+        return {
+            "lsh_p8_probe1": lambda d, qv: lsh_topk(d, qv, k, n_planes=8, n_probes=1),
+            "lsh_p8_probe4": lambda d, qv: lsh_topk(d, qv, k, n_planes=8, n_probes=4),
+            "ivf_c8_probe2_lowid": lambda d, qv: ivf_topk(
+                d, qv, k, nprobe=2, centroids=cb_low
+            ),
+            "ivf_c8_probe2_kmeans": lambda d, qv: ivf_topk(
+                d, qv, k, nprobe=2, centroids=cb_km
+            ),
+        }
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
     n = emb.count()
-    iso = _measure(emb, n, k, n_q, methods)
+    iso = _measure(emb, n, k, n_q, make_methods(emb))
 
     cl = clustered_embeddings(spark, n).cache()
     cl.count()
-    clu = _measure(cl, n, k, n_q, methods)
+    clu = _measure(cl, n, k, n_q, make_methods(cl))
 
     report = {
         "sf_dir": sf_dir, "n_vectors": n, "k": k,
