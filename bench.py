@@ -53,6 +53,7 @@ def run_trial(spark, sf_dir: str, docs, n_docs_sf: int, syn, n_syn: int) -> dict
     from search_engine_spark.operators.rank import (
         Scorer,
         score_queries_batch,
+        score_queries_daat_batch,
         score_query,
         score_query_daat,
     )
@@ -131,6 +132,13 @@ def run_trial(spark, sf_dir: str, docs, n_docs_sf: int, syn, n_syn: int) -> dict
         lambda: score_queries_batch(
             spark, decode_postings(segs, batch_terms), stats, q_batch, n_docs,
             avgdl, Scorer("bm25"), k=10, analyzer="naive",
+        ).count(),
+    )
+    timed(
+        "bm25_batch32_daat",
+        lambda: score_queries_daat_batch(
+            spark, segs, stats, q_batch, n_docs, avgdl,
+            Scorer("bm25"), k=10, analyzer="naive",
         ).count(),
     )
 

@@ -570,6 +570,122 @@ def _split_row_by_bucket(r, edges: np.ndarray):
         i = j
 
 
+def _bucketize_segments(
+    spark: SparkSession, seg: DataFrame, n_buckets: int | None
+) -> DataFrame | None:
+    """Re-key packed segment rows by docId-range bucket (byte-level block
+    slicing — only straddling blocks decode). Shared by the single-query and
+    batch DAAT paths. Returns None when no candidate rows exist."""
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    span = seg.agg(
+        F.min("min_docid").alias("lo"),
+        F.max(F.element_at("block_last_docid", -1)).alias("hi"),
+    ).collect()[0]
+    if span["lo"] is None:
+        return None
+    lo, hi = int(span["lo"]), int(span["hi"])
+    # inclusive upper bounds per bucket over the candidate docId span
+    edges = np.unique(np.linspace(lo, hi, n_buckets + 1).astype(np.int64)[1:])
+    edges[-1] = hi
+
+    def splitter(batches):
+        for pdf in batches:
+            out = [tup for r in pdf.itertuples(index=False) for tup in _split_row_by_bucket(r, edges)]
+            if out:
+                yield pd.DataFrame(out, columns=BUCKETED_SCHEMA.fieldNames())
+
+    return seg.select(*BUCKETED_SCHEMA.fieldNames()[1:], "min_docid").mapInPandas(
+        splitter, BUCKETED_SCHEMA
+    )
+
+
+def score_queries_daat_batch(
+    spark: SparkSession,
+    segments: DataFrame,
+    term_stats: DataFrame,
+    queries: dict[int, list[str]],
+    n_docs: int,
+    avgdl: float,
+    scorer: Scorer = Scorer(),
+    k: int | None = 10,
+    analyzer: str = "porter",
+    prune: bool = True,
+    ties: str = "desc",
+    n_buckets: int | None = None,
+    deleted: np.ndarray | None = None,
+) -> DataFrame:
+    """Batch DAAT: the block-max pruning path for a WHOLE QUERY WORKLOAD,
+    -> (qid, docId, score).
+
+    One ``term IN (union of all query terms)`` segment scan, one bucketized
+    block shuffle, then the per-bucket kernel runs :func:`_daat_segment`
+    once per query over that bucket's rows for ITS terms — each query keeps
+    its own θ and block-admission bounds, so pruning semantics are identical
+    to :func:`score_query_daat` query by query (equality-tested). Per-qid
+    results merge through the same two-stage top-k as
+    :func:`score_queries_batch`.
+
+    With ``k=None`` every (qid, docId, score) row is returned unordered
+    (each docId lives in exactly one bucket, so rows are already final)."""
+    per_q: dict[int, dict[str, int]] = {}
+    for qid, kw in queries.items():
+        qtfs = query_tfs(kw, analyzer)
+        if qtfs:
+            per_q[int(qid)] = qtfs
+    union_terms = sorted({t for q in per_q.values() for t in q})
+    if not union_terms:
+        return spark.createDataFrame([], BATCH_SCHEMA)
+    df_map = {
+        r.term: int(r.df)
+        for r in term_stats.where(F.col("term").isin(union_terms))
+        .select("term", "df")
+        .collect()
+    }
+    idf_map = {
+        t: float(scorer.idf(float(n_docs), np.array([df]))[0])
+        for t, df in df_map.items()
+    }
+    qmetas: dict[int, dict[str, tuple[float, int]]] = {}
+    for qid, qtfs in per_q.items():
+        qm = {t: (idf_map[t], int(qtf)) for t, qtf in qtfs.items() if t in idf_map}
+        if qm:
+            qmetas[qid] = qm
+    if not qmetas:
+        return spark.createDataFrame([], BATCH_SCHEMA)
+    live_terms = sorted({t for qm in qmetas.values() for t in qm})
+    seg = segments.where(F.col("term").isin(live_terms))
+    bucketed = _bucketize_segments(spark, seg, n_buckets)
+    if bucketed is None:
+        return spark.createDataFrame([], BATCH_SCHEMA)
+
+    def kernel(key, pdf):
+        outs = []
+        for qid, qm in qmetas.items():
+            sub = pdf[pdf["term"].isin(qm)]
+            if not len(sub):
+                continue
+            res = _daat_segment(sub, qm, scorer, avgdl, k, prune, ties, deleted=deleted)
+            if len(res):
+                res = res.copy()
+                res.insert(0, "qid", np.int64(qid))
+                outs.append(res)
+        if outs:
+            return pd.concat(outs, ignore_index=True)
+        return pd.DataFrame(
+            {
+                "qid": pd.Series(dtype="int64"),
+                "docId": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
+            }
+        )
+
+    local = bucketed.groupBy("bucket").applyInPandas(kernel, BATCH_SCHEMA)
+    if k is None:
+        return local
+    return _batch_topk(local, k, ties)
+
+
 def score_query_daat(
     spark: SparkSession,
     segments: DataFrame,
@@ -599,28 +715,9 @@ def score_query_daat(
         return spark.createDataFrame([], SCORE_SCHEMA)
     qmeta = {t: (idf, qtf) for t, df_, idf, qtf in rows}
     seg = segments.where(F.col("term").isin(list(qmeta)))
-    if n_buckets is None:
-        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    span = seg.agg(
-        F.min("min_docid").alias("lo"),
-        F.max(F.element_at("block_last_docid", -1)).alias("hi"),
-    ).collect()[0]
-    if span["lo"] is None:
+    bucketed = _bucketize_segments(spark, seg, n_buckets)
+    if bucketed is None:
         return spark.createDataFrame([], SCORE_SCHEMA)
-    lo, hi = int(span["lo"]), int(span["hi"])
-    # inclusive upper bounds per bucket over the candidate docId span
-    edges = np.unique(np.linspace(lo, hi, n_buckets + 1).astype(np.int64)[1:])
-    edges[-1] = hi
-
-    def splitter(batches):
-        for pdf in batches:
-            out = [tup for r in pdf.itertuples(index=False) for tup in _split_row_by_bucket(r, edges)]
-            if out:
-                yield pd.DataFrame(out, columns=BUCKETED_SCHEMA.fieldNames())
-
-    bucketed = seg.select(*BUCKETED_SCHEMA.fieldNames()[1:], "min_docid").mapInPandas(
-        splitter, BUCKETED_SCHEMA
-    )
 
     def kernel(key, pdf):
         return _daat_segment(pdf, qmeta, scorer, avgdl, k, prune, ties, deleted=deleted)

@@ -204,6 +204,65 @@ def test_batch_scoring_matches_per_query(spark, tmp_path_factory):
                 ), (kind, ties, qid)
 
 
+def test_batch_daat_matches_per_query_daat(spark, tmp_path_factory):
+    """score_queries_daat_batch (one bucketized block shuffle, per-query θ)
+    must reproduce score_query_daat exactly with pruning ON, and agree with
+    the declarative batch path."""
+    from search_engine_spark.sources.corpus import synthetic_corpus
+
+    p = str(tmp_path_factory.mktemp("bdaat") / "idx")
+    corpus = synthetic_corpus(spark, n_docs=400, vocab_size=600, seed=19)
+    m = S.build_index(spark, corpus, p, analyzer="porter", n_batches=2,
+                      heavy_threshold=60, n_salts=4)
+    segs, stats = S.load_segments(spark, p), S.load_term_stats(spark, p)
+    nd, avg = m["stats"]["n_docs"], m["stats"]["avgdl"]
+    queries = {
+        0: ["def", "import"],
+        1: ["apple", "rotten", "tok3"],
+        2: ["tok1"],
+        3: ["zzz_absent"],
+        4: ["tok3", "tok3", "string"],
+    }
+    sc = R.Scorer("bm25")
+    batch = R.score_queries_daat_batch(
+        spark, segs, stats, queries, nd, avg, sc, k=10, ties="asc",
+    ).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r.qid, []).append((r.docId, r.score))
+    assert 3 not in by_q
+    decl = R.score_queries_batch(
+        spark, S.decode_postings(segs), stats, queries, nd, avg, sc, k=10,
+        ties="asc",
+    ).collect()
+    decl_q = {}
+    for r in decl:
+        decl_q.setdefault(r.qid, []).append((r.docId, r.score))
+    for qid, kw in queries.items():
+        single = [
+            (r.docId, r.score)
+            for r in R.score_query_daat(
+                spark, segs, stats, kw, nd, avg, sc, k=10, ties="asc",
+            ).collect()
+        ]
+        got = by_q.get(qid, [])
+        assert [d for d, _ in got] == [d for d, _ in single], qid
+        assert all(abs(a - b) < 1e-9 for (_, a), (_, b) in zip(got, single)), qid
+        dgot = decl_q.get(qid, [])
+        assert [d for d, _ in dgot] == [d for d, _ in single], qid
+    # k=None: exhaustive rows equal the declarative exhaustive rows
+    full = R.score_queries_daat_batch(
+        spark, segs, stats, {1: queries[1]}, nd, avg, sc, k=None, ties="asc",
+    ).collect()
+    dfull = R.score_queries_batch(
+        spark, S.decode_postings(segs), stats, {1: queries[1]}, nd, avg, sc,
+        k=None, ties="asc",
+    ).collect()
+    a = sorted((r.docId, round(r.score, 9)) for r in full)
+    b = sorted((r.docId, round(r.score, 9)) for r in dfull)
+    assert a == b
+
+
 def test_batch_topk_partial_prune_bounded(spark):
     """The mapInPandas partial top-k must re-prune its accumulator (state
     stays O(Q*k)) and still produce the exact per-qid top-k with ties."""

@@ -88,6 +88,27 @@ def main() -> int:
             mismatches.append({"q": q, "ids_ok": ids_ok, "err": err})
     sec = round(time.time() - t0, 2)
 
+    # SAME query set as ONE batched job (shared scan + one bucketized block
+    # shuffle): identity must hold query-for-query, and the wall-clock ratio
+    # is the throughput win of batching over per-query jobs.
+    t1 = time.time()
+    batch_rows = R.score_queries_daat_batch(
+        spark, segs, stats, dict(enumerate(queries)), nd, avg, R.Scorer(), k,
+        prune=True,
+    ).collect()
+    batch_sec = round(time.time() - t1, 2)
+    by_q: dict[int, list] = {}
+    for r in batch_rows:
+        by_q.setdefault(int(r.qid), []).append((r.docId, r.score))
+    batch_identical = 0
+    for qi, q in enumerate(queries):
+        exp = oracle.topk(q, k, "bm25")
+        got = by_q.get(qi, [])
+        if [d for d, _ in got] == [d for d, _ in exp] and all(
+            abs(a - b) < 1e-9 for (_, a), (_, b) in zip(got, exp)
+        ):
+            batch_identical += 1
+
     report = {
         "n_docs": n_docs,
         "n_queries": n_queries,
@@ -97,6 +118,9 @@ def main() -> int:
         "max_abs_score_err": max_err,
         "sec": sec,
         "queries_per_sec": round(n_queries / sec, 2) if sec else None,
+        "batch_rank_identical": batch_identical,
+        "batch_sec": batch_sec,
+        "batch_queries_per_sec": round(n_queries / batch_sec, 2) if batch_sec else None,
         "mismatches": mismatches[:10],
     }
     print(json.dumps(report))
@@ -126,6 +150,12 @@ within 1e-9.
 **rank-identical: {r['rank_identical']}/{r['n_queries']} = {r['rate']:.1%}**,
 max |score err| = {r['max_abs_score_err']:.2e}, {r['queries_per_sec']} queries/s
 end-to-end (each query a full Spark job at local[8]).
+
+Batched (same {r['n_queries']} queries as ONE ``score_queries_daat_batch``
+job — shared scan, one bucketized block shuffle, per-query θ):
+**rank-identical {r['batch_rank_identical']}/{r['n_queries']},
+{r['batch_queries_per_sec']} queries/s** ({r['batch_sec']}s total —
+{r['sec'] / r['batch_sec']:.0f}× the per-job throughput).
 
 Reproduce: `python tools/rank_identity.py {r['n_docs']} {r['n_queries']} {r['k']}`
 {MARK_B}"""
