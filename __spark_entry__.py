@@ -434,6 +434,26 @@ def q_a7_wordbreak(spark, sf_dir):
     )
 
 
+def q_b8_dense_docids(spark, sf_dir):
+    """Dense docId assignment (corpus.dense_doc_ids): ids are exactly
+    0..n-1 in global (repo, path, commit) order — the 10^12-file-scale
+    alternative to hashed clustered ids (doc_id_expr docstring), two narrow
+    mapInPandas passes over a range-partitioned sort, driver sees one count
+    row per partition. SQL-equivalent: row_number() over a global order,
+    which is exactly the oracle."""
+    from search_engine_spark.sources.corpus import dense_doc_ids, load_documents
+
+    c = load_documents(spark, sf_dir).select(
+        "repo", "path", "commit", F.col("docId").alias("orig_id")
+    )
+    out = dense_doc_ids(c, num_partitions=8)
+    return out.select(
+        F.col("docId").alias("dense_id"),
+        F.col("orig_id").alias("doc_id"),
+        "repo",
+    )
+
+
 def q_a8_japanese(spark, sf_dir):
     """A8 CJK dictionary analyzer (JapaneseTokenizer.java:19-84 +
     JapaneseStopWords.java) through the distributed pandas-UDF path.
@@ -843,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_bm25_porter": q_q8_bm25_porter,
         "a7_wordbreak": q_a7_wordbreak,
         "a8_japanese": q_a8_japanese,
+        "b8_dense_docids": q_b8_dense_docids,
         "q9_pagerank": q_q9_pagerank,
         "q12_doc_iteration": q_q12_doc_iteration,
         "d1_exact_dedup": q_d1_exact_dedup,
@@ -1351,6 +1372,20 @@ def oracle_sql() -> dict[str, str]:
             ) r
             JOIN documents d ON d.doc_id = r.doc_id AND md5(d.text) = r.content_md5
             WHERE r.doc_id < {SIDE_DOC_CAP}
+        """,
+        "b8_dense_docids": """
+            WITH corpus AS (
+              SELECT 'testdata/' || source AS repo,
+                     'doc_' || CAST(doc_id AS VARCHAR) AS path,
+                     substr(sha256(source || ':' || CAST(doc_id AS VARCHAR)), 1, 40)
+                       AS commit_sha,
+                     doc_id
+              FROM documents
+            )
+            SELECT row_number() OVER (ORDER BY repo, path, commit_sha) - 1
+                     AS dense_id,
+                   doc_id, repo
+            FROM corpus
         """,
         "a8_japanese": f"""
             SELECT r.doc_id, r.n_jp_tokens::int AS n_jp_tokens, r.tokens_md5

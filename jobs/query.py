@@ -70,11 +70,16 @@ def main(argv: list[str] | None = None) -> int:
     tomb = None if a.ignore_deleted else load_tombstones(spark, a.index)
     deleted = None if tomb is None else deleted_array(spark, a.index)
 
+    # manifest-recorded global docId bounds (finalize_index): saves the
+    # bucketizer's span-agg job on every query; None on pre-bounds indexes
+    lo, hi = m["stats"].get("docid_lo"), m["stats"].get("docid_hi")
+    span = (lo, hi) if lo is not None and hi is not None else None
+
     t0 = time.time()
     if a.mode == "bm25":
         out = score_query_daat(spark, segs, stats, a.terms, n_docs, avgdl,
                                Scorer("bm25"), k=a.k, analyzer=analyzer,
-                               deleted=deleted)
+                               deleted=deleted, docid_span=span)
         rows = [{"docId": r.docId, "score": round(r.score, 6)} for r in out.collect()]
     elif a.mode == "tfidf":
         dec = live(decode_postings(segs, analyze_query(a.terms, analyzer)), tomb)

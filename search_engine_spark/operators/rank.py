@@ -71,17 +71,31 @@ def query_tfs(keywords: list[str], analyzer: str = "porter") -> dict[str, int]:
     return dict(Counter(analyze_query(keywords, analyzer)))
 
 
-def _idf_rows(term_stats: DataFrame, qtfs: dict[str, int], scorer: Scorer, n_docs: int):
-    """Collect (term, df, idf, qtf) for present query terms — tiny."""
-    rows = (
-        term_stats.where(F.col("term").isin(list(qtfs)))
+def _term_dfs(term_stats, terms: list[str]) -> dict[str, int]:
+    """{term: df} for the given terms. ``term_stats`` is either the Spark
+    DataFrame (default — one tiny filtered collect job) or a pandas frame
+    pre-loaded once per serving process (:func:`..sources.segments.
+    load_term_stats_pdf`) — the Spark job costs ~1.5s of fixed latency per
+    workload, which dominates short interactive batches. Driver-RAM note:
+    a pandas term_stats holds the whole vocabulary; fine up to ~10^8 terms,
+    keep the Spark path beyond that."""
+    if isinstance(term_stats, pd.DataFrame):
+        sub = term_stats[term_stats["term"].isin(terms)]
+        return dict(zip(sub["term"], sub["df"].astype(int)))
+    return {
+        r.term: int(r.df)
+        for r in term_stats.where(F.col("term").isin(terms))
         .select("term", "df")
         .collect()
-    )
+    }
+
+
+def _idf_rows(term_stats, qtfs: dict[str, int], scorer: Scorer, n_docs: int):
+    """Collect (term, df, idf, qtf) for present query terms — tiny."""
     out = []
-    for r in rows:
-        idf = float(scorer.idf(float(n_docs), np.array([r.df]))[0])
-        out.append((r.term, int(r.df), idf, int(qtfs[r.term])))
+    for term, df in _term_dfs(term_stats, list(qtfs)).items():
+        idf = float(scorer.idf(float(n_docs), np.array([df]))[0])
+        out.append((term, df, idf, int(qtfs[term])))
     return out
 
 
@@ -238,18 +252,38 @@ def score_queries_batch(
 
 def _batch_topk(scores: DataFrame, k: int, ties: str) -> DataFrame:
     """Two-stage per-qid top-k. Stage 1 is a zero-shuffle partition-local
-    prune (each partition emits ≤ Q×k rows); stage 2 selects over the
-    pruned union. Tie order matches the single-query paths: score desc,
-    then docId desc (``ties='desc'``) or asc."""
+    prune (each partition emits ≤ Q×k rows); stage 2 hash-partitions by qid
+    and selects per partition. Tie order matches the single-query paths:
+    score desc, then docId desc (``ties='desc'``) or asc.
+
+    Rows come out sorted (score desc, docId tie) WITHIN each qid but in no
+    particular order ACROSS qids: a global ``orderBy`` here cost a serial
+    rangepartitioning stage (~0.9s flat, measured) for presentation only.
+    Stage 2 uses an explicit ``repartition(n, qid)`` — AQE's byte-based
+    coalescing otherwise folds the tiny pruned rows into ONE task and
+    serializes the final selection across all Q queries (1.3s at Q=256)."""
     doc_asc = ties == "asc"
 
     def _topk_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-        return (
-            pdf.sort_values(
-                ["score", "docId"], ascending=[False, doc_asc], kind="mergesort"
-            )
-            .groupby("qid", sort=False)
-            .head(k)
+        qid = pdf["qid"].to_numpy(np.int64)
+        doc = pdf["docId"].to_numpy(np.int64)
+        score = pdf["score"].to_numpy(np.float64)
+        tie = doc if doc_asc else -doc
+        order = np.lexsort((tie, -score, qid))
+        q = qid[order]
+        # rank within each qid run of the sorted order -> keep first k
+        idx = np.arange(len(q))
+        new = np.empty(len(q), dtype=bool)
+        if len(q):
+            new[0] = True
+            np.not_equal(q[1:], q[:-1], out=new[1:])
+        start = np.maximum.accumulate(np.where(new, idx, 0))
+        keep = order[(idx - start) < k]
+        # deterministic output order: qid asc, then score desc + tie
+        sel = np.lexsort((tie[keep], -score[keep], qid[keep]))
+        keep = keep[sel]
+        return pd.DataFrame(
+            {"qid": qid[keep], "docId": doc[keep], "score": score[keep]}
         )
 
     def partial(batches):
@@ -262,14 +296,16 @@ def _batch_topk(scores: DataFrame, k: int, ties: str) -> DataFrame:
         if acc:
             yield _topk_pdf(pd.concat(acc, ignore_index=True))
 
-    pruned = scores.mapInPandas(partial, BATCH_SCHEMA)
+    def final(batches):
+        acc = [pdf for pdf in batches]
+        if acc:
+            yield _topk_pdf(pd.concat(acc, ignore_index=True))
 
-    out = pruned.groupBy("qid").applyInPandas(
-        lambda pdf: _topk_pdf(pdf), BATCH_SCHEMA
+    pruned = scores.mapInPandas(partial, BATCH_SCHEMA)
+    n_final = int(
+        scores.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    return out.orderBy(
-        "qid", F.desc("score"), F.asc("docId") if doc_asc else F.desc("docId")
-    )
+    return pruned.repartition(n_final, "qid").mapInPandas(final, BATCH_SCHEMA)
 
 
 # --- DAAT kernel with MaxScore / block-max pruning --------------------------
@@ -281,6 +317,14 @@ def _tf_upper(scorer: Scorer, max_tf: np.ndarray) -> np.ndarray:
     if scorer.kind == "bm25":
         return mt * (scorer.k1 + 1.0) / (mt + scorer.k1 * (1.0 - scorer.b))
     return mt  # tfidf: wd = tf*idf grows with tf; cosine norm ignored (≥)
+
+
+def _tf_upper_scalar(scorer: Scorer, mt: float) -> float:
+    """Scalar twin of :func:`_tf_upper` — the batch kernel calls it once per
+    (query, packed row); going through numpy there costs more than the math."""
+    if scorer.kind == "bm25":
+        return mt * (scorer.k1 + 1.0) / (mt + scorer.k1 * (1.0 - scorer.b))
+    return mt
 
 
 def _decode_row_blocks(r, take: np.ndarray):
@@ -335,10 +379,34 @@ def _daat_segment(
     k, and θ only under-estimates, so pruned and exhaustive top-k are
     identical (asserted continuously by tools/wand_audit.py).
     """
+    uq, score = _daat_rows(
+        list(pdf.itertuples(index=False)), qmeta, scorer, avgdl, k, prune,
+        ties, stats=stats, deleted=deleted,
+    )
+    return pd.DataFrame({"docId": uq.astype("int64"), "score": score})
+
+
+def _daat_rows(
+    row_objs: list,
+    qmeta: dict[str, tuple[float, int]],
+    scorer: Scorer,
+    avgdl: float,
+    k: int | None,
+    prune: bool,
+    ties: str = "desc",
+    stats: dict | None = None,
+    deleted: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Numpy core of :func:`_daat_segment` -> (docIds, scores), already
+    truncated to the local top-k with the global tie order. Takes bare row
+    objects (anything exposing the packed-segment fields) so the batch
+    kernel can group rows by term ONCE per bucket and skip the per-query
+    pandas filter/itertuples/DataFrame round-trip — at 256 queries x 64
+    buckets that pandas overhead was 85% of kernel CPU (profiled)."""
     rows = []
-    for r in pdf.itertuples(index=False):
+    for r in row_objs:
         idf, qtf = qmeta[r.term]
-        ub = float(qtf * idf * _tf_upper(scorer, np.array([r.max_tf]))[0])
+        ub = qtf * idf * _tf_upper_scalar(scorer, float(r.max_tf))
         rows.append((ub, r))
     rows.sort(key=lambda x: -x[0])
     # Per-doc remaining-gain bounds, SALT-AWARE: a doc appears in at most ONE
@@ -447,9 +515,8 @@ def _daat_segment(
             if len(cpart) >= k:
                 theta = float(np.partition(cpart, -k)[-k])
     if not acc_doc:
-        return pd.DataFrame({"docId": [], "score": []}).astype(
-            {"docId": "int64", "score": "float64"}
-        )
+        z = np.empty(0, dtype=np.int64)
+        return z, np.empty(0, dtype=np.float64)
     all_doc = np.concatenate(acc_doc)
     uq, inv = np.unique(all_doc, return_inverse=True)
     dot = np.bincount(inv, weights=np.concatenate(acc_dot))
@@ -474,7 +541,7 @@ def _daat_segment(
         tie = uq if ties == "asc" else -uq
         order = np.lexsort((tie, -score))[:k]
         uq, score = uq[order], score[order]
-    return pd.DataFrame({"docId": uq.astype("int64"), "score": score})
+    return uq, score
 
 
 # Segments are TERM-partitioned (the build's repartition-by-term), so one
@@ -571,20 +638,32 @@ def _split_row_by_bucket(r, edges: np.ndarray):
 
 
 def _bucketize_segments(
-    spark: SparkSession, seg: DataFrame, n_buckets: int | None
+    spark: SparkSession,
+    seg: DataFrame,
+    n_buckets: int | None,
+    docid_span: tuple[int, int] | None = None,
 ) -> DataFrame | None:
     """Re-key packed segment rows by docId-range bucket (byte-level block
     slicing — only straddling blocks decode). Shared by the single-query and
-    batch DAAT paths. Returns None when no candidate rows exist."""
+    batch DAAT paths. Returns None when no candidate rows exist.
+
+    ``docid_span``: (lo, hi) inclusive docId bounds to bucket over. Pass the
+    index-global span from the manifest (``stats.docid_lo/docid_hi``,
+    written by finalize_index) to skip the span-agg job — a fixed ~1.5s
+    driver round-trip per workload. Edges over a wider-than-candidate span
+    still partition correctly; surplus buckets are empty and cost nothing."""
     if n_buckets is None:
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    span = seg.agg(
-        F.min("min_docid").alias("lo"),
-        F.max(F.element_at("block_last_docid", -1)).alias("hi"),
-    ).collect()[0]
-    if span["lo"] is None:
-        return None
-    lo, hi = int(span["lo"]), int(span["hi"])
+    if docid_span is not None:
+        lo, hi = int(docid_span[0]), int(docid_span[1])
+    else:
+        span = seg.agg(
+            F.min("min_docid").alias("lo"),
+            F.max(F.element_at("block_last_docid", -1)).alias("hi"),
+        ).collect()[0]
+        if span["lo"] is None:
+            return None
+        lo, hi = int(span["lo"]), int(span["hi"])
     # inclusive upper bounds per bucket over the candidate docId span
     edges = np.unique(np.linspace(lo, hi, n_buckets + 1).astype(np.int64)[1:])
     edges[-1] = hi
@@ -595,9 +674,18 @@ def _bucketize_segments(
             if out:
                 yield pd.DataFrame(out, columns=BUCKETED_SCHEMA.fieldNames())
 
-    return seg.select(*BUCKETED_SCHEMA.fieldNames()[1:], "min_docid").mapInPandas(
+    bucketed = seg.select(*BUCKETED_SCHEMA.fieldNames()[1:], "min_docid").mapInPandas(
         splitter, BUCKETED_SCHEMA
     )
+    # EXPLICIT repartition by bucket, one partition per bucket: the scoring
+    # kernel downstream is python-CPU-heavy per group but byte-light, and
+    # AQE's coalescePartitions sizes post-shuffle partitions by BYTES — left
+    # to groupBy's own exchange it coalesces a small candidate set into ONE
+    # task and serializes the whole kernel stage (measured: 64 buckets x
+    # 0.45s ran 25s on 8 cores). An explicit numPartitions is exempt from
+    # AQE coalescing, and groupBy("bucket") reuses this partitioning without
+    # a second exchange.
+    return bucketed.repartition(len(edges), "bucket")
 
 
 def score_queries_daat_batch(
@@ -614,6 +702,7 @@ def score_queries_daat_batch(
     ties: str = "desc",
     n_buckets: int | None = None,
     deleted: np.ndarray | None = None,
+    docid_span: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Batch DAAT: the block-max pruning path for a WHOLE QUERY WORKLOAD,
     -> (qid, docId, score).
@@ -636,12 +725,7 @@ def score_queries_daat_batch(
     union_terms = sorted({t for q in per_q.values() for t in q})
     if not union_terms:
         return spark.createDataFrame([], BATCH_SCHEMA)
-    df_map = {
-        r.term: int(r.df)
-        for r in term_stats.where(F.col("term").isin(union_terms))
-        .select("term", "df")
-        .collect()
-    }
+    df_map = _term_dfs(term_stats, union_terms)
     idf_map = {
         t: float(scorer.idf(float(n_docs), np.array([df]))[0])
         for t, df in df_map.items()
@@ -655,23 +739,34 @@ def score_queries_daat_batch(
         return spark.createDataFrame([], BATCH_SCHEMA)
     live_terms = sorted({t for qm in qmetas.values() for t in qm})
     seg = segments.where(F.col("term").isin(live_terms))
-    bucketed = _bucketize_segments(spark, seg, n_buckets)
+    bucketed = _bucketize_segments(spark, seg, n_buckets, docid_span)
     if bucketed is None:
         return spark.createDataFrame([], BATCH_SCHEMA)
 
     def kernel(key, pdf):
-        outs = []
+        # one itertuples pass per bucket; per query just list-concat the
+        # term groups and run the numpy core — no per-query pandas at all
+        rows_by_term: dict[str, list] = {}
+        for r in pdf.itertuples(index=False):
+            rows_by_term.setdefault(r.term, []).append(r)
+        qid_arrs, doc_arrs, score_arrs = [], [], []
         for qid, qm in qmetas.items():
-            sub = pdf[pdf["term"].isin(qm)]
-            if not len(sub):
+            rows = [r for t in qm if t in rows_by_term for r in rows_by_term[t]]
+            if not rows:
                 continue
-            res = _daat_segment(sub, qm, scorer, avgdl, k, prune, ties, deleted=deleted)
-            if len(res):
-                res = res.copy()
-                res.insert(0, "qid", np.int64(qid))
-                outs.append(res)
-        if outs:
-            return pd.concat(outs, ignore_index=True)
+            uq, sc = _daat_rows(rows, qm, scorer, avgdl, k, prune, ties, deleted=deleted)
+            if len(uq):
+                qid_arrs.append(np.full(len(uq), qid, dtype=np.int64))
+                doc_arrs.append(uq)
+                score_arrs.append(sc)
+        if qid_arrs:
+            return pd.DataFrame(
+                {
+                    "qid": np.concatenate(qid_arrs),
+                    "docId": np.concatenate(doc_arrs).astype("int64"),
+                    "score": np.concatenate(score_arrs),
+                }
+            )
         return pd.DataFrame(
             {
                 "qid": pd.Series(dtype="int64"),
@@ -700,6 +795,7 @@ def score_query_daat(
     ties: str = "desc",
     n_buckets: int | None = None,
     deleted: np.ndarray | None = None,
+    docid_span: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Distributed block-max DAAT: parquet pushdown on term -> byte-level
     block re-key by docId bucket -> per-bucket MaxScore kernel with local
@@ -715,7 +811,7 @@ def score_query_daat(
         return spark.createDataFrame([], SCORE_SCHEMA)
     qmeta = {t: (idf, qtf) for t, df_, idf, qtf in rows}
     seg = segments.where(F.col("term").isin(list(qmeta)))
-    bucketed = _bucketize_segments(spark, seg, n_buckets)
+    bucketed = _bucketize_segments(spark, seg, n_buckets, docid_span)
     if bucketed is None:
         return spark.createDataFrame([], SCORE_SCHEMA)
 

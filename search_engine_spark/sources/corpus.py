@@ -130,6 +130,81 @@ def with_doc_ids(corpus: DataFrame, clustered: bool = False) -> DataFrame:
     )
 
 
+def dense_doc_ids(corpus: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Dense docIds 0..n-1 in (repo, path, commit) order — the 10^12-file
+    variant promised in :func:`doc_id_expr`'s docstring: hashed clustered
+    ids spend 45 suffix bits per repo, which monster repos (>~10^6 files)
+    can exhaust; dense assignment has no per-repo width at all while
+    keeping the property block-max WAND exploits (same-repo docs occupy one
+    contiguous docId range, since repo is the leading sort key).
+
+    Two passes, both scale-safe:
+
+    1. range-repartition + sort by (repo, path, commit), persist, then a
+       NARROW per-partition count (``mapInPandas`` — no shuffle, and no
+       ``groupBy(spark_partition_id())``, which would shuffle and destroy
+       the very partition ids being counted). Driver sees one row per
+       partition.
+    2. the same persisted partitions get ``base_offset[pid] + local rank``
+       via a second narrow ``mapInPandas``.
+
+    The persist pins the range boundaries (the range partitioner SAMPLES, so
+    recomputation could re-draw them between the two passes); at real 100 TB
+    scale stage the sorted corpus to parquet instead — the build wants a
+    durable snapshot anyway — and run pass 2 off the staged files.
+
+    Monster repos are NOT a skew hazard here: the range partitioner splits
+    a big repo across partitions freely because ranks are per-partition,
+    not per-repo."""
+    import numpy as np
+    from pyspark import StorageLevel, TaskContext
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if num_partitions is None:
+        num_partitions = int(
+            corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    keys = ["repo", "path", "commit"]
+    sorted_df = corpus.repartitionByRange(num_partitions, *keys).sortWithinPartitions(
+        *keys
+    )
+    sorted_df.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _counts(batches):
+        n = 0
+        for pdf in batches:
+            n += len(pdf)
+        yield pd.DataFrame({"pid": [TaskContext.get().partitionId()], "n": [n]})
+
+    cnt_schema = StructType(
+        [StructField("pid", LongType(), False), StructField("n", LongType(), False)]
+    )
+    counts = {
+        int(r.pid): int(r.n)
+        for r in sorted_df.mapInPandas(_counts, cnt_schema).collect()
+    }
+    bases = {}
+    acc = 0
+    for pid in range(num_partitions):
+        bases[pid] = acc
+        acc += counts.get(pid, 0)
+
+    out_schema = StructType(
+        list(corpus.schema.fields) + [StructField("docId", LongType(), False)]
+    )
+
+    def _assign(batches):
+        base = bases[TaskContext.get().partitionId()]
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["docId"] = np.arange(base + seen, base + seen + len(pdf), dtype=np.int64)
+            seen += len(pdf)
+            yield pdf
+
+    return sorted_df.mapInPandas(_assign, out_schema)
+
+
 def _gen_rows(start: int, end: int, vocab_size: int, seed: int) -> pd.DataFrame:
     """Generate rows [start, end) — pure function of the row index."""
     import numpy as np

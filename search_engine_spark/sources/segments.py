@@ -259,11 +259,20 @@ def finalize_index(spark: SparkSession, index_dir: str) -> dict:
     term_stats_from_segments(segs).coalesce(4).write.mode("overwrite").parquet(stats_dir)
     n_docs = sum(b["ndocs"] for b in m["batches"].values())
     total_tokens = sum(b["total_tokens"] for b in m["batches"].values())
+    # global docId bounds: lets the DAAT bucketizer skip its span-agg job
+    # at query time (rank._bucketize_segments docid_span) — docIds are
+    # 63-bit hashes, so the span is not derivable from n_docs
+    span = segs.agg(
+        F.min("min_docid").alias("lo"),
+        F.max(F.element_at("block_last_docid", -1)).alias("hi"),
+    ).collect()[0]
     m["stats"] = {
         "n_docs": n_docs,
         "total_tokens": total_tokens,
         "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
         "npostings": sum(b["npostings"] for b in m["batches"].values()),
+        "docid_lo": int(span["lo"]) if span["lo"] is not None else None,
+        "docid_hi": int(span["hi"]) if span["hi"] is not None else None,
     }
     m["finalized"] = True
     write_manifest(index_dir, m)
@@ -287,6 +296,29 @@ def load_segments(spark: SparkSession, index_dir: str) -> DataFrame:
 
 def load_term_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(index_dir, "term_stats"))
+
+
+def load_term_stats_pdf(index_dir: str) -> pd.DataFrame:
+    """Term stats as a driver-local pandas frame (pyarrow read, no Spark
+    job). A serving process loads this ONCE and passes it to the rank
+    entry points (`rank._term_dfs` accepts either form) — per-workload idf
+    lookup then costs a local isin instead of a ~1.5s Spark round-trip.
+    Holds the whole vocabulary in driver RAM: ~24 bytes/term + strings, so
+    fine to ~10^8 terms; beyond that keep the Spark DataFrame path."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(os.path.join(index_dir, "term_stats")).to_pandas()
+
+
+def docid_span(index_dir: str) -> tuple[int, int] | None:
+    """(lo, hi) global docId bounds from the manifest, or None for indexes
+    finalized before the bounds were recorded (callers fall back to the
+    span-agg job inside the bucketizer)."""
+    stats = read_manifest(index_dir).get("stats", {})
+    lo, hi = stats.get("docid_lo"), stats.get("docid_hi")
+    if lo is None or hi is None:
+        return None
+    return int(lo), int(hi)
 
 
 def _decode_batch(pdf: pd.DataFrame, with_positions: bool):

@@ -212,3 +212,28 @@ def test_compact_salted_batches(spark, tmp_index):
     from pyspark.sql import functions as F
 
     assert segs.where(F.col("term") == "dog").count() > 1
+
+
+def test_dense_doc_ids(spark):
+    """dense_doc_ids: exactly 0..n-1, assigned in global (repo, path,
+    commit) order, so same-repo docs occupy one contiguous id range — the
+    10^12-file alternative to hashed clustered ids (corpus.doc_id_expr)."""
+    from search_engine_spark.sources.corpus import dense_doc_ids, synthetic_corpus
+
+    base = synthetic_corpus(spark, n_docs=500, vocab_size=300, seed=3).drop(
+        "docId", "content_sha256"
+    )
+    out = dense_doc_ids(base, num_partitions=7)
+    rows = out.select("repo", "path", "commit", "docId").collect()
+    assert sorted(r.docId for r in rows) == list(range(500))
+    by_key = sorted(rows, key=lambda r: (r.repo, r.path, r.commit))
+    assert [r.docId for r in by_key] == list(range(500))
+    # contiguity per repo
+    spans = {}
+    for r in rows:
+        lo, hi, n = spans.get(r.repo, (1 << 62, -1, 0))
+        spans[r.repo] = (min(lo, r.docId), max(hi, r.docId), n + 1)
+    for repo, (lo, hi, n) in spans.items():
+        assert hi - lo + 1 == n, repo
+    # schema: original columns preserved + docId appended
+    assert out.columns == base.columns + ["docId"]

@@ -263,6 +263,43 @@ def test_batch_daat_matches_per_query_daat(spark, tmp_path_factory):
     assert a == b
 
 
+def test_serving_fast_paths_identical(spark, tmp_path_factory):
+    """Local pandas term_stats + manifest docid_span (the zero-aux-job
+    serving setup) must change NOTHING about results, single-query or
+    batch."""
+    from search_engine_spark.sources.corpus import synthetic_corpus
+    from search_engine_spark.sources.segments import docid_span, load_term_stats_pdf
+
+    p = str(tmp_path_factory.mktemp("fast") / "idx")
+    corpus = synthetic_corpus(spark, n_docs=300, vocab_size=400, seed=7)
+    m = S.build_index(spark, corpus, p, analyzer="porter", heavy_threshold=50,
+                      n_salts=4)
+    segs, stats = S.load_segments(spark, p), S.load_term_stats(spark, p)
+    nd, avg = m["stats"]["n_docs"], m["stats"]["avgdl"]
+    span = docid_span(p)
+    assert span is not None and span[0] <= span[1]
+    assert m["stats"]["docid_lo"] == span[0] and m["stats"]["docid_hi"] == span[1]
+    stats_pdf = load_term_stats_pdf(p)
+    assert len(stats_pdf) == stats.count()
+    sc = R.Scorer("bm25")
+    kw = ["def", "tok1", "import"]
+    base = [(r.docId, round(r.score, 9)) for r in R.score_query_daat(
+        spark, segs, stats, kw, nd, avg, sc, k=10).collect()]
+    fast = [(r.docId, round(r.score, 9)) for r in R.score_query_daat(
+        spark, segs, stats_pdf, kw, nd, avg, sc, k=10,
+        docid_span=span).collect()]
+    assert base == fast and base
+    queries = {0: kw, 1: ["tok2"], 2: ["zzz_absent"]}
+    b0 = sorted((r.qid, r.docId, round(r.score, 9)) for r in
+                R.score_queries_daat_batch(
+                    spark, segs, stats, queries, nd, avg, sc, k=5).collect())
+    b1 = sorted((r.qid, r.docId, round(r.score, 9)) for r in
+                R.score_queries_daat_batch(
+                    spark, segs, stats_pdf, queries, nd, avg, sc, k=5,
+                    docid_span=span).collect())
+    assert b0 == b1 and b0
+
+
 def test_batch_topk_partial_prune_bounded(spark):
     """The mapInPandas partial top-k must re-prune its accumulator (state
     stays O(Q*k)) and still produce the exact per-qid top-k with ties."""
