@@ -49,6 +49,7 @@ from pyspark.sql.types import (
 
 from ..functions.analyzers import get_analyzer
 from ..functions.codec import varbyte_decode, varbyte_encode
+from ..functions.predicates import isin_expr
 
 # positions travel as a delta+varbyte blob PER POSTING (`posbin`), packed on
 # the map side: an array<int> column through the shuffle costs ~5x in
@@ -213,7 +214,7 @@ def salted(postings: DataFrame, heavy: list[str], n_salts: int) -> DataFrame:
     salts (pure function of docId — resume-safe); light terms salt=0."""
     if not heavy or n_salts <= 1:
         return postings.withColumn("salt", F.lit(0))
-    is_heavy = F.col("term").isin(heavy)
+    is_heavy = isin_expr("term", heavy)
     return postings.withColumn(
         "salt",
         F.when(is_heavy, (F.pmod(F.col("docId"), F.lit(n_salts))).cast("int")).otherwise(

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.analyzers import get_analyzer, tokens_column
+from ..functions.predicates import isin_expr
 
 
 def analyze_query(keywords: list[str], analyzer: str = "porter") -> list[str]:
@@ -39,7 +40,7 @@ def postings_for(postings: DataFrame, terms: list[str]) -> DataFrame:
     """S10 seek analog: predicate pushed to the term-sorted parquet scan."""
     if not terms:
         return postings.limit(0)
-    return postings.where(F.col("term").isin(terms))
+    return postings.where(isin_expr("term", terms))
 
 
 def search_keyword(postings: DataFrame, term: str) -> DataFrame:

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from ..functions.codec import varbyte_decode
+from ..functions.predicates import isin_expr
 from ..operators.query import analyze_query, postings_for
 
 SCORE_SCHEMA = StructType(
@@ -84,7 +85,7 @@ def _term_dfs(term_stats, terms: list[str]) -> dict[str, int]:
         return dict(zip(sub["term"], sub["df"].astype(int)))
     return {
         r.term: int(r.df)
-        for r in term_stats.where(F.col("term").isin(terms))
+        for r in term_stats.where(isin_expr("term", terms))
         .select("term", "df")
         .collect()
     }
@@ -203,7 +204,7 @@ def score_queries_batch(
         return spark.createDataFrame([], BATCH_SCHEMA)
     df_rows = {
         r.term: int(r.df)
-        for r in term_stats.where(F.col("term").isin(all_terms))
+        for r in term_stats.where(isin_expr("term", all_terms))
         .select("term", "df")
         .collect()
     }
@@ -738,7 +739,7 @@ def score_queries_daat_batch(
     if not qmetas:
         return spark.createDataFrame([], BATCH_SCHEMA)
     live_terms = sorted({t for qm in qmetas.values() for t in qm})
-    seg = segments.where(F.col("term").isin(live_terms))
+    seg = segments.where(isin_expr("term", live_terms))
     bucketed = _bucketize_segments(spark, seg, n_buckets, docid_span)
     if bucketed is None:
         return spark.createDataFrame([], BATCH_SCHEMA)
@@ -810,7 +811,7 @@ def score_query_daat(
     if not rows:
         return spark.createDataFrame([], SCORE_SCHEMA)
     qmeta = {t: (idf, qtf) for t, df_, idf, qtf in rows}
-    seg = segments.where(F.col("term").isin(list(qmeta)))
+    seg = segments.where(isin_expr("term", list(qmeta)))
     bucketed = _bucketize_segments(spark, seg, n_buckets, docid_span)
     if bucketed is None:
         return spark.createDataFrame([], SCORE_SCHEMA)

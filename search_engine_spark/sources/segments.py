@@ -43,6 +43,7 @@ from pyspark.sql.types import (
 )
 
 from ..functions.codec import delta_varbyte_decode, varbyte_decode
+from ..functions.predicates import isin_expr
 from ..operators.build import BLOCK_SIZE
 
 
@@ -409,7 +410,7 @@ def decode_postings(
     """
     df = segments
     if terms is not None:
-        df = df.where(F.col("term").isin(list(terms)))
+        df = df.where(isin_expr("term", list(terms)))
     cols = ["term", "docids", "tfs", "dls"] + (
         ["poslens", "positions"] if with_positions else []
     )
