@@ -42,26 +42,35 @@ def varbyte_encode(values) -> bytes:
     n = len(arr)
     if n == 0:
         return _EMPTY
+    mx = int(arr.max())
     if arr.min() < 0:
         raise ValueError("varbyte requires non-negative values")
+    if mx < 0x80:
+        # 1-byte-per-value fast path (position/tf/dl deltas are mostly tiny;
+        # ~50% of the BUILD kernel's CPU was this function before it)
+        return arr.astype(np.uint8).tobytes()
     # bytes needed per value: ceil(bit_length/7), min 1 — exact via thresholds
     lens = np.ones(n, dtype=np.int64)
+    max_len = 1
     for k in range(1, 9):  # int63 needs at most 9 varbyte bytes
+        if mx < (1 << (7 * k)):
+            break
         lens += arr >= (np.int64(1) << (7 * k))
+        max_len = k + 1
     total = int(lens.sum())
     out = np.empty(total, dtype=np.uint8)
     ends = np.cumsum(lens)  # index one past each value's last byte
-    starts = ends - lens
-    # byte position within its value, counted from the END (0 = last byte)
-    idx = np.arange(total, dtype=np.int64)
-    owner = np.repeat(np.arange(n, dtype=np.int64), lens)
-    from_end = (ends[owner] - 1) - idx
-    payload = (arr[owner] >> (7 * from_end)) & 0x7F
-    out[:] = payload.astype(np.uint8)
-    cont = from_end > 0
-    out[cont] |= 0x80
-    # silence unused-var lint for starts (kept for clarity/debugging)
-    _ = starts
+    # one vectorized layer per byte-from-end position: values with ≥ k+1
+    # bytes place byte (value >> 7k) & 0x7F at ends-1-k, continuation bit on
+    # every byte but the last. ≤9 passes over shrinking subsets — no
+    # arange(total)/repeat(owner) scratch arrays (those were the build
+    # kernel's hottest allocation).
+    byte0 = (arr & 0x7F).astype(np.uint8)
+    out[ends - 1] = byte0
+    for k in range(1, max_len):
+        sel = lens > k
+        pos = ends[sel] - 1 - k
+        out[pos] = ((arr[sel] >> (7 * k)) & 0x7F).astype(np.uint8) | 0x80
     return out.tobytes()
 
 
@@ -76,6 +85,8 @@ def varbyte_decode(buf: bytes, start: int = 0, length: int | None = None) -> np.
     is_last = (b & 0x80) == 0
     if not is_last[-1]:
         raise ValueError("truncated varbyte stream")
+    if is_last.all():
+        return payload  # 1-byte-per-value fast path (mirrors the encoder's)
     ends = np.flatnonzero(is_last)
     # group id of each byte = number of terminators strictly before it
     gid = np.zeros(len(b), dtype=np.int64)

@@ -226,7 +226,12 @@ def salted(postings: DataFrame, heavy: list[str], n_salts: int) -> DataFrame:
 def _byte_lens(values: np.ndarray) -> np.ndarray:
     """Varbyte byte-length per value (same thresholds as the encoder)."""
     lens = np.ones(len(values), dtype=np.int64)
+    if len(values) == 0:
+        return lens
+    mx = int(values.max())
     for k in range(1, 9):
+        if mx < (1 << (7 * k)):
+            break
         lens += values >= (np.int64(1) << (7 * k))
     return lens
 

@@ -42,7 +42,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-from ..functions.codec import varbyte_decode
+from ..functions.codec import varbyte_decode, varbyte_encode
+from ..operators.build import BLOCK_SIZE, _byte_lens
 from ..functions.predicates import isin_expr
 from ..operators.query import analyze_query, postings_for
 
@@ -328,11 +329,29 @@ def _tf_upper_scalar(scorer: Scorer, mt: float) -> float:
     return mt
 
 
-def _decode_row_blocks(r, take: np.ndarray):
-    """Byte-decode only the selected blocks of one packed row."""
-    offs = np.asarray(r.block_docid_off, dtype=np.int64)
-    toffs = np.asarray(r.block_tf_off, dtype=np.int64)
-    dloffs = np.asarray(r.block_dl_off, dtype=np.int64)
+def _blk_i64(v) -> np.ndarray:
+    """Block-metadata field -> int64 array. Bucketed shuffle rows pack these
+    as little-endian bytes (no per-element boxing through Arrow — the list
+    cells were ~half the bucketize stage), segment rows carry Arrow lists."""
+    if isinstance(v, (bytes, bytearray)):
+        return np.frombuffer(v, dtype="<i8")
+    return np.asarray(v, dtype=np.int64)
+
+
+def _blk_i32(v) -> np.ndarray:
+    if isinstance(v, (bytes, bytearray)):
+        return np.frombuffer(v, dtype="<i4").astype(np.int64)
+    return np.asarray(v, dtype=np.int64)
+
+
+def _decode_row_blocks(r, take: np.ndarray | None):
+    """Byte-decode only the selected blocks of one packed row
+    (``take=None`` = all blocks)."""
+    offs = _blk_i32(r.block_docid_off)
+    toffs = _blk_i32(r.block_tf_off)
+    dloffs = _blk_i32(r.block_dl_off)
+    if take is None:
+        take = np.ones(len(offs), dtype=bool)
     ends_d = np.append(offs[1:], len(r.docids))
     ends_t = np.append(toffs[1:], len(r.tfs))
     ends_l = np.append(dloffs[1:], len(r.dls))
@@ -358,6 +377,7 @@ def _daat_segment(
     ties: str = "desc",
     stats: dict | None = None,
     deleted: np.ndarray | None = None,
+    bounds: tuple[int, int] | None = None,
 ) -> pd.DataFrame:
     """Score one segment's packed rows for the query terms.
 
@@ -382,7 +402,7 @@ def _daat_segment(
     """
     uq, score = _daat_rows(
         list(pdf.itertuples(index=False)), qmeta, scorer, avgdl, k, prune,
-        ties, stats=stats, deleted=deleted,
+        ties, stats=stats, deleted=deleted, bounds=bounds,
     )
     return pd.DataFrame({"docId": uq.astype("int64"), "score": score})
 
@@ -397,13 +417,19 @@ def _daat_rows(
     ties: str = "desc",
     stats: dict | None = None,
     deleted: np.ndarray | None = None,
+    bounds: tuple[int, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Numpy core of :func:`_daat_segment` -> (docIds, scores), already
     truncated to the local top-k with the global tie order. Takes bare row
     objects (anything exposing the packed-segment fields) so the batch
     kernel can group rows by term ONCE per bucket and skip the per-query
     pandas filter/itertuples/DataFrame round-trip — at 256 queries x 64
-    buckets that pandas overhead was 85% of kernel CPU (profiled)."""
+    buckets that pandas overhead was 85% of kernel CPU (profiled).
+
+    ``bounds=(lo, hi)``: keep only decoded docIds in the inclusive range —
+    bucketed rows ship whole blocks, so a bucket may receive postings that
+    belong to a neighbor and MUST drop them (a doc scores in exactly one
+    bucket)."""
     rows = []
     for r in row_objs:
         idf, qtf = qmeta[r.term]
@@ -452,7 +478,7 @@ def _daat_rows(
     cpart: np.ndarray | None = None
     for i, (ub, r) in enumerate(rows):
         # strict <: a doc tying θ exactly could still enter top-k on tiebreak
-        blast = np.asarray(r.block_last_docid, dtype=np.int64)
+        blast = _blk_i64(r.block_last_docid)
         take = np.ones(len(blast), dtype=bool)
         if can_prune and theta > -np.inf:
             # Per-block admission (block-max WAND, every row): a block must
@@ -473,7 +499,7 @@ def _daat_rows(
             # bite exactly here: viable candidates concentrate in few docId
             # ranges, and block runs outside them fail both cases.
             idf, qtf = qmeta[r.term]
-            bub = qtf * idf * _tf_upper(scorer, np.asarray(r.block_max_tf))
+            bub = qtf * idf * _tf_upper(scorer, _blk_i32(r.block_max_tf))
             rest_other = suffix_ub[i + 1] - suffix_max[r.term][i + 1]
             new_ok = (bub + rest_other) >= theta
             if cand is not None:
@@ -493,6 +519,10 @@ def _daat_rows(
             stats["blocks_total"] = stats.get("blocks_total", 0) + int(len(take))
             stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + int(take.sum())
         d, t, l = _decode_row_blocks(r, take)
+        if bounds is not None and len(d):
+            i0 = np.searchsorted(d, bounds[0], "left")
+            i1 = np.searchsorted(d, bounds[1], "right")
+            d, t, l = d[i0:i1], t[i0:i1], l[i0:i1]
         if deleted is not None and len(d):
             # tombstone mask (operators/delete.py): drop deleted docs as
             # they decode — θ then only ever reflects live docs, and block
@@ -545,55 +575,264 @@ def _daat_rows(
     return uq, score
 
 
+def _daat_rows_batch(
+    all_rows: list,
+    rows_by_term: dict[str, list[int]],
+    qmetas: dict[int, dict[str, tuple[float, int]]],
+    scorer: Scorer,
+    avgdl: float,
+    k: int | None,
+    ties: str = "desc",
+    deleted: np.ndarray | None = None,
+    bounds: tuple[int, int] | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode-once vectorized twin of the per-query :func:`_daat_rows` loop
+    for a whole workload -> (qids, docIds, scores), per-qid top-k applied.
+
+    The per-query loop re-decodes a packed row for EVERY query that touches
+    its term and pays ~100-200µs of small-numpy fixed cost per (query,
+    bucket) call — at 4096 queries x 64 buckets that is ~260k kernel calls
+    and decode of shared heavy terms repeats thousands of times. Here each
+    packed row decodes exactly once per bucket, each (row, qtf) contribution
+    array is computed once and shared by every query using that term, and
+    the whole bucket reduces with ONE unique/bincount + ONE segmented top-k
+    pass, so work scales with total postings, not query count.
+
+    Output is BIT-IDENTICAL to running :func:`_daat_rows` per query with
+    ``prune=False`` (and rank/score-identical to ``prune=True``, whose
+    returned top-k scores are exact — asserted by tools/wand_audit.py):
+
+    - contribution arrays evaluate the same expression with the same scalar
+      (qtf, idf) bindings, so they are the same floats;
+    - per (qid, docId) the partial sums accumulate via ``np.bincount`` in
+      concat order = UB-desc row order (stable sort, same key), exactly the
+      order the per-query loop feeds its own bincount;
+    - the local top-k uses the same (score desc, docId ``ties``) lexsort.
+    """
+    decode_cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    contrib_cache: dict[tuple[int, int], tuple[np.ndarray, np.ndarray | None]] = {}
+
+    def decoded(ri: int):
+        got = decode_cache.get(ri)
+        if got is None:
+            d, t, l = _decode_row_blocks(all_rows[ri], None)
+            if bounds is not None and len(d):
+                i0 = np.searchsorted(d, bounds[0], "left")
+                i1 = np.searchsorted(d, bounds[1], "right")
+                d, t, l = d[i0:i1], t[i0:i1], l[i0:i1]
+            if deleted is not None and len(d):
+                pos = np.searchsorted(deleted, d)
+                pos[pos == deleted.size] = 0
+                keep = deleted[pos] != d if deleted.size else np.ones(len(d), bool)
+                d, t, l = d[keep], t[keep], l[keep]
+            got = decode_cache[ri] = (d, t, l)
+        return got
+
+    def contribs_of(ri: int, idf: float, qtf: int):
+        got = contrib_cache.get((ri, qtf))
+        if got is None:
+            d, t, l = decoded(ri)
+            tfs = t.astype(np.float64)
+            if scorer.kind == "bm25":
+                c = qtf * idf * tfs * (scorer.k1 + 1.0) / (
+                    tfs + scorer.k1 * (1.0 - scorer.b + scorer.b * l / avgdl)
+                )
+                got = (c, None)
+            else:
+                wd = tfs * idf
+                got = (wd * (qtf * idf), wd * wd)
+            contrib_cache[(ri, qtf)] = got
+        return got
+
+    qid_runs: list[tuple[int, int]] = []  # (qid, n_postings)
+    doc_parts: list[np.ndarray] = []
+    dot_parts: list[np.ndarray] = []
+    len_parts: list[np.ndarray] = []
+    is_tfidf = scorer.kind != "bm25"
+    for qid, qm in qmetas.items():
+        # same row order as the per-query path: qm iteration order, then a
+        # STABLE sort by UB desc (equal-UB rows keep their relative order)
+        pairs = [
+            (qm[t][1] * qm[t][0] * _tf_upper_scalar(scorer, float(all_rows[ri].max_tf)), ri, t)
+            for t in qm
+            if t in rows_by_term
+            for ri in rows_by_term[t]
+        ]
+        pairs.sort(key=lambda x: -x[0])
+        n_q = 0
+        for _, ri, t in pairs:
+            d = decoded(ri)[0]
+            if not len(d):
+                continue
+            idf, qtf = qm[t]
+            dot, ln = contribs_of(ri, idf, qtf)
+            doc_parts.append(d)
+            dot_parts.append(dot)
+            if is_tfidf:
+                len_parts.append(ln)
+            n_q += len(d)
+        if n_q:
+            qid_runs.append((qid, n_q))
+    if not doc_parts:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), np.empty(0, dtype=np.float64)
+
+    docs = np.concatenate(doc_parts)
+    dots = np.concatenate(dot_parts)
+    qids = np.repeat(
+        np.fromiter((q for q, _ in qid_runs), np.int64, len(qid_runs)),
+        np.fromiter((n for _, n in qid_runs), np.int64, len(qid_runs)),
+    )
+    # group by (qid, docId) without assuming qid*max_doc fits an int64:
+    # lexsort -> run boundaries -> inverse map back to ORIGINAL positions so
+    # bincount still accumulates in concat (UB-desc row) order
+    order = np.lexsort((docs, qids))
+    sq, sd = qids[order], docs[order]
+    new = np.empty(len(sq), dtype=bool)
+    new[0] = True
+    new[1:] = (sq[1:] != sq[:-1]) | (sd[1:] != sd[:-1])
+    gid_sorted = np.cumsum(new) - 1
+    inv = np.empty(len(sq), dtype=np.int64)
+    inv[order] = gid_sorted
+    uq_qid, uq_doc = sq[new], sd[new]
+    dot = np.bincount(inv, weights=dots)
+    if is_tfidf:
+        ln = (
+            np.bincount(inv, weights=np.concatenate(len_parts))
+            if len_parts
+            else np.zeros(len(uq_doc))
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            score = np.where(ln > 0, dot / np.sqrt(ln), 0.0)
+    else:
+        score = dot
+    if k is not None and len(uq_doc):
+        tie = uq_doc if ties == "asc" else -uq_doc
+        sel = np.lexsort((tie, -score, uq_qid))
+        q = uq_qid[sel]
+        idx = np.arange(len(q))
+        first = np.empty(len(q), dtype=bool)
+        first[0] = True
+        np.not_equal(q[1:], q[:-1], out=first[1:])
+        start = np.maximum.accumulate(np.where(first, idx, 0))
+        keep = sel[(idx - start) < k]
+        uq_qid, uq_doc, score = uq_qid[keep], uq_doc[keep], score[keep]
+    return uq_qid, uq_doc, score
+
+
 # Segments are TERM-partitioned (the build's repartition-by-term), so one
 # doc's query terms live in different segment rows/files. Distributed DAAT
 # therefore re-keys the *compressed* posting blocks by global docId range:
-# non-straddling blocks are byte-sliced (delta chains restart per block — no
-# decode), only the rare blocks straddling a bucket edge are decoded and
-# re-encoded. Each bucket then holds every query-term posting for its docId
-# range => the per-bucket kernel computes complete scores and a valid local
-# top-k, and only q-term compressed bytes ever cross the shuffle.
+# every slice is a pure byte-range of whole blocks (delta chains restart per
+# block — no decode in the splitter at all); a block overlapping several
+# buckets is SHIPPED WHOLE to each of them and the scoring kernel masks
+# decoded docIds to the bucket's [lo_docid, hi_docid] range. (The previous
+# design re-encoded edge-straddling blocks exactly per bucket — but with
+# uniform docIds and many buckets nearly EVERY block straddles, and the
+# per-(block, bucket) python decode/re-encode was 30s single-threaded on a
+# 4096-query workload vs <1s of byte slicing. Masking after decode costs two
+# searchsorteds; duplicated block bytes cost C-level copies only.) Each
+# bucket then holds every query-term posting for its docId range => the
+# per-bucket kernel computes complete scores and a valid local top-k.
 
-from pyspark.sql.types import ArrayType, BinaryType, IntegerType, StringType
+from pyspark.sql.types import BinaryType, IntegerType, StringType
 
 BUCKETED_SCHEMA = StructType(
     [
         StructField("bucket", IntegerType(), False),
+        # this bucket owns docIds in [lo_docid, hi_docid] (inclusive);
+        # kernels drop decoded postings outside it (block duplication)
+        StructField("lo_docid", LongType(), False),
+        StructField("hi_docid", LongType(), False),
         StructField("term", StringType(), False),
         StructField("max_tf", IntegerType(), False),
         StructField("docids", BinaryType(), False),
         StructField("tfs", BinaryType(), False),
         StructField("dls", BinaryType(), False),
-        StructField("block_last_docid", ArrayType(LongType()), False),
-        StructField("block_max_tf", ArrayType(IntegerType()), False),
-        StructField("block_docid_off", ArrayType(IntegerType()), False),
-        StructField("block_tf_off", ArrayType(IntegerType()), False),
-        StructField("block_dl_off", ArrayType(IntegerType()), False),
+        # block metadata packed as little-endian bytes (i64 / i32): Arrow
+        # list<int> cells box every element twice (python list build at the
+        # splitter, list-array build at serialization); these are zero-copy
+        # numpy views via _blk_i64/_blk_i32
+        StructField("block_last_docid", BinaryType(), False),
+        StructField("block_max_tf", BinaryType(), False),
+        StructField("block_docid_off", BinaryType(), False),
+        StructField("block_tf_off", BinaryType(), False),
+        StructField("block_dl_off", BinaryType(), False),
     ]
 )
 
 
-def _reencode_part(term, docids, tfs, dls):
-    from ..functions.codec import varbyte_encode
-
-    deltas = docids.copy()
-    deltas[1:] -= docids[:-1]
-    return (
-        term,
-        int(tfs.max()),
-        varbyte_encode(deltas),
-        varbyte_encode(tfs),
-        varbyte_encode(dls),
-        [int(docids[-1])],
-        [int(tfs.max())],
-        [0],
-        [0],
-        [0],
-    )
+def _bucket_bounds(b: int, edges: np.ndarray, lo_global: int) -> tuple[int, int]:
+    """Inclusive [lo, hi] docId range owned by bucket b."""
+    return (int(edges[b - 1]) + 1 if b > 0 else int(lo_global), int(edges[b]))
 
 
-def _split_row_by_bucket(r, edges: np.ndarray):
-    """Yield (bucket, *BUCKETED fields) slices of one packed segment row."""
+def _split_row_exact(r, edges: np.ndarray, lo_global: int):
+    """Decode one packed row ONCE and re-encode an exact per-bucket slice —
+    the path for SPARSE rows (rare terms) whose blocks span many buckets:
+    shipping such a block whole to all ~n_buckets buckets multiplies both
+    shuffle bytes and kernel decode by the coverage (measured 2x slices,
+    3.4x wall on a 4096-query workload at 64 buckets). The re-encoded slice
+    is a single block; by the dispatch condition below it holds fewer than
+    BLOCK_SIZE/2 postings, so no block-max granularity is lost."""
+    d, t, l = _decode_row_blocks(r, None)
+    bks = np.searchsorted(edges, d, "left")
+    starts = np.flatnonzero(np.diff(bks)) + 1
+    bnds = np.concatenate(([0], starts, [len(d)]))
+    # re-encode the WHOLE row in one vectorized pass, delta chain restarting
+    # at every slice start (the build's posbin trick) — per slice only pure
+    # byte slicing remains (per-slice varbyte calls were ~40µs of small-numpy
+    # overhead each, 30s+ over a 4096-query workload's 200k slices)
+    deltas = d.copy()
+    deltas[1:] -= d[:-1]
+    deltas[starts] = d[starts]
+    bufs, cums = [], []
+    for arr in (deltas, t, l):
+        bufs.append(varbyte_encode(arr))
+        cum = np.zeros(len(arr) + 1, dtype=np.int64)
+        np.cumsum(_byte_lens(arr), out=cum[1:])
+        cums.append(cum)
+    mts = np.maximum.reduceat(t, bnds[:-1])
+    lasts_i8 = d[bnds[1:] - 1].astype("<i8").tobytes()
+    mts_i4 = mts.astype("<i4").tobytes()
+    for j in range(len(bnds) - 1):
+        b = int(bks[bnds[j]])
+        lo_b, hi_b = _bucket_bounds(b, edges, lo_global)
+        yield (
+            b,
+            lo_b,
+            hi_b,
+            r.term,
+            int(mts[j]),
+            bufs[0][cums[0][bnds[j]] : cums[0][bnds[j + 1]]],
+            bufs[1][cums[1][bnds[j]] : cums[1][bnds[j + 1]]],
+            bufs[2][cums[2][bnds[j]] : cums[2][bnds[j + 1]]],
+            lasts_i8[j * 8 : (j + 1) * 8],
+            mts_i4[j * 4 : (j + 1) * 4],
+            _I32_ZERO,
+            _I32_ZERO,
+            _I32_ZERO,
+        )
+
+
+_I32_ZERO = np.zeros(1, "<i4").tobytes()
+
+
+def _split_row_by_bucket(r, edges: np.ndarray, lo_global: int):
+    """Yield (bucket, lo, hi, *fields) whole-block byte slices of one packed
+    segment row — one slice per bucket the row's blocks overlap, no decode.
+
+    Blocks are docId-sorted, so the blocks overlapping bucket b form a
+    contiguous run: first block whose last docId reaches b, through the last
+    block that can start at or below b (bounded by the previous block's last
+    docId + 1 — a conservative start, so a bucket may receive a block with
+    no postings for it; the kernel's range mask drops them).
+
+    Sparse rows — fewer than BLOCK_SIZE/2 postings per covered bucket —
+    dispatch to :func:`_split_row_exact` instead: duplicating a whole block
+    to every bucket a 128-posting rare term touches is pure waste, while for
+    dense rows (heavy terms, blocks spanning 2-4 buckets) byte-duplication
+    beats decode/re-encode and keeps real block-max granularity."""
     blast = np.asarray(r.block_last_docid, dtype=np.int64)
     bmax = np.asarray(r.block_max_tf, dtype=np.int64)
     offs_d = np.append(np.asarray(r.block_docid_off, np.int64), len(r.docids))
@@ -605,37 +844,30 @@ def _split_row_by_bucket(r, edges: np.ndarray):
     prev[1:] = blast[:-1]
     b_lo = np.searchsorted(edges, prev + 1, "left")
     b_hi = np.searchsorted(edges, blast, "left")
-    i = 0
-    while i < nb:
-        if b_lo[i] != b_hi[i]:
-            # straddler: decode this one block and split exactly by edges
-            d = np.cumsum(varbyte_decode(r.docids, int(offs_d[i]), int(offs_d[i + 1] - offs_d[i])))
-            t = varbyte_decode(r.tfs, int(offs_t[i]), int(offs_t[i + 1] - offs_t[i]))
-            l = varbyte_decode(r.dls, int(offs_l[i]), int(offs_l[i + 1] - offs_l[i]))
-            bks = np.searchsorted(edges, d, "left")
-            for bk in np.unique(bks):
-                sel = bks == bk
-                yield (int(bk),) + _reencode_part(r.term, d[sel], t[sel], l[sel])
-            i += 1
+    covered = int(b_hi[-1]) - int(b_lo[0]) + 1
+    if covered > 1 and r.ndocs < covered * (BLOCK_SIZE // 2):
+        yield from _split_row_exact(r, edges, lo_global)
+        return
+    for b in range(int(b_lo[0]), int(b_hi[-1]) + 1):
+        i0 = int(np.searchsorted(b_hi, b, "left"))
+        i1 = int(np.searchsorted(b_lo, b, "right"))  # one past last block
+        if i0 >= i1:
             continue
-        # run of whole blocks in the same bucket -> pure byte slice
-        j = i + 1
-        while j < nb and b_lo[j] == b_hi[j] and b_hi[j] == b_hi[i]:
-            j += 1
         yield (
-            int(b_hi[i]),
+            b,
+            int(edges[b - 1]) + 1 if b > 0 else int(lo_global),
+            int(edges[b]),
             r.term,
-            int(bmax[i:j].max()),
-            r.docids[int(offs_d[i]) : int(offs_d[j])],
-            r.tfs[int(offs_t[i]) : int(offs_t[j])],
-            r.dls[int(offs_l[i]) : int(offs_l[j])],
-            blast[i:j].tolist(),
-            [int(x) for x in bmax[i:j]],
-            [int(x - offs_d[i]) for x in offs_d[i:j]],
-            [int(x - offs_t[i]) for x in offs_t[i:j]],
-            [int(x - offs_l[i]) for x in offs_l[i:j]],
+            int(bmax[i0:i1].max()),
+            r.docids[int(offs_d[i0]) : int(offs_d[i1])],
+            r.tfs[int(offs_t[i0]) : int(offs_t[i1])],
+            r.dls[int(offs_l[i0]) : int(offs_l[i1])],
+            blast[i0:i1].astype("<i8").tobytes(),
+            bmax[i0:i1].astype("<i4").tobytes(),
+            (offs_d[i0:i1] - offs_d[i0]).astype("<i4").tobytes(),
+            (offs_t[i0:i1] - offs_t[i0]).astype("<i4").tobytes(),
+            (offs_l[i0:i1] - offs_l[i0]).astype("<i4").tobytes(),
         )
-        i = j
 
 
 def _bucketize_segments(
@@ -671,13 +903,24 @@ def _bucketize_segments(
 
     def splitter(batches):
         for pdf in batches:
-            out = [tup for r in pdf.itertuples(index=False) for tup in _split_row_by_bucket(r, edges)]
+            out = [
+                tup
+                for r in pdf.itertuples(index=False)
+                for tup in _split_row_by_bucket(r, edges, lo)
+            ]
             if out:
-                yield pd.DataFrame(out, columns=BUCKETED_SCHEMA.fieldNames())
+                # columnar construction: pd.DataFrame(list-of-tuples) routes
+                # through a 2-D object array (row-wise) — zip keeps each
+                # column a flat tuple of scalars/bytes
+                cols = zip(BUCKETED_SCHEMA.fieldNames(), zip(*out))
+                yield pd.DataFrame(dict(cols))
 
-    bucketed = seg.select(*BUCKETED_SCHEMA.fieldNames()[1:], "min_docid").mapInPandas(
-        splitter, BUCKETED_SCHEMA
-    )
+    seg_cols = [
+        "term", "max_tf", "docids", "tfs", "dls", "block_last_docid",
+        "block_max_tf", "block_docid_off", "block_tf_off", "block_dl_off",
+        "min_docid", "ndocs",
+    ]
+    bucketed = seg.select(*seg_cols).mapInPandas(splitter, BUCKETED_SCHEMA)
     # EXPLICIT repartition by bucket, one partition per bucket: the scoring
     # kernel downstream is python-CPU-heavy per group but byte-light, and
     # AQE's coalescePartitions sizes post-shuffle partitions by BYTES — left
@@ -704,16 +947,21 @@ def score_queries_daat_batch(
     n_buckets: int | None = None,
     deleted: np.ndarray | None = None,
     docid_span: tuple[int, int] | None = None,
+    vectorized: bool = True,
 ) -> DataFrame:
-    """Batch DAAT: the block-max pruning path for a WHOLE QUERY WORKLOAD,
-    -> (qid, docId, score).
+    """Batch DAAT for a WHOLE QUERY WORKLOAD -> (qid, docId, score).
 
     One ``term IN (union of all query terms)`` segment scan, one bucketized
-    block shuffle, then the per-bucket kernel runs :func:`_daat_segment`
-    once per query over that bucket's rows for ITS terms — each query keeps
-    its own θ and block-admission bounds, so pruning semantics are identical
-    to :func:`score_query_daat` query by query (equality-tested). Per-qid
-    results merge through the same two-stage top-k as
+    block shuffle, then ONE kernel per bucket. ``vectorized=True`` (default)
+    runs :func:`_daat_rows_batch`: each packed row decodes once per bucket
+    and the whole workload reduces in a handful of numpy passes — decode
+    sharing beats per-query block pruning for batches, and the result is
+    bit-identical to the per-query path (see its docstring).
+    ``vectorized=False`` keeps the per-query :func:`_daat_rows` loop, where
+    each query gets its own θ / block-max admission — the path
+    tools/wand_audit.py measures, and the better shape for small Q over
+    huge postings (pruning skips decode the batch kernel would pay).
+    Per-qid results merge through the same two-stage top-k as
     :func:`score_queries_batch`.
 
     With ``k=None`` every (qid, docId, score) row is returned unordered
@@ -745,8 +993,23 @@ def score_queries_daat_batch(
         return spark.createDataFrame([], BATCH_SCHEMA)
 
     def kernel(key, pdf):
-        # one itertuples pass per bucket; per query just list-concat the
-        # term groups and run the numpy core — no per-query pandas at all
+        # one itertuples pass per bucket; the vectorized core decodes each
+        # row once and reduces the whole workload in numpy, the per-query
+        # core keeps θ/block-max pruning per query — no per-query pandas
+        # in either
+        bounds = (int(pdf["lo_docid"].iat[0]), int(pdf["hi_docid"].iat[0]))
+        if vectorized:
+            all_rows = list(pdf.itertuples(index=False))
+            rows_by_term_i: dict[str, list[int]] = {}
+            for i, r in enumerate(all_rows):
+                rows_by_term_i.setdefault(r.term, []).append(i)
+            qv, dv, sv = _daat_rows_batch(
+                all_rows, rows_by_term_i, qmetas, scorer, avgdl, k, ties,
+                deleted, bounds,
+            )
+            return pd.DataFrame(
+                {"qid": qv, "docId": dv.astype("int64"), "score": sv}
+            )
         rows_by_term: dict[str, list] = {}
         for r in pdf.itertuples(index=False):
             rows_by_term.setdefault(r.term, []).append(r)
@@ -755,7 +1018,8 @@ def score_queries_daat_batch(
             rows = [r for t in qm if t in rows_by_term for r in rows_by_term[t]]
             if not rows:
                 continue
-            uq, sc = _daat_rows(rows, qm, scorer, avgdl, k, prune, ties, deleted=deleted)
+            uq, sc = _daat_rows(rows, qm, scorer, avgdl, k, prune, ties,
+                                deleted=deleted, bounds=bounds)
             if len(uq):
                 qid_arrs.append(np.full(len(uq), qid, dtype=np.int64))
                 doc_arrs.append(uq)
@@ -817,7 +1081,9 @@ def score_query_daat(
         return spark.createDataFrame([], SCORE_SCHEMA)
 
     def kernel(key, pdf):
-        return _daat_segment(pdf, qmeta, scorer, avgdl, k, prune, ties, deleted=deleted)
+        bounds = (int(pdf["lo_docid"].iat[0]), int(pdf["hi_docid"].iat[0]))
+        return _daat_segment(pdf, qmeta, scorer, avgdl, k, prune, ties,
+                             deleted=deleted, bounds=bounds)
 
     local = bucketed.groupBy("bucket").applyInPandas(kernel, SCORE_SCHEMA)
     order = [F.desc("score"), F.desc("docId") if ties == "desc" else F.asc("docId")]

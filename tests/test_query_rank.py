@@ -263,6 +263,64 @@ def test_batch_daat_matches_per_query_daat(spark, tmp_path_factory):
     assert a == b
 
 
+def test_vectorized_batch_kernel_bit_exact(spark, tmp_path_factory):
+    """The decode-once vectorized batch kernel must reproduce the per-query
+    kernel loop BIT-exactly (same float scores, not merely same ranks):
+    same contribution expressions with the same scalar bindings, bincount
+    accumulation in the same UB-desc row order, same tie-break. Covers both
+    scorers, duplicate-term queries (qtf=2), shared terms across queries,
+    and both tie orders."""
+    from search_engine_spark.sources.corpus import synthetic_corpus
+
+    p = str(tmp_path_factory.mktemp("vbatch") / "idx")
+    corpus = synthetic_corpus(spark, n_docs=500, vocab_size=500, seed=31)
+    m = S.build_index(spark, corpus, p, analyzer="porter", n_batches=2,
+                      heavy_threshold=60, n_salts=4)
+    segs, stats = S.load_segments(spark, p), S.load_term_stats(spark, p)
+    nd, avg = m["stats"]["n_docs"], m["stats"]["avgdl"]
+    queries = {
+        0: ["def", "import"],
+        1: ["apple", "rotten", "tok3"],
+        2: ["def"],                      # shares a term with qid 0
+        3: ["tok3", "tok3", "string"],   # qtf=2
+        4: ["zzz_absent"],
+    }
+    for kind in ("bm25", "tfidf"):
+        sc = R.Scorer(kind)
+        for ties in ("asc", "desc"):
+            vec = sorted(
+                (r.qid, r.docId, r.score)
+                for r in R.score_queries_daat_batch(
+                    spark, segs, stats, queries, nd, avg, sc, k=10,
+                    ties=ties, vectorized=True,
+                ).collect()
+            )
+            loop = sorted(
+                (r.qid, r.docId, r.score)
+                for r in R.score_queries_daat_batch(
+                    spark, segs, stats, queries, nd, avg, sc, k=10,
+                    ties=ties, prune=False, vectorized=False,
+                ).collect()
+            )
+            assert vec == loop and vec, (kind, ties)  # bit-exact, non-empty
+    # and rank/value-identical to the PRUNED per-query loop (bm25)
+    sc = R.Scorer("bm25")
+    vec = sorted(
+        (r.qid, r.docId, round(r.score, 9))
+        for r in R.score_queries_daat_batch(
+            spark, segs, stats, queries, nd, avg, sc, k=10, vectorized=True,
+        ).collect()
+    )
+    pruned = sorted(
+        (r.qid, r.docId, round(r.score, 9))
+        for r in R.score_queries_daat_batch(
+            spark, segs, stats, queries, nd, avg, sc, k=10, prune=True,
+            vectorized=False,
+        ).collect()
+    )
+    assert vec == pruned
+
+
 def test_serving_fast_paths_identical(spark, tmp_path_factory):
     """Local pandas term_stats + manifest docid_span (the zero-aux-job
     serving setup) must change NOTHING about results, single-query or

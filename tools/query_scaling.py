@@ -77,8 +77,10 @@ for i in range(n_q):
 # n_buckets is FIXED across levels so both do identical total work and the
 # 4N level wins only by scheduling buckets across more cores — varying it
 # with cores would change the per-(bucket, query) kernel-call overhead and
-# confound the comparison.
-N_BUCKETS = 64
+# confound the comparison. 32 = 4x the high level's cores: enough slack for
+# stragglers while keeping block duplication and per-bucket overhead low
+# (64 buckets measured ~35% slower at BOTH levels).
+N_BUCKETS = 32
 score_queries_daat_batch(spark, segs, stats,
                          {{i: queries[i] for i in range(4)}},
                          int(nd), avg, Scorer(), 10,
