@@ -683,18 +683,27 @@ def _daat_rows_batch(
         np.fromiter((q for q, _ in qid_runs), np.int64, len(qid_runs)),
         np.fromiter((n for _, n in qid_runs), np.int64, len(qid_runs)),
     )
-    # group by (qid, docId) without assuming qid*max_doc fits an int64:
-    # lexsort -> run boundaries -> inverse map back to ORIGINAL positions so
-    # bincount still accumulates in concat (UB-desc row) order
-    order = np.lexsort((docs, qids))
-    sq, sd = qids[order], docs[order]
-    new = np.empty(len(sq), dtype=bool)
-    new[0] = True
-    new[1:] = (sq[1:] != sq[:-1]) | (sd[1:] != sd[:-1])
-    gid_sorted = np.cumsum(new) - 1
-    inv = np.empty(len(sq), dtype=np.int64)
-    inv[order] = gid_sorted
-    uq_qid, uq_doc = sq[new], sd[new]
+    # group by (qid, docId): single combined-key unique when qid*M+doc fits
+    # an int64 (one 8-byte sort pass — the kernel is bandwidth-bound under
+    # SMT sharing), else a 2-key lexsort. Either way inv maps back to the
+    # ORIGINAL positions so bincount still accumulates in concat (UB-desc
+    # row) order.
+    max_doc = int(docs.max())
+    max_qid = int(qids.max())
+    if (max_qid + 1) < (2**62) // (max_doc + 1):
+        m = np.int64(max_doc + 1)
+        keys, inv = np.unique(qids * m + docs, return_inverse=True)
+        uq_qid, uq_doc = keys // m, keys % m
+    else:
+        order = np.lexsort((docs, qids))
+        sq, sd = qids[order], docs[order]
+        new = np.empty(len(sq), dtype=bool)
+        new[0] = True
+        new[1:] = (sq[1:] != sq[:-1]) | (sd[1:] != sd[:-1])
+        gid_sorted = np.cumsum(new) - 1
+        inv = np.empty(len(sq), dtype=np.int64)
+        inv[order] = gid_sorted
+        uq_qid, uq_doc = sq[new], sd[new]
     dot = np.bincount(inv, weights=dots)
     if is_tfidf:
         ln = (
