@@ -294,6 +294,41 @@ def q_q8_bm25_batch(spark, sf_dir):
     )
 
 
+def q_q8_bm25_batch_daat(spark, sf_dir):
+    """Q8 batched, block-max DAAT flavor: the SAME workload as
+    q8_bm25_batch through ``score_queries_daat_batch`` — packed segment
+    scan with term pushdown, zero-decode docId-bucket re-key (whole-block
+    byte slices + kernel range mask), decode-once vectorized kernel, two
+    stage top-k. Value-exact against the identical DuckDB oracle SQL, so
+    the driver checks the distributed DAAT serving path end-to-end, not
+    just the declarative one."""
+    from pyspark.sql import Window
+
+    from search_engine_spark.operators.rank import Scorer, score_queries_daat_batch
+    from search_engine_spark.sources.segments import load_segments, load_term_stats
+
+    idx, m = _index(spark, sf_dir)
+    out = score_queries_daat_batch(
+        spark,
+        load_segments(spark, idx),
+        load_term_stats(spark, idx),
+        BATCH_QUERIES,
+        m["stats"]["n_docs"],
+        m["stats"]["avgdl"],
+        Scorer("bm25", BM25_K1, BM25_B),
+        k=TOPK,
+        analyzer="naive",
+        ties="asc",
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docId"))
+    return out.select(
+        "qid",
+        F.col("docId").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        F.row_number().over(w).alias("rank"),
+    )
+
+
 DELETE_MOD = 7
 
 
@@ -859,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_tfidf_scores": q_q8_tfidf,
         "q8_bm25_topk": q_q8_bm25_topk,
         "q8_bm25_batch": q_q8_bm25_batch,
+        "q8_bm25_batch_daat": q_q8_bm25_batch_daat,
         "b7_delete_search": q_b7_delete_search,
         "q8_bm25_porter": q_q8_bm25_porter,
         "a7_wordbreak": q_a7_wordbreak,
@@ -1362,6 +1398,7 @@ def oracle_sql() -> dict[str, str]:
         "q8_tfidf_scores": _TFIDF_SQL,
         "q8_bm25_topk": _BM25_SQL,
         "q8_bm25_batch": _BM25_BATCH_SQL,
+        "q8_bm25_batch_daat": _BM25_BATCH_SQL,
         "b7_delete_search": _B7_DELETE_SQL,
         "q8_bm25_porter": _bm25_porter_sql(),
         "a7_wordbreak": f"""
