@@ -885,9 +885,11 @@ def _bucketize_segments(
     n_buckets: int | None,
     docid_span: tuple[int, int] | None = None,
 ) -> DataFrame | None:
-    """Re-key packed segment rows by docId-range bucket (byte-level block
-    slicing — only straddling blocks decode). Shared by the single-query and
-    batch DAAT paths. Returns None when no candidate rows exist.
+    """Re-key packed segment rows by docId-range bucket (whole-block byte
+    slicing with kernel-side range masks; sparse rows take one vectorized
+    exact split — see :func:`_split_row_by_bucket`). Shared by the
+    single-query and batch DAAT paths. Returns None when no candidate rows
+    exist.
 
     ``docid_span``: (lo, hi) inclusive docId bounds to bucket over. Pass the
     index-global span from the manifest (``stats.docid_lo/docid_hi``,
