@@ -192,7 +192,7 @@ def heavy_terms(postings: DataFrame, threshold: int) -> list[str]:
 
 
 def heavy_terms_sampled(
-    corpus: DataFrame, analyzer: str, threshold: int, sample_mod: int = 16
+    corpus: DataFrame, analyzer: str, threshold: int, sample_mod: int = 64
 ) -> list[str]:
     """Skew detection on a deterministic 1/sample_mod docId slice.
 

@@ -111,7 +111,7 @@ def build_index(
     heavy_threshold: int | None = None,
     n_salts: int = 8,
     with_positions: bool = True,
-    heavy_sample_mod: int = 16,
+    heavy_sample_mod: int = 64,
 ) -> dict:
     """Resumable batched index build. Returns the final manifest.
 
@@ -172,7 +172,7 @@ def build_one_batch(
     heavy_threshold: int | None = None,
     n_salts: int = 8,
     with_positions: bool = True,
-    heavy_sample_mod: int = 16,
+    heavy_sample_mod: int = 64,
 ) -> dict:
     """Build and atomically commit ONE batch under its own key/directory.
 

@@ -36,7 +36,7 @@ corpus = synthetic_corpus(spark, n_docs=n_docs, vocab_size=20000, seed=42,
                           partitions=128)
 m = build_index(spark, corpus, idx, analyzer="porter", n_batches=1,
                 num_segments=32, heavy_threshold=n_docs // 20, n_salts=8,
-                heavy_sample_mod=16)
+                heavy_sample_mod=64)
 print(json.dumps({{"n_docs": m["stats"]["n_docs"],
                   "avgdl": m["stats"]["avgdl"]}}))
 spark.stop()

@@ -49,7 +49,7 @@ shutil.rmtree(idx, ignore_errors=True)
 t0 = time.time()
 m = build_index(spark, corpus, idx, analyzer="porter", n_batches=1,
                 num_segments=4 * cores,
-                heavy_threshold=n_docs // 20, n_salts=8, heavy_sample_mod=16)
+                heavy_threshold=n_docs // 20, n_salts=8, heavy_sample_mod=64)
 dt = time.time() - t0
 print(json.dumps({{"cores": cores, "sec": round(dt, 2),
                   "docs_per_sec": round(n_docs / dt, 1),
