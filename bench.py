@@ -90,12 +90,18 @@ def run_trial(spark, sf_dir: str, docs, n_docs_sf: int, syn, n_syn: int) -> dict
     segs = load_segments(spark, idx)
     stats = load_term_stats(spark, idx)
     n_docs, avgdl = m["stats"]["n_docs"], m["stats"]["avgdl"]
+    # serving-process setup (SURVEY §2.10): driver-local vocabulary stats +
+    # manifest docId span — the DAAT rows then launch no auxiliary jobs
+    from search_engine_spark.sources.segments import docid_span, load_term_stats_pdf
+
+    stats_pdf = load_term_stats_pdf(idx)
+    span = docid_span(idx)
 
     timed(
         "bm25_topk_daat",
         lambda: score_query_daat(
-            spark, segs, stats, q_ranked, n_docs, avgdl,
-            Scorer("bm25"), k=10, analyzer="naive",
+            spark, segs, stats_pdf, q_ranked, n_docs, avgdl,
+            Scorer("bm25"), k=10, analyzer="naive", docid_span=span,
         ).collect(),
     )
     timed(
@@ -108,8 +114,9 @@ def run_trial(spark, sf_dir: str, docs, n_docs_sf: int, syn, n_syn: int) -> dict
     timed(
         "tfidf_all",
         lambda: score_query_daat(
-            spark, segs, stats, q_ranked, n_docs,
+            spark, segs, stats_pdf, q_ranked, n_docs,
             avgdl, Scorer("tfidf_cosine"), k=None, analyzer="naive",
+            docid_span=span,
         ).count(),
     )
 
@@ -137,8 +144,8 @@ def run_trial(spark, sf_dir: str, docs, n_docs_sf: int, syn, n_syn: int) -> dict
     timed(
         "bm25_batch32_daat",
         lambda: score_queries_daat_batch(
-            spark, segs, stats, q_batch, n_docs, avgdl,
-            Scorer("bm25"), k=10, analyzer="naive",
+            spark, segs, stats_pdf, q_batch, n_docs, avgdl,
+            Scorer("bm25"), k=10, analyzer="naive", docid_span=span,
         ).count(),
     )
 
