@@ -782,8 +782,10 @@ def _split_row_exact(r, edges: np.ndarray, lo_global: int):
     shipping such a block whole to all ~n_buckets buckets multiplies both
     shuffle bytes and kernel decode by the coverage (measured 2x slices,
     3.4x wall on a 4096-query workload at 64 buckets). The re-encoded slice
-    is a single block; by the dispatch condition below it holds fewer than
-    BLOCK_SIZE/2 postings, so no block-max granularity is lost."""
+    is a single block; the dispatch condition bounds postings per covered
+    bucket to BLOCK_SIZE/2 ON AVERAGE (a skewed bucket can exceed it), so
+    slices stay well under one block in expectation and block-max
+    granularity is effectively preserved."""
     d, t, l = _decode_row_blocks(r, None)
     bks = np.searchsorted(edges, d, "left")
     starts = np.flatnonzero(np.diff(bks)) + 1
