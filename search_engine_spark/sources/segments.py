@@ -495,3 +495,67 @@ def compact(spark: SparkSession, index_dir: str, batches: list[int]) -> dict:
     for s in srcs:
         shutil.rmtree(s, ignore_errors=True)
     return finalize_index(spark, index_dir)
+
+
+def plan_compaction_for(
+    manifest: dict,
+    merge_threshold: int = 8,
+    tier_ratio: float = 4.0,
+    min_run: int = 2,
+) -> list[str]:
+    """LSM-style compaction policy — WHICH batches :func:`compact` should
+    merge next (empty list = nothing to do). Pure manifest computation.
+
+    Reference parity: InvertedIndexManager auto-merges ALL segments once
+    their count reaches DEFAULT_MERGE_THRESHOLD (IIM:60,68) — mirrored
+    here when the committed batch count reaches ``merge_threshold``.
+    Below the threshold, merging everything on every trigger is quadratic
+    total I/O at 100 TB, so the policy is SIZE-TIERED instead (the
+    standard LSM compromise): among batches sorted by posting count, the
+    first run of >= ``min_run`` batches whose sizes stay within
+    ``tier_ratio`` of the run's smallest merges next — each posting is
+    then rewritten O(log_ratio n) times over the index's lifetime.
+
+    Sizes use ``npostings`` (present on both built and merged batches;
+    byte metrics are per-build diagnostics)."""
+    batches = [
+        (k, int(v.get("npostings", 0)))
+        for k, v in manifest.get("batches", {}).items()
+        if v.get("committed")
+    ]
+    if len(batches) < max(min_run, 2):
+        return []
+    sized = sorted(batches, key=lambda kv: (kv[1], kv[0]))
+    if len(sized) >= merge_threshold:
+        return [k for k, _ in sized]  # reference semantics: merge ALL
+    for i in range(len(sized) - min_run + 1):
+        lo = max(sized[i][1], 1)
+        j = i + 1
+        while j < len(sized) and sized[j][1] <= lo * tier_ratio:
+            j += 1
+        if j - i >= min_run:
+            return [k for k, _ in sized[i:j]]
+    return []
+
+
+def plan_compaction(index_dir: str, **policy) -> list[str]:
+    """:func:`plan_compaction_for` over the on-disk manifest."""
+    return plan_compaction_for(read_manifest(index_dir), **policy)
+
+
+def auto_compact(
+    spark: SparkSession, index_dir: str, max_rounds: int = 8, **policy
+) -> dict:
+    """Apply :func:`plan_compaction` repeatedly until the policy is
+    satisfied (bounded by ``max_rounds``). Returns the final manifest.
+    Each round is one :func:`compact` job — crash-safe per its commit
+    order, so an interrupted auto-compaction resumes exactly where it
+    stopped."""
+    m = read_manifest(index_dir)
+    for _ in range(max_rounds):
+        plan = plan_compaction_for(m, **policy)
+        if not plan:
+            break
+        compact(spark, index_dir, plan)
+        m = read_manifest(index_dir)
+    return m

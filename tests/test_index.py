@@ -237,3 +237,43 @@ def test_dense_doc_ids(spark):
         assert hi - lo + 1 == n, repo
     # schema: original columns preserved + docId appended
     assert out.columns == base.columns + ["docId"]
+
+
+def test_plan_compaction_policy_pure():
+    """Policy unit: reference threshold semantics at/above merge_threshold
+    (IIM:60,68 mergeAllSegments), size-tiered below it, no small-into-huge
+    merges, and no-op on a single batch."""
+    def man(sizes):
+        return {"batches": {str(i): {"committed": True, "npostings": s}
+                            for i, s in enumerate(sizes)}}
+
+    plan = S.plan_compaction_for
+    # single batch / empty -> nothing to do
+    assert plan(man([100])) == []
+    assert plan({"batches": {}}) == []
+    # threshold reached -> merge ALL (reference semantics)
+    assert sorted(plan(man([1, 2, 3, 4]), merge_threshold=4)) == ["0", "1", "2", "3"]
+    # below threshold: similar sizes merge...
+    assert sorted(plan(man([100, 150]), merge_threshold=8)) == ["0", "1"]
+    # ...but a fresh small batch does NOT merge into a huge old one
+    assert plan(man([100, 10_000]), merge_threshold=8, tier_ratio=4.0) == []
+    # tier selection: the small tier merges, the huge batch stays out
+    got = sorted(plan(man([100, 120, 90, 50_000]), merge_threshold=8))
+    assert got == ["0", "1", "2"]
+    # uncommitted batches are invisible to the policy
+    m = man([100, 150])
+    m["batches"]["1"]["committed"] = False
+    assert plan(m) == []
+
+
+def test_auto_compact_end_to_end(spark, tmp_index):
+    """auto_compact applies the policy until satisfied; the decoded index
+    is unchanged and the manifest converges to one batch here (all four
+    batches are size-similar)."""
+    corpus = corpus_from_texts(spark, MERGE_DOCS)
+    S.build_index(spark, corpus, tmp_index, analyzer="naive", n_batches=4,
+                  num_segments=2)
+    before = S.segment_dict(spark, tmp_index)
+    m = S.auto_compact(spark, tmp_index, merge_threshold=8, tier_ratio=4.0)
+    assert len(m["batches"]) == 1
+    assert S.segment_dict(spark, tmp_index) == before == MERGE_EXPECTED

@@ -162,3 +162,28 @@ def test_delete_job_and_query_exclusion(spark, tmp_path_factory, capsys):
     assert read_manifest(idx)["stats"]["n_docs"] == 79
     assert query_main(q + ["apple"]) == 0
     assert dead not in [r["docId"] for r in last_json()["results"]]
+
+
+def test_compact_job_auto(built, spark, capsys):
+    """--auto merges the two size-similar batches into one; query results
+    over the compacted index match the job's pre-compaction output."""
+    from jobs.compact import main as compact_main
+    from jobs.query import main as query_main
+
+    from search_engine_spark.sources.segments import read_manifest
+
+    _, idx = built
+    rc = query_main(["--index", idx, "--mode", "bm25", "--k", "5",
+                     "--master", "local[4]", "def", "import"])
+    assert rc == 0
+    before = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    rc = compact_main(["--index", idx, "--auto", "--master", "local[4]"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["batches"]) == 1
+    assert len(read_manifest(idx)["batches"]) == 1
+    rc = query_main(["--index", idx, "--mode", "bm25", "--k", "5",
+                     "--master", "local[4]", "def", "import"])
+    assert rc == 0
+    after = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert before["results"] == after["results"]
