@@ -292,6 +292,26 @@ def merge_all_batches(spark: SparkSession, index_dir: str) -> dict:
 
 
 def load_segments(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Packed segment rows of every COMMITTED batch.
+
+    Reads exactly the batch dirs the manifest lists instead of globbing
+    ``segments/``: a crash between a batch/compaction/purge write and its
+    manifest flip leaves an orphan ``batch=N`` dir on disk, and a glob
+    would read it ALONGSIDE the batches it was meant to replace —
+    double-counted postings, doubled scores. The manifest is the source
+    of truth; orphans are invisible here and the next attempt of the same
+    operation overwrites them (every writer uses mode("overwrite") on its
+    own batch id). Batch paths are re-rooted under ``index_dir`` so a
+    relocated index keeps working. Falls back to the directory read only
+    when no manifest exists (raw segment dirs in unit tests)."""
+    m = read_manifest(index_dir)
+    paths = [
+        os.path.join(index_dir, "segments", f"batch={k}")
+        for k, b in sorted(m.get("batches", {}).items())
+        if b.get("committed")
+    ]
+    if paths:
+        return spark.read.parquet(*paths)
     return spark.read.parquet(os.path.join(index_dir, "segments"))
 
 

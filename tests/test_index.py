@@ -277,3 +277,23 @@ def test_auto_compact_end_to_end(spark, tmp_index):
     m = S.auto_compact(spark, tmp_index, merge_threshold=8, tier_ratio=4.0)
     assert len(m["batches"]) == 1
     assert S.segment_dict(spark, tmp_index) == before == MERGE_EXPECTED
+
+
+def test_orphan_batch_dir_is_invisible_and_overwritten(spark, tmp_index):
+    """Crash-recovery: a batch dir written but never manifest-committed (a
+    compaction/purge that died before its manifest flip) must NOT be read —
+    a segments/ glob would double-count its postings against the batches it
+    was meant to replace. The retry then overwrites the orphan in place."""
+    import shutil as sh
+
+    corpus = corpus_from_texts(spark, MERGE_DOCS)
+    S.build_index(spark, corpus, tmp_index, analyzer="naive", n_batches=2,
+                  num_segments=2)
+    # simulate the crash: the next compaction id is 2; its dir exists on
+    # disk with real (here: duplicate) postings, manifest unchanged
+    seg_root = f"{tmp_index}/segments"
+    sh.copytree(f"{seg_root}/batch=0", f"{seg_root}/batch=2")
+    assert S.segment_dict(spark, tmp_index) == MERGE_EXPECTED  # orphan unseen
+    m = S.compact(spark, tmp_index, [0, 1])  # retry claims id 2, overwrites
+    assert list(m["batches"]) == ["2"]
+    assert S.segment_dict(spark, tmp_index) == MERGE_EXPECTED
