@@ -15,22 +15,39 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def _sql_str(v: str) -> str:
-    return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+def _sql_safe(v: str) -> bool:
+    """True when the single-quoted literal ``'v'`` parses to the same string
+    under BOTH parser modes (default and
+    ``spark.sql.parser.escapedStringLiterals=true``): anything without a
+    quote or backslash. Values outside this set go through ``Column.isin``
+    (a py4j call per value, but parser-mode-independent) — real-world term
+    workloads are tokenizer output, so the slow path is near-empty."""
+    return "'" not in v and "\\" not in v
 
 
 def isin_expr(column: str, values) -> Column:
-    """``col IN (values)`` as ONE driver->JVM call.
+    """``col IN (values)`` with (almost) ONE driver->JVM call.
 
-    ``column`` must be a bare column name (it is embedded in a SQL snippet);
-    string values are escaped, ints passed through. Empty ``values`` yields
+    ``column`` must be a bare column name (backticks are escaped; it is
+    embedded in a SQL snippet); parser-mode-safe string values ship in one
+    ``F.expr`` string, ints pass through, and values whose escaping depends
+    on the parser mode fall back to ``Column.isin``. Empty ``values`` yields
     a constant-false predicate, matching ``isin([])``.
     """
     vals = list(values)
     if not vals:
         return F.lit(False)
-    lits = [
-        _sql_str(v) if isinstance(v, str) else str(int(v))
-        for v in vals
-    ]
-    return F.expr(f"`{column}` IN ({', '.join(lits)})")
+    fast, slow = [], []
+    for v in vals:
+        if isinstance(v, str):
+            (fast if _sql_safe(v) else slow).append("'" + v + "'")
+        else:
+            fast.append(str(int(v)))
+    if slow:
+        slow_vals = [v for v in vals if isinstance(v, str) and not _sql_safe(v)]
+        slow_pred = F.col(column).isin(slow_vals)
+        if not fast:
+            return slow_pred
+    col = column.replace("`", "``")
+    pred = F.expr(f"`{col}` IN ({', '.join(fast)})")
+    return (pred | slow_pred) if slow else pred

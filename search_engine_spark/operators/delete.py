@@ -44,14 +44,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.segments import (
+    ManifestConflict,
+    _release_rewrite_key,
+    _reserve_rewrite_key,
+    batch_path,
     decode_postings,
     decode_postings_packed,
     load_segments,
     read_manifest,
-    write_manifest,
+    update_manifest,
 )
 
 TOMBSTONE_DIR = "tombstones"
+
+
+def _tombstone_path(index_dir: str, sid) -> str:
+    """Tombstone-set dir re-rooted under ``index_dir`` (same rule as
+    ``segments.batch_path``: never trust the manifest's absolute paths —
+    a relocated index keeps stale ones)."""
+    return os.path.join(index_dir, TOMBSTONE_DIR, f"set={sid}")
 
 
 def add_tombstones(
@@ -61,15 +72,24 @@ def add_tombstones(
     manifest. Write-then-commit: a crash before the manifest flip leaves an
     orphan directory the next call overwrites, never a half-visible set."""
     m = read_manifest(index_dir)
-    sets = m.setdefault("tombstones", [])
+    sets = m.get("tombstones") or []
     sid = max((s["id"] for s in sets), default=-1) + 1
-    out = os.path.join(index_dir, TOMBSTONE_DIR, f"set={sid}")
+    out = _tombstone_path(index_dir, sid)
     df = doc_ids.select(F.col(id_col).cast("long").alias("docId")).distinct()
     df.write.mode("overwrite").parquet(out)
     n = int(spark.read.parquet(out).count())
-    sets.append({"id": sid, "path": out, "ndocs": n, "created_at": time.time()})
-    write_manifest(index_dir, m)
-    return m
+
+    def _commit(fresh: dict) -> None:
+        live_sets = fresh.setdefault("tombstones", [])
+        if any(s["id"] == sid for s in live_sets):
+            # a concurrent add_tombstones took our set id — our parquet dir
+            # was possibly overwritten by theirs; the caller must retry
+            raise ManifestConflict(f"tombstone set {sid} already committed")
+        live_sets.append(
+            {"id": sid, "path": out, "ndocs": n, "created_at": time.time()}
+        )
+
+    return update_manifest(index_dir, _commit)
 
 
 def delete_by_keyword(
@@ -94,7 +114,8 @@ def load_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
     sets = read_manifest(index_dir).get("tombstones") or []
     if not sets:
         return None
-    return spark.read.parquet(*[s["path"] for s in sets]).distinct()
+    paths = [_tombstone_path(index_dir, s["id"]) for s in sets]
+    return spark.read.parquet(*paths).distinct()
 
 
 def deleted_array(spark: SparkSession, index_dir: str) -> np.ndarray | None:
@@ -129,10 +150,15 @@ def purge_deletes(spark: SparkSession, index_dir: str) -> dict:
     sets = m.get("tombstones") or []
     if not sets:
         return m
-    tomb = spark.read.parquet(*[s["path"] for s in sets]).distinct()
+    tomb = spark.read.parquet(
+        *[_tombstone_path(index_dir, s["id"]) for s in sets]
+    ).distinct()
 
-    old_keys = list(m["batches"])
-    old_paths = [m["batches"][k]["path"] for k in old_keys]
+    old_keys = [k for k, b in m["batches"].items() if b.get("committed")]
+    # re-rooted like load_segments — a relocated index's manifest keeps
+    # stale absolute paths; honoring them here would merge stale data and
+    # rmtree directories OUTSIDE the index
+    old_paths = [batch_path(index_dir, k) for k in old_keys]
     heavy = sorted(
         {t for b in m["batches"].values() for t in b.get("heavy_terms", [])}
     )
@@ -144,8 +170,10 @@ def purge_deletes(spark: SparkSession, index_dir: str) -> dict:
     packed = encode_segments(
         livep, m["num_segments"], heavy, m.get("n_salts", 8)
     )
-    new_id = max((int(k) for k in old_keys if str(k).isdigit()), default=-1) + 1
-    out = os.path.join(index_dir, "segments", f"batch={new_id}")
+    # reserved "m<N>" key under the manifest lock — same collision rules as
+    # compact(): never share a batch dir with an in-flight writer
+    new_id = _reserve_rewrite_key(index_dir)
+    out = batch_path(index_dir, new_id)
     packed.write.mode("overwrite").parquet(out)
 
     # recompute doc-level stats from the rewritten (smaller) batch: one
@@ -162,21 +190,41 @@ def purge_deletes(spark: SparkSession, index_dir: str) -> dict:
     npost = int(
         new_segs.agg(F.coalesce(F.sum("ndocs"), F.lit(0))).collect()[0][0]
     )
-    m["batches"] = {
-        str(new_id): {
-            "committed": True,
-            "path": out,
-            "ndocs": int(doc_dl["nd"]),
-            "npostings": npost,
-            "total_tokens": int(doc_dl["tok"]),
-            "heavy_terms": heavy,
-            "purged_from": old_keys,
-            "purged_tombstones": int(tomb.count()),
-            "committed_at": time.time(),
-        }
+    entry = {
+        "committed": True,
+        "path": out,
+        "ndocs": int(doc_dl["nd"]),
+        "npostings": npost,
+        "total_tokens": int(doc_dl["tok"]),
+        "heavy_terms": heavy,
+        "purged_from": old_keys,
+        "purged_tombstones": int(tomb.count()),
+        "committed_at": time.time(),
     }
-    m["tombstones"] = []
-    write_manifest(index_dir, m)
+
+    def _commit(fresh: dict) -> None:
+        committed_now = {
+            k for k, b in fresh.get("batches", {}).items()
+            if b.get("committed") and k != new_id
+        }
+        if committed_now != set(old_keys):
+            # a batch landed (or vanished) while we rewrote: replacing the
+            # batch map would erase it from the manifest — abort
+            raise ManifestConflict(
+                f"batches changed during purge: {sorted(committed_now ^ set(old_keys))}"
+            )
+        sets_now = {s2["id"] for s2 in (fresh.get("tombstones") or [])}
+        if sets_now != {s2["id"] for s2 in sets}:
+            raise ManifestConflict("tombstone sets changed during purge")
+        fresh["batches"] = {new_id: entry}
+        fresh["tombstones"] = []
+
+    try:
+        update_manifest(index_dir, _commit)
+    except ManifestConflict:
+        shutil.rmtree(out, ignore_errors=True)
+        _release_rewrite_key(index_dir, new_id)
+        raise
     for p in old_paths:
         if os.path.abspath(p) != os.path.abspath(out):
             shutil.rmtree(p, ignore_errors=True)

@@ -598,15 +598,29 @@ def _daat_rows_batch(
     the whole bucket reduces with ONE unique/bincount + ONE segmented top-k
     pass, so work scales with total postings, not query count.
 
+    Reduction is ACCUMULATOR-based, not sort-based: the bucket builds ONE
+    dense doc dictionary (``np.unique`` over the DISTINCT decoded postings —
+    not the Q-multiplied concat), maps each row's docIds into it once, and
+    then each query reduces with per-row ``np.bincount`` adds into a
+    dictionary-sized accumulator. The previous reduce sorted an 8-byte
+    combined key across every (query, posting) pair — ~10 DRAM passes per
+    scored posting, which made the kernel memory-bandwidth-bound and
+    anti-scale with cores (BENCH.md query-scaling note, r3 eff 0.659). Here
+    the per-posting traffic is two streaming reads (index + contribution)
+    and all reduce state (accumulator, epoch mask) is O(distinct docs in
+    bucket) — L2-resident at any sane bucket size — so throughput scales
+    with cores, not with one memory controller.
+
     Output is BIT-IDENTICAL to running :func:`_daat_rows` per query with
     ``prune=False`` (and rank/score-identical to ``prune=True``, whose
     returned top-k scores are exact — asserted by tools/wand_audit.py):
 
     - contribution arrays evaluate the same expression with the same scalar
       (qtf, idf) bindings, so they are the same floats;
-    - per (qid, docId) the partial sums accumulate via ``np.bincount`` in
-      concat order = UB-desc row order (stable sort, same key), exactly the
-      order the per-query loop feeds its own bincount;
+    - per (qid, docId) the partial sums add in UB-desc row order (stable
+      sort, same key), exactly the order the per-query loop feeds its own
+      bincount; a doc absent from a row contributes bincount's +0.0, which
+      is exact (contributions are never -0.0/NaN);
     - the local top-k uses the same (score desc, docId ``ties``) lexsort.
     """
     decode_cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
@@ -644,12 +658,32 @@ def _daat_rows_batch(
             contrib_cache[(ri, qtf)] = got
         return got
 
-    qid_runs: list[tuple[int, int]] = []  # (qid, n_postings)
-    doc_parts: list[np.ndarray] = []
-    dot_parts: list[np.ndarray] = []
-    len_parts: list[np.ndarray] = []
+    # 1) dense doc dictionary over the DISTINCT postings any query touches
+    used_ris: list[int] = []
+    seen_ri: set[int] = set()
+    for qm in qmetas.values():
+        for t in qm:
+            for ri in rows_by_term.get(t, ()):
+                if ri not in seen_ri:
+                    seen_ri.add(ri)
+                    used_ris.append(ri)
+    d_parts = [d for d in (decoded(ri)[0] for ri in used_ris) if len(d)]
+    if not d_parts:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), np.empty(0, dtype=np.float64)
+    all_docs = np.unique(np.concatenate(d_parts) if len(d_parts) > 1 else d_parts[0])
+    n_dict = len(all_docs)
+    # 2) per-row dictionary indices, computed once and shared by every query
+    idx_cache: dict[int, np.ndarray] = {
+        ri: np.searchsorted(all_docs, decoded(ri)[0]) for ri in used_ris
+    }
+
     is_tfidf = scorer.kind != "bm25"
-    for qid, qm in qmetas.items():
+    epoch = np.zeros(n_dict, dtype=np.int64)  # last query to touch each doc
+    out_qid: list[np.ndarray] = []
+    out_doc: list[np.ndarray] = []
+    out_score: list[np.ndarray] = []
+    for qno, (qid, qm) in enumerate(qmetas.items(), start=1):
         # same row order as the per-query path: qm iteration order, then a
         # STABLE sort by UB desc (equal-UB rows keep their relative order)
         pairs = [
@@ -659,74 +693,63 @@ def _daat_rows_batch(
             for ri in rows_by_term[t]
         ]
         pairs.sort(key=lambda x: -x[0])
-        n_q = 0
+        acc: np.ndarray | None = None
+        acc_ln: np.ndarray | None = None
+        one: tuple[np.ndarray, np.ndarray, np.ndarray | None] | None = None
+        n_live = 0
         for _, ri, t in pairs:
-            d = decoded(ri)[0]
-            if not len(d):
+            idx = idx_cache[ri]
+            if not len(idx):
                 continue
             idf, qtf = qm[t]
             dot, ln = contribs_of(ri, idf, qtf)
-            doc_parts.append(d)
-            dot_parts.append(dot)
+            n_live += 1
+            if n_live == 1:
+                # defer: a single-row query (most rare-term queries) needs
+                # no accumulator at all — its row IS the grouped result
+                one = (idx, dot, ln)
+                continue
+            if n_live == 2:
+                pidx, pdot, pln = one  # type: ignore[misc]
+                acc = np.bincount(pidx, weights=pdot, minlength=n_dict)
+                if is_tfidf:
+                    acc_ln = np.bincount(pidx, weights=pln, minlength=n_dict)
+                epoch[pidx] = qno
+                one = None
+            acc += np.bincount(idx, weights=dot, minlength=n_dict)
             if is_tfidf:
-                len_parts.append(ln)
-            n_q += len(d)
-        if n_q:
-            qid_runs.append((qid, n_q))
-    if not doc_parts:
+                acc_ln += np.bincount(idx, weights=ln, minlength=n_dict)
+            epoch[idx] = qno
+        if n_live == 0:
+            continue
+        if one is not None:
+            idx, dot_q, ln_q = one
+            docs_q = all_docs[idx]
+        else:
+            sel = np.flatnonzero(epoch == qno)
+            docs_q = all_docs[sel]
+            dot_q = acc[sel]
+            ln_q = acc_ln[sel] if is_tfidf else None
+        if is_tfidf:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                score_q = np.where(ln_q > 0, dot_q / np.sqrt(ln_q), 0.0)
+        else:
+            score_q = dot_q
+        if k is not None and len(docs_q) > k:
+            tie = docs_q if ties == "asc" else -docs_q
+            order = np.lexsort((tie, -score_q))[:k]
+            docs_q, score_q = docs_q[order], score_q[order]
+        out_qid.append(np.full(len(docs_q), qid, dtype=np.int64))
+        out_doc.append(np.asarray(docs_q, dtype=np.int64))
+        out_score.append(np.asarray(score_q, dtype=np.float64))
+    if not out_qid:
         z = np.empty(0, dtype=np.int64)
         return z, z.copy(), np.empty(0, dtype=np.float64)
-
-    docs = np.concatenate(doc_parts)
-    dots = np.concatenate(dot_parts)
-    qids = np.repeat(
-        np.fromiter((q for q, _ in qid_runs), np.int64, len(qid_runs)),
-        np.fromiter((n for _, n in qid_runs), np.int64, len(qid_runs)),
+    return (
+        np.concatenate(out_qid),
+        np.concatenate(out_doc),
+        np.concatenate(out_score),
     )
-    # group by (qid, docId): single combined-key unique when qid*M+doc fits
-    # an int64 (one 8-byte sort pass — the kernel is bandwidth-bound under
-    # SMT sharing), else a 2-key lexsort. Either way inv maps back to the
-    # ORIGINAL positions so bincount still accumulates in concat (UB-desc
-    # row) order.
-    max_doc = int(docs.max())
-    max_qid = int(qids.max())
-    if (max_qid + 1) < (2**62) // (max_doc + 1):
-        m = np.int64(max_doc + 1)
-        keys, inv = np.unique(qids * m + docs, return_inverse=True)
-        uq_qid, uq_doc = keys // m, keys % m
-    else:
-        order = np.lexsort((docs, qids))
-        sq, sd = qids[order], docs[order]
-        new = np.empty(len(sq), dtype=bool)
-        new[0] = True
-        new[1:] = (sq[1:] != sq[:-1]) | (sd[1:] != sd[:-1])
-        gid_sorted = np.cumsum(new) - 1
-        inv = np.empty(len(sq), dtype=np.int64)
-        inv[order] = gid_sorted
-        uq_qid, uq_doc = sq[new], sd[new]
-    dot = np.bincount(inv, weights=dots)
-    if is_tfidf:
-        ln = (
-            np.bincount(inv, weights=np.concatenate(len_parts))
-            if len_parts
-            else np.zeros(len(uq_doc))
-        )
-        with np.errstate(divide="ignore", invalid="ignore"):
-            score = np.where(ln > 0, dot / np.sqrt(ln), 0.0)
-    else:
-        score = dot
-    if k is not None and len(uq_doc):
-        tie = uq_doc if ties == "asc" else -uq_doc
-        sel = np.lexsort((tie, -score, uq_qid))
-        q = uq_qid[sel]
-        idx = np.arange(len(q))
-        first = np.empty(len(q), dtype=bool)
-        first[0] = True
-        np.not_equal(q[1:], q[:-1], out=first[1:])
-        start = np.maximum.accumulate(np.where(first, idx, 0))
-        keep = sel[(idx - start) < k]
-        uq_qid, uq_doc, score = uq_qid[keep], uq_doc[keep], score[keep]
-    return uq_qid, uq_doc, score
 
 
 # Segments are TERM-partitioned (the build's repartition-by-term), so one
@@ -771,9 +794,23 @@ BUCKETED_SCHEMA = StructType(
 )
 
 
+# Sentinel bounds for the edge buckets: bucket 0 owns every docId at or
+# below edges[0] and the last bucket everything above edges[-2], so a
+# docid_span narrower than the data (e.g. a manifest span that predates a
+# later-appended batch) is a pure bucket-SIZING hint, never a correctness
+# constraint — out-of-span docs land in an edge bucket and its widened
+# [lo, hi] mask keeps them. (Without this, docs above edges[-1] raised
+# IndexError in the splitter and docs below lo_global were silently
+# dropped by the kernel range mask.)
+_DOCID_MIN, _DOCID_MAX = -(2**63), 2**63 - 1
+
+
 def _bucket_bounds(b: int, edges: np.ndarray, lo_global: int) -> tuple[int, int]:
-    """Inclusive [lo, hi] docId range owned by bucket b."""
-    return (int(edges[b - 1]) + 1 if b > 0 else int(lo_global), int(edges[b]))
+    """Inclusive [lo, hi] docId range owned by bucket b (edge buckets are
+    open-ended via sentinels — see note above)."""
+    lo = int(edges[b - 1]) + 1 if b > 0 else _DOCID_MIN
+    hi = int(edges[b]) if b < len(edges) - 1 else _DOCID_MAX
+    return lo, hi
 
 
 def _split_row_exact(r, edges: np.ndarray, lo_global: int):
@@ -787,7 +824,7 @@ def _split_row_exact(r, edges: np.ndarray, lo_global: int):
     slices stay well under one block in expectation and block-max
     granularity is effectively preserved."""
     d, t, l = _decode_row_blocks(r, None)
-    bks = np.searchsorted(edges, d, "left")
+    bks = np.minimum(np.searchsorted(edges, d, "left"), len(edges) - 1)
     starts = np.flatnonzero(np.diff(bks)) + 1
     bnds = np.concatenate(([0], starts, [len(d)]))
     # re-encode the WHOLE row in one vectorized pass, delta chain restarting
@@ -853,8 +890,9 @@ def _split_row_by_bucket(r, edges: np.ndarray, lo_global: int):
     prev = np.empty(nb, dtype=np.int64)
     prev[0] = r.min_docid - 1
     prev[1:] = blast[:-1]
-    b_lo = np.searchsorted(edges, prev + 1, "left")
-    b_hi = np.searchsorted(edges, blast, "left")
+    last_b = len(edges) - 1
+    b_lo = np.minimum(np.searchsorted(edges, prev + 1, "left"), last_b)
+    b_hi = np.minimum(np.searchsorted(edges, blast, "left"), last_b)
     covered = int(b_hi[-1]) - int(b_lo[0]) + 1
     if covered > 1 and r.ndocs < covered * (BLOCK_SIZE // 2):
         yield from _split_row_exact(r, edges, lo_global)
@@ -864,10 +902,11 @@ def _split_row_by_bucket(r, edges: np.ndarray, lo_global: int):
         i1 = int(np.searchsorted(b_lo, b, "right"))  # one past last block
         if i0 >= i1:
             continue
+        lo_b, hi_b = _bucket_bounds(b, edges, lo_global)
         yield (
             b,
-            int(edges[b - 1]) + 1 if b > 0 else int(lo_global),
-            int(edges[b]),
+            lo_b,
+            hi_b,
             r.term,
             int(bmax[i0:i1].max()),
             r.docids[int(offs_d[i0]) : int(offs_d[i1])],
@@ -881,11 +920,41 @@ def _split_row_by_bucket(r, edges: np.ndarray, lo_global: int):
         )
 
 
+# Target scoring work per bucket (posting-score evaluations): enough that
+# per-bucket fixed costs (task launch, kernel setup, dictionary build)
+# amortize, small enough that a workload with real work still fans out.
+_WORK_PER_BUCKET = 1 << 19
+
+# Kernel crossover for score_queries_daat_batch(vectorized=None): below this
+# many queries the per-query block-max pruning loop wins (pruning skips most
+# block decodes and there is little decode to share); at or above it the
+# decode-once accumulator kernel wins. Measured by tools/kernel_crossover.py
+# (varying Q at a fixed large index) — see BENCH.md.
+_AUTO_VECTORIZED_MIN_Q = 8
+
+
+def _auto_buckets(spark: SparkSession, est_work: int | None) -> int:
+    """Bucket count for an estimated workload (Σ over queries×terms of df).
+
+    Too many buckets multiplies whole-block duplication and per-bucket
+    kernel overhead (64 buckets measured ~35% slower than 32 on a 4096-query
+    workload); too few serializes the kernel stage. Scale with the work
+    estimate, capped at the session's shuffle parallelism — a workload whose
+    candidate postings fit one task's budget gets ONE bucket and skips the
+    wide shuffle entirely (a 60-query rank-identity batch pays 1 kernel call
+    instead of 32 near-empty ones)."""
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if est_work is None:
+        return cap
+    return max(1, min(cap, -(-int(est_work) // _WORK_PER_BUCKET)))
+
+
 def _bucketize_segments(
     spark: SparkSession,
     seg: DataFrame,
     n_buckets: int | None,
     docid_span: tuple[int, int] | None = None,
+    est_work: int | None = None,
 ) -> DataFrame | None:
     """Re-key packed segment rows by docId-range bucket (whole-block byte
     slicing with kernel-side range masks; sparse rows take one vectorized
@@ -896,10 +965,12 @@ def _bucketize_segments(
     ``docid_span``: (lo, hi) inclusive docId bounds to bucket over. Pass the
     index-global span from the manifest (``stats.docid_lo/docid_hi``,
     written by finalize_index) to skip the span-agg job — a fixed ~1.5s
-    driver round-trip per workload. Edges over a wider-than-candidate span
-    still partition correctly; surplus buckets are empty and cost nothing."""
+    driver round-trip per workload. The span is a bucket-SIZING hint only:
+    edge buckets are open-ended (see ``_bucket_bounds``), so a span that is
+    narrower OR wider than the candidate docIds still scores every posting
+    exactly once; surplus buckets are empty and cost nothing."""
     if n_buckets is None:
-        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        n_buckets = _auto_buckets(spark, est_work)
     if docid_span is not None:
         lo, hi = int(docid_span[0]), int(docid_span[1])
     else:
@@ -933,7 +1004,20 @@ def _bucketize_segments(
         "block_max_tf", "block_docid_off", "block_tf_off", "block_dl_off",
         "min_docid", "ndocs",
     ]
-    bucketed = seg.select(*seg_cols).mapInPandas(splitter, BUCKETED_SCHEMA)
+    narrowed = seg.select(*seg_cols)
+    # The parquet scan coalesces by FILE bytes (maxPartitionBytes), which
+    # lands big-workload candidate scans on a handful of partitions — the
+    # python splitter then runs e.g. 9 tasks on 8 cores: one full wave plus
+    # a 1-task straggler wave (measured 4.2s of an 18.8s workload), while
+    # low core counts pack the same 9 tasks tightly. Rebalance to a few
+    # tasks per core when the scan is too coarse; the shuffled volume is
+    # only the FILTERED packed rows (~tens of MB for thousand-term
+    # workloads), far cheaper than the lost wave.
+    target = 2 * spark.sparkContext.defaultParallelism
+    big_enough = est_work is None or est_work >= 2 * _WORK_PER_BUCKET
+    if big_enough and narrowed.rdd.getNumPartitions() < target:
+        narrowed = narrowed.repartition(target)
+    bucketed = narrowed.mapInPandas(splitter, BUCKETED_SCHEMA)
     # EXPLICIT repartition by bucket, one partition per bucket: the scoring
     # kernel downstream is python-CPU-heavy per group but byte-light, and
     # AQE's coalescePartitions sizes post-shuffle partitions by BYTES — left
@@ -960,22 +1044,25 @@ def score_queries_daat_batch(
     n_buckets: int | None = None,
     deleted: np.ndarray | None = None,
     docid_span: tuple[int, int] | None = None,
-    vectorized: bool = True,
+    vectorized: bool | None = None,
 ) -> DataFrame:
     """Batch DAAT for a WHOLE QUERY WORKLOAD -> (qid, docId, score).
 
     One ``term IN (union of all query terms)`` segment scan, one bucketized
-    block shuffle, then ONE kernel per bucket. ``vectorized=True`` (default)
-    runs :func:`_daat_rows_batch`: each packed row decodes once per bucket
-    and the whole workload reduces in a handful of numpy passes — decode
+    block shuffle, then ONE kernel per bucket. ``vectorized=True`` runs
+    :func:`_daat_rows_batch`: each packed row decodes once per bucket
+    and the whole workload reduces with L2-resident accumulators — decode
     sharing beats per-query block pruning for batches, and the result is
     bit-identical to the per-query path (see its docstring).
     ``vectorized=False`` keeps the per-query :func:`_daat_rows` loop, where
     each query gets its own θ / block-max admission — the path
     tools/wand_audit.py measures, and the better shape for small Q over
     huge postings (pruning skips decode the batch kernel would pay).
-    Per-qid results merge through the same two-stage top-k as
-    :func:`score_queries_batch`.
+    ``vectorized=None`` (default) auto-selects at the measured crossover
+    (tools/kernel_crossover.py): pruning wins only while Q is small enough
+    that per-query decode still beats shared decode — see
+    ``_AUTO_VECTORIZED_MIN_Q``. Per-qid results merge through the same
+    two-stage top-k as :func:`score_queries_batch`.
 
     With ``k=None`` every (qid, docId, score) row is returned unordered
     (each docId lives in exactly one bucket, so rows are already final)."""
@@ -1000,16 +1087,31 @@ def score_queries_daat_batch(
     if not qmetas:
         return spark.createDataFrame([], BATCH_SCHEMA)
     live_terms = sorted({t for qm in qmetas.values() for t in qm})
+    # workload work estimate: one posting-score evaluation per (query, term,
+    # posting) — drives bucket count and the kernel crossover, driver-local
+    # (df comes from term stats, no job)
+    est_work = sum(df_map[t] for qm in qmetas.values() for t in qm if t in df_map)
+    if vectorized is None:
+        vectorized = len(qmetas) >= _AUTO_VECTORIZED_MIN_Q
     seg = segments.where(isin_expr("term", live_terms))
-    bucketed = _bucketize_segments(spark, seg, n_buckets, docid_span)
+    bucketed = _bucketize_segments(spark, seg, n_buckets, docid_span, est_work)
     if bucketed is None:
         return spark.createDataFrame([], BATCH_SCHEMA)
+    # big workloads ship qmetas via broadcast, not closure capture: a
+    # 16k-query qmetas cloudpickles to ~1 MB, and a captured closure is
+    # re-shipped and re-unpickled PER TASK (48+ tasks/workload); a broadcast
+    # is fetched and cached once per python worker process
+    qmetas_ref = (
+        spark.sparkContext.broadcast(qmetas) if len(qmetas) >= 256 else None
+    )
+    qmetas_local = None if qmetas_ref is not None else qmetas
 
     def kernel(key, pdf):
         # one itertuples pass per bucket; the vectorized core decodes each
         # row once and reduces the whole workload in numpy, the per-query
         # core keeps θ/block-max pruning per query — no per-query pandas
         # in either
+        qmetas = qmetas_local if qmetas_ref is None else qmetas_ref.value
         bounds = (int(pdf["lo_docid"].iat[0]), int(pdf["hi_docid"].iat[0]))
         if vectorized:
             all_rows = list(pdf.itertuples(index=False))
@@ -1088,8 +1190,9 @@ def score_query_daat(
     if not rows:
         return spark.createDataFrame([], SCORE_SCHEMA)
     qmeta = {t: (idf, qtf) for t, df_, idf, qtf in rows}
+    est_work = sum(df_ for _, df_, _, _ in rows)
     seg = segments.where(isin_expr("term", list(qmeta)))
-    bucketed = _bucketize_segments(spark, seg, n_buckets, docid_span)
+    bucketed = _bucketize_segments(spark, seg, n_buckets, docid_span, est_work)
     if bucketed is None:
         return spark.createDataFrame([], SCORE_SCHEMA)
 

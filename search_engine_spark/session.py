@@ -13,6 +13,15 @@ import tempfile
 from pyspark.sql import SparkSession
 
 
+def _user_tag() -> str:
+    try:
+        import getpass
+
+        return getpass.getuser()
+    except Exception:  # no resolvable user (containers with stripped passwd)
+        return f"uid{os.getuid()}" if hasattr(os, "getuid") else "anon"
+
+
 def get_spark(
     app: str = "search-engine-spark",
     master: str | None = None,
@@ -39,12 +48,17 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # catalog-table writes (register_corpus_table / saveAsTable) land in
         # a temp warehouse, never the working tree; a cluster deployment
-        # overrides this (and the catalog impl) via `extra` / spark-submit
+        # overrides this (and the catalog impl) via `extra` / spark-submit.
+        # Scoped per user: a fixed shared path under /tmp lets two users
+        # (or concurrent CI sessions) on one host clobber each other's
+        # saveAsTable output.
         .config(
             "spark.sql.warehouse.dir",
             os.environ.get(
                 "SPARK_GRAFT_WAREHOUSE",
-                os.path.join(tempfile.gettempdir(), "se_warehouse"),
+                os.path.join(
+                    tempfile.gettempdir(), f"se_warehouse_{_user_tag()}"
+                ),
             ),
         )
     )

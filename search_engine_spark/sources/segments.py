@@ -94,11 +94,61 @@ def read_manifest(index_dir: str) -> dict:
 
 
 def write_manifest(index_dir: str, m: dict) -> None:
+    """Unconditional full-copy write (atomic rename). For SINGLE-WRITER
+    situations (tests, fresh fixtures) only — concurrent writers must go
+    through :func:`update_manifest`, which commits a delta over the current
+    state instead of clobbering it with a stale copy."""
     os.makedirs(index_dir, exist_ok=True)
     tmp = os.path.join(index_dir, MANIFEST + ".tmp")
     with open(tmp, "w") as f:
         json.dump(m, f, indent=1, sort_keys=True)
     os.replace(tmp, os.path.join(index_dir, MANIFEST))  # atomic commit
+
+
+class ManifestConflict(RuntimeError):
+    """A concurrent writer changed the manifest in a way that invalidates
+    this commit (e.g. a compaction's source batch was already merged away).
+    The failed writer's output directory is an orphan — invisible to
+    readers (load_segments reads committed batches only) and overwritten by
+    the next attempt."""
+
+
+def update_manifest(index_dir: str, mutate) -> dict:
+    """Commit a manifest DELTA atomically with respect to concurrent
+    writers on this filesystem.
+
+    Writers (batch commit, compaction, purge, tombstones, finalize) run
+    minutes of Spark work between reading the manifest and committing, so
+    writing back a stale full copy can lose a concurrent writer's update —
+    e.g. a build committing batch N while auto_compact merges 0..k. This
+    re-reads the CURRENT manifest under an exclusive flock on
+    ``manifest.lock``, applies ``mutate(fresh)`` — which must express the
+    commit as a delta over the fresh state and raises
+    :class:`ManifestConflict` when its preconditions no longer hold — bumps
+    the ``generation`` counter, and atomic-renames. The lock is held for
+    the read+mutate+rename only (microseconds), never across Spark jobs.
+
+    Scope: flock coordinates writers sharing one POSIX filesystem (all
+    local/NFS deployments here). On an object store, replace the manifest
+    with a real catalog commit (Iceberg-style optimistic swap) — the
+    generation counter is exactly the token that swap would CAS on."""
+    os.makedirs(index_dir, exist_ok=True)
+    lock_p = os.path.join(index_dir, MANIFEST + ".lock")
+    with open(lock_p, "w") as lf:
+        try:
+            import fcntl
+
+            fcntl.flock(lf, fcntl.LOCK_EX)
+        except ImportError:  # non-posix: atomic rename is the only guard
+            pass
+        m = read_manifest(index_dir)
+        mutate(m)
+        m["generation"] = int(m.get("generation", 0)) + 1
+        tmp = os.path.join(index_dir, MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(index_dir, MANIFEST))
+    return m
 
 
 def build_index(
@@ -152,12 +202,13 @@ def build_index(
             if n_batches == 1
             else corpus.where(F.pmod(F.xxhash64("docId"), F.lit(n_batches)) == i)
         )
-        build_one_batch(
+        committed = build_one_batch(
             spark, sub, index_dir, key, m,
             analyzer=analyzer, num_segments=num_segments,
             heavy_threshold=heavy_threshold, n_salts=n_salts,
             with_positions=with_positions, heavy_sample_mod=heavy_sample_mod,
         )
+        m["batches"] = committed.get("batches", m["batches"])
     return finalize_index(spark, index_dir)
 
 
@@ -214,7 +265,7 @@ def build_one_batch(
     npost = sum(posts)
     dt = time.time() - t0
     ndocs = int(sub.count())
-    m["batches"][key] = {
+    entry = {
         "committed": True,
         "path": out,
         "ndocs": ndocs,
@@ -248,18 +299,32 @@ def build_one_batch(
         },
         "committed_at": time.time(),
     }
-    write_manifest(index_dir, m)
-    return m
+    # delta commit: merge the build config + THIS batch entry over the
+    # CURRENT manifest — a concurrent compaction/purge/tombstone commit in
+    # the window since our read_manifest survives (update_manifest holds
+    # the flock for the read+merge+rename only)
+    cfg_keys = ("analyzer", "codec", "n_batches", "num_segments", "n_salts",
+                "with_positions", "lineage")
+    cfg = {c: m[c] for c in cfg_keys if c in m}
+
+    def _commit(fresh: dict) -> None:
+        fresh.update(cfg)
+        fresh.setdefault("batches", {})[key] = entry
+
+    return update_manifest(index_dir, _commit)
 
 
 def finalize_index(spark: SparkSession, index_dir: str) -> dict:
-    """Aggregate term stats + corpus stats across batches; idempotent."""
-    m = read_manifest(index_dir)
+    """Aggregate term stats + corpus stats across batches; idempotent.
+
+    Corpus sums come from the manifest read INSIDE the locked commit, so
+    they always match the committed batch set; the term-stats parquet and
+    docId span are computed from the segments visible at entry — if a
+    concurrent writer lands in that window, its own trailing
+    finalize_index (every writer ends with one) recomputes them."""
     segs = load_segments(spark, index_dir)
     stats_dir = os.path.join(index_dir, "term_stats")
     term_stats_from_segments(segs).coalesce(4).write.mode("overwrite").parquet(stats_dir)
-    n_docs = sum(b["ndocs"] for b in m["batches"].values())
-    total_tokens = sum(b["total_tokens"] for b in m["batches"].values())
     # global docId bounds: lets the DAAT bucketizer skip its span-agg job
     # at query time (rank._bucketize_segments docid_span) — docIds are
     # 63-bit hashes, so the span is not derivable from n_docs
@@ -267,17 +332,22 @@ def finalize_index(spark: SparkSession, index_dir: str) -> dict:
         F.min("min_docid").alias("lo"),
         F.max(F.element_at("block_last_docid", -1)).alias("hi"),
     ).collect()[0]
-    m["stats"] = {
-        "n_docs": n_docs,
-        "total_tokens": total_tokens,
-        "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
-        "npostings": sum(b["npostings"] for b in m["batches"].values()),
-        "docid_lo": int(span["lo"]) if span["lo"] is not None else None,
-        "docid_hi": int(span["hi"]) if span["hi"] is not None else None,
-    }
-    m["finalized"] = True
-    write_manifest(index_dir, m)
-    return m
+
+    def _commit(fresh: dict) -> None:
+        bs = [b for b in fresh.get("batches", {}).values() if b.get("committed")]
+        n_docs = sum(b["ndocs"] for b in bs)
+        total_tokens = sum(b["total_tokens"] for b in bs)
+        fresh["stats"] = {
+            "n_docs": n_docs,
+            "total_tokens": total_tokens,
+            "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+            "npostings": sum(b["npostings"] for b in bs),
+            "docid_lo": int(span["lo"]) if span["lo"] is not None else None,
+            "docid_hi": int(span["hi"]) if span["hi"] is not None else None,
+        }
+        fresh["finalized"] = True
+
+    return update_manifest(index_dir, _commit)
 
 
 def merge_all_batches(spark: SparkSession, index_dir: str) -> dict:
@@ -285,10 +355,56 @@ def merge_all_batches(spark: SparkSession, index_dir: str) -> dict:
     batch into one. The reference's pairwise halving exists only because its
     merge is a 2-way stream; ours regroups by term, so one k-way pass."""
     m = read_manifest(index_dir)
-    batches = sorted(m["batches"], key=lambda k: str(k))
+    batches = sorted(
+        (k for k, b in m["batches"].items() if b.get("committed")),
+        key=str,
+    )
     if len(batches) <= 1:
         return m
     return compact(spark, index_dir, batches)
+
+
+def _reserve_rewrite_key(index_dir: str) -> str:
+    """Claim the next ``m<N>`` batch key for a compaction/purge output —
+    a locked manifest commit, so two concurrent rewrites (or a rewrite and
+    anything else) can never write the same ``segments/batch=…`` dir."""
+    got: list[str] = []
+
+    def _mut(fresh: dict) -> None:
+        cur = fresh.setdefault("batches", {})
+        n = max(
+            (int(k[1:]) for k in cur if k.startswith("m") and k[1:].isdigit()),
+            default=-1,
+        ) + 1
+        key = f"m{n}"
+        cur[key] = {"committed": False, "reserved_at": time.time()}
+        got.append(key)
+
+    update_manifest(index_dir, _mut)
+    return got[0]
+
+
+def _release_rewrite_key(index_dir: str, key: str) -> None:
+    """Drop a reservation whose rewrite aborted (best-effort; a dangling
+    uncommitted entry is invisible to readers anyway)."""
+
+    def _mut(fresh: dict) -> None:
+        e = fresh.get("batches", {}).get(key)
+        if e is not None and not e.get("committed"):
+            del fresh["batches"][key]
+
+    update_manifest(index_dir, _mut)
+
+
+def batch_path(index_dir: str, key) -> str:
+    """On-disk dir of a committed batch, re-rooted under ``index_dir``.
+
+    Every reader/rewriter must resolve batch dirs through this instead of
+    the manifest's recorded absolute ``path``: a relocated (copied/moved)
+    index keeps stale absolute paths in its manifest, and honoring them
+    would read — or worse, rmtree — data OUTSIDE the index (and silently
+    merge stale data if the old location still exists)."""
+    return os.path.join(index_dir, "segments", f"batch={key}")
 
 
 def load_segments(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -306,7 +422,7 @@ def load_segments(spark: SparkSession, index_dir: str) -> DataFrame:
     when no manifest exists (raw segment dirs in unit tests)."""
     m = read_manifest(index_dir)
     paths = [
-        os.path.join(index_dir, "segments", f"batch={k}")
+        batch_path(index_dir, k)
         for k, b in sorted(m.get("batches", {}).items())
         if b.get("committed")
     ]
@@ -485,12 +601,21 @@ def compact(spark: SparkSession, index_dir: str, batches: list[int]) -> dict:
     from ..operators.build import SEGMENT_SCHEMA, _compact_merge_encoder
 
     m = read_manifest(index_dir)
-    new_id = max((int(k) for k in m["batches"] if str(k).isdigit()), default=-1) + 1
     batches = [str(b) for b in batches]
-    srcs = [m["batches"][str(b)]["path"] for b in batches]
+    # Reserve an output key in the "m<N>" namespace UNDER THE MANIFEST LOCK
+    # before writing anything: build batches use caller-fixed keys ("0..n",
+    # "stream-N"), so a numeric max+1 here could collide with an IN-FLIGHT
+    # build batch's directory and the two writers would overwrite each
+    # other's parquet before either commits. A reserved (uncommitted) entry
+    # is invisible to readers; a crash leaves it dangling, which is
+    # harmless — new reservations take the next index.
+    new_id = _reserve_rewrite_key(index_dir)
+    # re-rooted like load_segments — NEVER the manifest's absolute paths
+    # (a relocated index would read stale data / rmtree outside the index)
+    srcs = [batch_path(index_dir, b) for b in batches]
     segs = spark.read.parquet(*srcs)
     heavy = sorted({t for b in batches for t in m["batches"][str(b)].get("heavy_terms", [])})
-    out = os.path.join(index_dir, "segments", f"batch={new_id}")
+    out = batch_path(index_dir, new_id)
     packed = (
         segs.select("term", "salt", "ndocs", "docids", "tfs", "dls", "poslens", "positions")
         .repartition(m["num_segments"], "term", "salt")
@@ -508,10 +633,23 @@ def compact(spark: SparkSession, index_dir: str, batches: list[int]) -> dict:
         "merged_from": list(batches),
         "committed_at": time.time(),
     }
-    m["batches"][str(new_id)] = merged
-    for b in batches:
-        del m["batches"][str(b)]
-    write_manifest(index_dir, m)
+    def _commit(fresh: dict) -> None:
+        cur = fresh.setdefault("batches", {})
+        gone = [b for b in batches if not cur.get(b, {}).get("committed")]
+        if gone:
+            # a concurrent compact/purge took our sources: committing
+            # would drop their output's postings or double ours
+            raise ManifestConflict(f"compaction sources changed: gone={gone}")
+        cur[new_id] = merged
+        for b in batches:
+            del cur[b]
+
+    try:
+        update_manifest(index_dir, _commit)
+    except ManifestConflict:
+        shutil.rmtree(out, ignore_errors=True)  # orphan output, drop it
+        _release_rewrite_key(index_dir, new_id)
+        raise
     for s in srcs:
         shutil.rmtree(s, ignore_errors=True)
     return finalize_index(spark, index_dir)
@@ -576,6 +714,9 @@ def auto_compact(
         plan = plan_compaction_for(m, **policy)
         if not plan:
             break
-        compact(spark, index_dir, plan)
+        try:
+            compact(spark, index_dir, plan)
+        except ManifestConflict:
+            pass  # a concurrent writer took our sources — re-plan fresh
         m = read_manifest(index_dir)
     return m

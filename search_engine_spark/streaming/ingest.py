@@ -41,7 +41,7 @@ def index_sink(
         build_one_batch,
         finalize_index,
         read_manifest,
-        write_manifest,
+        update_manifest,
     )
 
     def handle(batch_df: DataFrame, batch_id: int):
@@ -51,12 +51,15 @@ def index_sink(
         key = f"stream-{batch_id}"
         if m["batches"].get(key, {}).get("committed"):
             return  # replayed micro-batch — already durable
-        m.setdefault("analyzer", analyzer)
-        m.setdefault("codec", "delta_varbyte")
-        m.setdefault("num_segments", num_segments)
-        m.setdefault("n_salts", 8)
-        m.setdefault("with_positions", True)
-        write_manifest(index_dir, m)
+
+        def _defaults(fresh: dict) -> None:
+            fresh.setdefault("analyzer", analyzer)
+            fresh.setdefault("codec", "delta_varbyte")
+            fresh.setdefault("num_segments", num_segments)
+            fresh.setdefault("n_salts", 8)
+            fresh.setdefault("with_positions", True)
+
+        m = update_manifest(index_dir, _defaults)
         build_one_batch(
             spark, batch_df, index_dir, key, m,
             analyzer=analyzer, num_segments=num_segments,

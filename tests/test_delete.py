@@ -151,3 +151,60 @@ def test_parity_mirror_still_raises():
 
     with pytest.raises(NotImplementedError):
         delete_documents("anything")
+
+
+def test_relocated_index_compact_and_purge(spark, tmp_index, tmp_path):
+    """A copied/moved index keeps the ORIGINAL absolute paths in its
+    manifest. compact(), purge_deletes() and load_tombstones() must resolve
+    batch/tombstone dirs re-rooted under the index dir they were given
+    (like load_segments does) — honoring the stale paths would merge stale
+    data from the old location and rmtree directories outside the index."""
+    import shutil
+
+    corpus, m = _build(spark, tmp_index)
+    D.delete_by_keyword(spark, tmp_index, "dog", analyzer="naive")
+    expected = sorted(
+        r.docId
+        for r in D.live(
+            search_keyword(S.decode_postings(S.load_segments(spark, tmp_index)), "apple"),
+            D.load_tombstones(spark, tmp_index),
+        ).select("docId").collect()
+    )
+
+    moved = str(tmp_path / "relocated_idx")
+    shutil.copytree(tmp_index, moved)
+    shutil.rmtree(tmp_index)  # old location GONE: stale paths would fail loudly
+
+    # tombstones resolve at the new location
+    got = sorted(
+        r.docId
+        for r in D.live(
+            search_keyword(S.decode_postings(S.load_segments(spark, moved)), "apple"),
+            D.load_tombstones(spark, moved),
+        ).select("docId").collect()
+    )
+    assert got == expected
+
+    # compaction at the new location reads/merges the relocated batches
+    mm = S.read_manifest(moved)
+    S.compact(spark, moved, sorted(mm["batches"]))
+    assert len(S.read_manifest(moved)["batches"]) == 1
+    got2 = sorted(
+        r.docId
+        for r in D.live(
+            search_keyword(S.decode_postings(S.load_segments(spark, moved)), "apple"),
+            D.load_tombstones(spark, moved),
+        ).select("docId").collect()
+    )
+    assert got2 == expected
+
+    # purge physically rewrites at the new location and clears tombstones
+    D.purge_deletes(spark, moved)
+    assert not (S.read_manifest(moved).get("tombstones") or [])
+    got3 = sorted(
+        r.docId
+        for r in search_keyword(
+            S.decode_postings(S.load_segments(spark, moved)), "apple"
+        ).select("docId").collect()
+    )
+    assert got3 == expected

@@ -54,7 +54,7 @@ def test_build_flush_merge_segment_equality(spark, tmp_index):
                   num_segments=2)
     assert S.segment_dict(spark, tmp_index) == MERGE_EXPECTED
     m = S.compact(spark, tmp_index, [0, 1])  # mergeAllSegments analog
-    assert list(m["batches"]) == ["2"]
+    assert list(m["batches"]) == ["m0"]
     assert S.segment_dict(spark, tmp_index) == MERGE_EXPECTED
 
 
@@ -289,11 +289,58 @@ def test_orphan_batch_dir_is_invisible_and_overwritten(spark, tmp_index):
     corpus = corpus_from_texts(spark, MERGE_DOCS)
     S.build_index(spark, corpus, tmp_index, analyzer="naive", n_batches=2,
                   num_segments=2)
-    # simulate the crash: the next compaction id is 2; its dir exists on
+    # simulate the crash: the next compaction key is m0; its dir exists on
     # disk with real (here: duplicate) postings, manifest unchanged
     seg_root = f"{tmp_index}/segments"
-    sh.copytree(f"{seg_root}/batch=0", f"{seg_root}/batch=2")
+    sh.copytree(f"{seg_root}/batch=0", f"{seg_root}/batch=m0")
     assert S.segment_dict(spark, tmp_index) == MERGE_EXPECTED  # orphan unseen
-    m = S.compact(spark, tmp_index, [0, 1])  # retry claims id 2, overwrites
-    assert list(m["batches"]) == ["2"]
+    m = S.compact(spark, tmp_index, [0, 1])  # retry claims m0, overwrites
+    assert list(m["batches"]) == ["m0"]
     assert S.segment_dict(spark, tmp_index) == MERGE_EXPECTED
+
+
+def test_concurrent_batch_commit_and_compaction(spark, tmp_index):
+    """A batch commit racing an auto_compact must lose NEITHER update: the
+    manifest is committed as a locked delta (segments.update_manifest) with
+    a generation counter, so the stale-full-copy lost-update of plain
+    read-modify-write cannot happen, and compaction outputs reserve an
+    'm<N>' key so they can never share a batch dir with an in-flight build
+    batch. Threads genuinely interleave (both run multi-second Spark jobs)."""
+    import threading
+
+    corpus = corpus_from_texts(spark, MERGE_DOCS * 3)
+    S.build_index(spark, corpus, tmp_index, analyzer="naive", n_batches=3,
+                  num_segments=2)
+    dec = S.decode_postings(S.load_segments(spark, tmp_index))
+    before = {(r.term, r.docId, r.tf) for r in dec.collect()}
+    extra = corpus_from_texts(spark, ["zzznew doc alpha", "zzznew beta gamma"])
+    extra = extra.withColumn("docId", extra.docId + 10_000)
+    errs = []
+
+    def commit_batch():
+        try:
+            S.build_one_batch(spark, extra, tmp_index, "9",
+                              analyzer="naive", num_segments=2)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def compact_all():
+        try:
+            S.auto_compact(spark, tmp_index, merge_threshold=2, min_run=2)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=commit_batch)
+    t2 = threading.Thread(target=compact_all)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    m = S.read_manifest(tmp_index)
+    committed = {k for k, b in m["batches"].items() if b.get("committed")}
+    assert "9" in committed, committed  # the racing batch commit survived
+    assert int(m.get("generation", 0)) >= 4  # every commit bumped it
+    after = {(r.term, r.docId, r.tf) for r in
+             S.decode_postings(S.load_segments(spark, tmp_index)).collect()}
+    new_only = {t for t in after - before}
+    assert all(t[0] in {"zzznew", "doc", "alpha", "beta", "gamma"} for t in new_only)
+    assert before <= after  # nothing lost, nothing doubled
+    assert len(after) == len(before) + len(new_only)

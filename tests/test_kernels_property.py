@@ -84,3 +84,39 @@ def test_segment_encoder_roundtrip_and_compact_idempotent(posts):
         list(B._compact_merge_encoder(iter(cols.to_batches())))
     )
     assert _decode(merged) == expected
+
+
+def test_isin_expr_matches_column_isin_under_both_parser_modes():
+    """isin_expr must select exactly Column.isin's rows for values with
+    quotes, backslashes, unicode, and ints — under the default parser AND
+    spark.sql.parser.escapedStringLiterals=true (the legacy/Hive-compat
+    mode that changes backslash handling in SQL string literals)."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.functions.predicates import isin_expr
+    from search_engine_spark.session import get_spark
+
+    spark = get_spark(master="local[2]", shuffle_partitions=2)
+    rows = ["plain", "has'quote", "back\\slash", "both\\'mix", 'd"quote',
+            "unié", "tab\tsep", ""]
+    df = spark.createDataFrame([(v,) for v in rows], ["term"])
+    for mode in ("false", "true"):
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", mode)
+        try:
+            for vals in (
+                ["plain"],
+                ["has'quote", "back\\slash"],
+                ["both\\'mix", 'd"quote', "unié", "plain"],
+                ["absent"],
+                [],
+            ):
+                got = sorted(
+                    r.term for r in df.where(isin_expr("term", vals)).collect()
+                )
+                exp = sorted(
+                    r.term
+                    for r in df.where(df.term.isin(vals) if vals else F.lit(False)).collect()
+                )
+                assert got == exp, (mode, vals)
+        finally:
+            spark.conf.unset("spark.sql.parser.escapedStringLiterals")

@@ -441,3 +441,42 @@ def test_wand_pruning_skips_blocks_and_preserves_topk(spark, tmp_path_factory):
     exhaustive = _daat_segment(pdf, qmeta, sc, avg, 10, prune=False, ties="asc")
     assert pruned.reset_index(drop=True).equals(exhaustive.reset_index(drop=True))
     assert stats["blocks_decoded"] < stats["blocks_total"], stats
+
+
+def test_narrow_docid_span_is_a_hint_not_a_constraint(spark, tmp_path_factory):
+    """A docid_span NARROWER than the data (stale manifest span: a batch
+    committed after the last finalize_index, or a caller passing bad bounds)
+    must neither crash the bucket splitter (docs above edges[-1] used to
+    IndexError) nor silently drop docs outside the span (docs below
+    lo_global used to fall into bucket 0 and get range-masked away). Edge
+    buckets are open-ended, so any span is only a bucket-sizing hint."""
+    from search_engine_spark.sources.corpus import synthetic_corpus
+
+    p = str(tmp_path_factory.mktemp("spanhint") / "idx")
+    corpus = synthetic_corpus(spark, n_docs=300, vocab_size=400, seed=17)
+    m = S.build_index(spark, corpus, p, analyzer="porter", n_batches=2,
+                      heavy_threshold=50, n_salts=4)
+    segs, stats = S.load_segments(spark, p), S.load_term_stats(spark, p)
+    nd, avg = m["stats"]["n_docs"], m["stats"]["avgdl"]
+    q = ["def", "apple", "tok3"]
+    mid = 2**61  # hashed docIds span ~[0, 2^63); almost all fall OUTSIDE this
+    narrow = (mid, mid + 1000)
+
+    def rows(df):
+        return sorted((r.docId, round(r.score, 9)) for r in df.collect())
+
+    full = rows(R.score_query_daat(spark, segs, stats, q, nd, avg,
+                                   R.Scorer(), 10, n_buckets=8))
+    assert full
+    got = rows(R.score_query_daat(spark, segs, stats, q, nd, avg, R.Scorer(),
+                                  10, n_buckets=8, docid_span=narrow))
+    assert got == full
+    queries = {0: q, 1: ["tok1"]}
+    for vec in (True, False):
+        bfull = rows(R.score_queries_daat_batch(
+            spark, segs, stats, queries, nd, avg, R.Scorer(), 10,
+            n_buckets=8, vectorized=vec))
+        bgot = rows(R.score_queries_daat_batch(
+            spark, segs, stats, queries, nd, avg, R.Scorer(), 10,
+            n_buckets=8, docid_span=narrow, vectorized=vec))
+        assert bgot == bfull and bfull
