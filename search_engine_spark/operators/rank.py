@@ -926,11 +926,16 @@ def _split_row_by_bucket(r, edges: np.ndarray, lo_global: int):
 _WORK_PER_BUCKET = 1 << 19
 
 # Kernel crossover for score_queries_daat_batch(vectorized=None): below this
-# many queries the per-query block-max pruning loop wins (pruning skips most
-# block decodes and there is little decode to share); at or above it the
-# decode-once accumulator kernel wins. Measured by tools/kernel_crossover.py
-# (varying Q at a fixed large index) — see BENCH.md.
-_AUTO_VECTORIZED_MIN_Q = 8
+# many queries the per-query block-max pruning loop would win. Measured by
+# tools/kernel_crossover.py (Q in 1..128, fixed 480k-doc index, BENCH.md):
+# the accumulator kernel won or tied at EVERY Q — including Q=1 over
+# all-heavy-term queries, pruning's best case by posting volume — because
+# the pruned loop's per-row candidate/θ refresh costs more than the decode
+# it skips once decode is shared and the reduce is L2-resident. So auto
+# always picks the accumulator kernel; ``vectorized=False`` remains for
+# explicit use (tools/wand_audit.py measures its decode-skip rate, which
+# still matters when a single query's candidate postings dwarf cache).
+_AUTO_VECTORIZED_MIN_Q = 1
 
 
 def _auto_buckets(spark: SparkSession, est_work: int | None) -> int:
