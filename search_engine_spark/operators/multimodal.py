@@ -87,6 +87,66 @@ def decode_image(payload: bytes, dim: int = 16) -> np.ndarray:
     return arr.reshape(-1).astype(np.float32)
 
 
+def decode_ppm(payload: bytes, dim: int = 16) -> np.ndarray:
+    """Pure-numpy image decoder for binary PPM (P6, maxval <= 255) — an
+    UNCOMPRESSED format, so the real (non-stub) decode path executes in
+    this container with no imaging library at all: parse header -> BT.601
+    luma grayscale -> area-average resize to a 4x(dim/4) thumbnail ->
+    [-1, 1] float32, the same output contract as :func:`decode_image`
+    (which stays PIL-flagged for compressed formats)."""
+    if dim % 4:
+        raise ValueError("dim must be a multiple of 4 for the 4-wide thumbnail")
+    pos = 0
+
+    def token() -> bytes:
+        nonlocal pos
+        while pos < len(payload):
+            c = payload[pos : pos + 1]
+            if c == b"#":  # comment runs to end of line
+                nl = payload.find(b"\n", pos)
+                pos = len(payload) if nl < 0 else nl + 1
+            elif c.isspace():
+                pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        return payload[start:pos]
+
+    magic = token()
+    if magic != b"P6":
+        raise ValueError(f"not a binary PPM (P6) payload: magic={magic!r}")
+    w, h, maxval = int(token()), int(token()), int(token())
+    if not (0 < maxval <= 255):
+        raise ValueError("only 8-bit PPM supported")
+    pos += 1  # exactly one whitespace byte after maxval, then the raster
+    n = w * h * 3
+    if len(payload) - pos < n:
+        raise ValueError("truncated PPM raster")
+    rgb = (
+        np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+        .reshape(h, w, 3)
+        .astype(np.float64)
+    )
+    gray = rgb @ np.array([0.299, 0.587, 0.114])  # ITU-R BT.601 luma
+    th, tw = dim // 4, 4
+    if h < th:  # tiny images: repeat rows/cols so every band is non-empty
+        gray = np.repeat(gray, -(-th // h), axis=0)
+        h = gray.shape[0]
+    if w < tw:
+        gray = np.repeat(gray, -(-tw // w), axis=1)
+        w = gray.shape[1]
+    re = np.linspace(0, h, th + 1).astype(int)
+    ce = np.linspace(0, w, tw + 1).astype(int)
+    out = np.empty((th, tw))
+    for i in range(th):
+        band = gray[re[i] : re[i + 1]]
+        for j in range(tw):
+            out[i, j] = band[:, ce[j] : ce[j + 1]].mean()
+    return (out.reshape(-1) / maxval * 2.0 - 1.0).astype(np.float32)
+
+
 def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
     """STUB decoder. A real pipeline would decode image/audio bytes here
     (PIL/librosa are not in this container). Deterministic fake derived by
@@ -108,18 +168,20 @@ def extract_features(
 
     Real Arrow-batched ``mapInPandas`` plumbing; ``decoder`` picks the
     per-payload decode: ``"stub"`` (default — deterministic sha256 features,
-    oracle-mirrorable) or ``"image"`` (:func:`decode_image`, requires PIL —
-    raises up front when absent so jobs fail fast, not per-task).
+    oracle-mirrorable), ``"ppm"`` (:func:`decode_ppm`, a real pure-numpy
+    image decode that runs in this container), or ``"image"``
+    (:func:`decode_image`, requires PIL — raises up front when absent so
+    jobs fail fast, not per-task).
     ``n_frames`` mimics frame sampling for video payloads
     (ceil(size / 4096) capped at `frame_sample`).
     """
-    if decoder not in ("stub", "image"):
-        raise ValueError(f"unknown decoder {decoder!r}; 'stub' or 'image'")
+    if decoder not in ("stub", "image", "ppm"):
+        raise ValueError(f"unknown decoder {decoder!r}; 'stub', 'image' or 'ppm'")
     if decoder == "image" and not HAS_PIL:
         raise NotImplementedError(
             "decoder='image' requires PIL; not available in this environment"
         )
-    decode = _fake_decode if decoder == "stub" else decode_image
+    decode = {"stub": _fake_decode, "image": decode_image, "ppm": decode_ppm}[decoder]
 
     def kernel(batches):
         for pdf in batches:

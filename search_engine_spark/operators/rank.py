@@ -252,6 +252,32 @@ def score_queries_batch(
     return _batch_topk(scores, k, ties)
 
 
+def _topk_pdf_for(pdf: pd.DataFrame, k: int, ties: str) -> pd.DataFrame:
+    """Vectorized per-qid top-k selection over a (qid, docId, score) frame —
+    the single source of the batch tie semantics (score desc, then docId
+    per ``ties``; output qid-asc). Shared by the row merge (:func:`_batch_topk`)
+    and the packed-blob merge."""
+    doc_asc = ties == "asc"
+    qid = pdf["qid"].to_numpy(np.int64)
+    doc = pdf["docId"].to_numpy(np.int64)
+    score = pdf["score"].to_numpy(np.float64)
+    tie = doc if doc_asc else -doc
+    order = np.lexsort((tie, -score, qid))
+    q = qid[order]
+    # rank within each qid run of the sorted order -> keep first k
+    idx = np.arange(len(q))
+    new = np.empty(len(q), dtype=bool)
+    if len(q):
+        new[0] = True
+        np.not_equal(q[1:], q[:-1], out=new[1:])
+    start = np.maximum.accumulate(np.where(new, idx, 0))
+    keep = order[(idx - start) < k]
+    # deterministic output order: qid asc, then score desc + tie
+    sel = np.lexsort((tie[keep], -score[keep], qid[keep]))
+    keep = keep[sel]
+    return pd.DataFrame({"qid": qid[keep], "docId": doc[keep], "score": score[keep]})
+
+
 def _batch_topk(scores: DataFrame, k: int, ties: str) -> DataFrame:
     """Two-stage per-qid top-k. Stage 1 is a zero-shuffle partition-local
     prune (each partition emits ≤ Q×k rows); stage 2 hash-partitions by qid
@@ -264,29 +290,8 @@ def _batch_topk(scores: DataFrame, k: int, ties: str) -> DataFrame:
     Stage 2 uses an explicit ``repartition(n, qid)`` — AQE's byte-based
     coalescing otherwise folds the tiny pruned rows into ONE task and
     serializes the final selection across all Q queries (1.3s at Q=256)."""
-    doc_asc = ties == "asc"
-
     def _topk_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-        qid = pdf["qid"].to_numpy(np.int64)
-        doc = pdf["docId"].to_numpy(np.int64)
-        score = pdf["score"].to_numpy(np.float64)
-        tie = doc if doc_asc else -doc
-        order = np.lexsort((tie, -score, qid))
-        q = qid[order]
-        # rank within each qid run of the sorted order -> keep first k
-        idx = np.arange(len(q))
-        new = np.empty(len(q), dtype=bool)
-        if len(q):
-            new[0] = True
-            np.not_equal(q[1:], q[:-1], out=new[1:])
-        start = np.maximum.accumulate(np.where(new, idx, 0))
-        keep = order[(idx - start) < k]
-        # deterministic output order: qid asc, then score desc + tie
-        sel = np.lexsort((tie[keep], -score[keep], qid[keep]))
-        keep = keep[sel]
-        return pd.DataFrame(
-            {"qid": qid[keep], "docId": doc[keep], "score": score[keep]}
-        )
+        return _topk_pdf_for(pdf, k, ties)
 
     def partial(batches):
         acc: list[pd.DataFrame] = []
@@ -769,6 +774,16 @@ def _daat_rows_batch(
 
 from pyspark.sql.types import BinaryType, IntegerType, StringType
 
+# per-bucket packed top-k results (little-endian i64/i64/f8 arrays): the
+# blob merge path of score_queries_daat_batch
+PACKED_TOPK_SCHEMA = StructType(
+    [
+        StructField("qids", BinaryType(), True),
+        StructField("docids", BinaryType(), True),
+        StructField("scores", BinaryType(), True),
+    ]
+)
+
 BUCKETED_SCHEMA = StructType(
     [
         StructField("bucket", IntegerType(), False),
@@ -937,6 +952,12 @@ _WORK_PER_BUCKET = 1 << 19
 # still matters when a single query's candidate postings dwarf cache).
 _AUTO_VECTORIZED_MIN_Q = 1
 
+# Packed-blob merge ceiling (entries = Q x k x buckets): below this, the
+# per-bucket top-k results ship as ONE binary row per bucket and merge in a
+# single vectorized task; above it, the distributed row merge takes over
+# (8M entries ~ 190 MB in the merge task).
+_BLOB_MERGE_CAP = 8_000_000
+
 
 def _auto_buckets(spark: SparkSession, est_work: int | None) -> int:
     """Bucket count for an estimated workload (Σ over queries×terms of df).
@@ -1098,6 +1119,8 @@ def score_queries_daat_batch(
     est_work = sum(df_map[t] for qm in qmetas.values() for t in qm if t in df_map)
     if vectorized is None:
         vectorized = len(qmetas) >= _AUTO_VECTORIZED_MIN_Q
+    if n_buckets is None:
+        n_buckets = _auto_buckets(spark, est_work)
     seg = segments.where(isin_expr("term", live_terms))
     bucketed = _bucketize_segments(spark, seg, n_buckets, docid_span, est_work)
     if bucketed is None:
@@ -1159,6 +1182,70 @@ def score_queries_daat_batch(
                 "score": pd.Series(dtype="float64"),
             }
         )
+
+    # Merge strategy for the per-bucket top-k. The row merge shuffles every
+    # per-(bucket, query) candidate as a JVM row (2M rows for a 16k-query
+    # workload: Arrow->UnsafeRow conversion, a partial-prune python stage,
+    # a by-qid shuffle — per-row costs on both sides). When the total
+    # candidate count is bounded (Q x k x buckets, the kernel's output
+    # ceiling), emit ONE PACKED ROW PER BUCKET instead and merge the blobs
+    # in a single cheap task: ~32 binary rows through the shuffle, one
+    # vectorized segmented top-k at the end. Selection-only — scores are
+    # untouched bytes, so results are bit-identical to the row merge.
+    blob_ceiling = len(qmetas) * (k or 0) * max(int(n_buckets or 0), 1)
+    use_blobs = (
+        vectorized and k is not None
+        and 0 < blob_ceiling <= _BLOB_MERGE_CAP
+    )
+    if use_blobs:
+
+        def kernel_blob(key, pdf):
+            qmetas_b = qmetas_local if qmetas_ref is None else qmetas_ref.value
+            bounds = (int(pdf["lo_docid"].iat[0]), int(pdf["hi_docid"].iat[0]))
+            all_rows = list(pdf.itertuples(index=False))
+            rows_by_term_i: dict[str, list[int]] = {}
+            for i, r in enumerate(all_rows):
+                rows_by_term_i.setdefault(r.term, []).append(i)
+            qv, dv, sv = _daat_rows_batch(
+                all_rows, rows_by_term_i, qmetas_b, scorer, avgdl, k, ties,
+                deleted, bounds,
+            )
+            if not len(qv):
+                return pd.DataFrame(
+                    {"qids": pd.Series(dtype=object),
+                     "docids": pd.Series(dtype=object),
+                     "scores": pd.Series(dtype=object)}
+                )
+            return pd.DataFrame(
+                {
+                    "qids": [qv.astype("<i8").tobytes()],
+                    "docids": [dv.astype("<i8").tobytes()],
+                    "scores": [sv.astype("<f8").tobytes()],
+                }
+            )
+
+        def merge_blobs(batches):
+            qs, ds, ss = [], [], []
+            for pdf in batches:
+                for r in pdf.itertuples(index=False):
+                    qs.append(np.frombuffer(r.qids, "<i8"))
+                    ds.append(np.frombuffer(r.docids, "<i8"))
+                    ss.append(np.frombuffer(r.scores, "<f8"))
+            if not qs:
+                return
+            flat = pd.DataFrame(
+                {
+                    "qid": np.concatenate(qs),
+                    "docId": np.concatenate(ds),
+                    "score": np.concatenate(ss),
+                }
+            )
+            yield _topk_pdf_for(flat, k, ties)
+
+        blobs = bucketed.groupBy("bucket").applyInPandas(
+            kernel_blob, PACKED_TOPK_SCHEMA
+        )
+        return blobs.repartition(1).mapInPandas(merge_blobs, BATCH_SCHEMA)
 
     local = bucketed.groupBy("bucket").applyInPandas(kernel, BATCH_SCHEMA)
     if k is None:

@@ -52,6 +52,12 @@ def stratified_sample(
     return df.where(sample_ticket(F.col(id_col), salt) < rate)
 
 
+# auto-B caps: one window partition never sees more than this many docs,
+# and the driver-side offset table never exceeds |strata| * _B_CAP rows
+_WINDOW_DOC_CAP = 2_000_000
+_B_CAP = 4096
+
+
 def token_budget_sample(
     df: DataFrame,
     budgets: dict[str, int],
@@ -59,7 +65,7 @@ def token_budget_sample(
     strata_col: str = "lang",
     id_col: str = "doc_id",
     salt: str = "v1",
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     default_budget: int = 0,
 ) -> DataFrame:
     """Cap each stratum at a token budget: order the stratum's docs by
@@ -80,10 +86,32 @@ def token_budget_sample(
     4. running sum WITHIN a (stratum, bucket) window — partition width is
        |stratum| / B, so no reducer sees a whole language.
 
-    Raise ``n_buckets`` with corpus size (B ~ corpus_tokens / budget works
-    well); correctness is independent of B.
+    The SELECTED SET is independent of B (the offsets make ``_cum`` the
+    true stratum-global running sum for any bucketing), so B is purely a
+    skew/parallelism knob. ``n_buckets=None`` (default) derives it from the
+    data instead of trusting a caller guess: B = max over strata of
+    ceil(stratum_tokens / budget) — each bucket then holds ~one budget's
+    worth, so the kept prefix spans ~1 bucket — and ceil(stratum_docs /
+    _WINDOW_DOC_CAP) so no window partition exceeds 2M rows, capped at
+    _B_CAP=4096 (driver offset rows = |strata| * B). The sizing agg is one
+    extra |strata|-row collect; pass an explicit B to skip it.
     """
     spark = df.sparkSession
+    if n_buckets is None:
+        import math
+
+        per = (
+            df.groupBy(strata_col)
+            .agg(F.sum(token_col).alias("_tok"), F.count("*").alias("_n"))
+            .collect()
+        )
+        n_buckets = 1
+        for r in per:
+            b = budgets.get(r[strata_col], default_budget)
+            if b > 0:
+                n_buckets = max(n_buckets, math.ceil(int(r["_tok"] or 0) / b))
+            n_buckets = max(n_buckets, math.ceil(int(r["_n"]) / _WINDOW_DOC_CAP))
+        n_buckets = min(n_buckets, _B_CAP)
     t = df.withColumn("_ticket", sample_ticket(F.col(id_col), salt)).withColumn(
         "_bucket", (F.col("_ticket") * n_buckets / TICKETS).cast("int")
     )

@@ -174,32 +174,48 @@ def test_wordbreak_cjk_dictionary():
         tok.tokenize("さようなら")
 
 
-def test_wordbreak_latency_envelope():
-    """WordBreakTokenizerTest.java:24-26 envelope: ~900-char string under
-    20 s (the reference grants 20 s on the 82k dict; the DP here is
-    O(n·max_word_len) with a dict-filtered inner loop)."""
+def load_82k_dict() -> dict[str, float]:
+    """The committed reference-scale dictionary fixture (82k entries,
+    tools/gen_wordbreak_dict.py — same SCALE as the resource
+    WordBreakTokenizer.java:44-64 loads, synthesized, no data copied)."""
     import os
+
+    p = os.path.join(os.path.dirname(__file__), "fixtures",
+                     "wordbreak_dict_82k.txt")
+    freq = {}
+    with open(p) as f:
+        for line in f:
+            w, fr = line.split()
+            freq[w] = float(fr)
+    return freq
+
+
+def test_wordbreak_latency_envelope_at_82k():
+    """WordBreakTokenizerTest.java:24-26 envelope: ~900-char string under
+    20 s ON A DICTIONARY OF THE REFERENCE'S SCALE (committed 82k fixture —
+    dictionary-scale behavior measured, not extrapolated from a 5k dict).
+    The DP is O(n·max_word_len) with a dict-filtered inner loop; measured
+    ~2.4 ms/900 chars here, dict init ~36 ms, dict RSS ~15 MB (BENCH.md)."""
     import time
 
-    p = "/root/reference/src/main/resources/cs221_frequency_dictionary_en.txt"
-    if os.path.exists(p):
-        freq = {}
-        with open(p, encoding="utf-8-sig") as f:
-            for line in f:
-                parts = line.split()
-                if len(parts) >= 2:
-                    freq[parts[0]] = float(parts[1])
-    else:  # synthetic 5k-word dictionary; same DP cost shape
-        freq = {f"w{i:04d}": float(1 + i % 97) for i in range(5000)}
-    wb = WordBreakTokenizer(freq)
-    words = [w for w in list(freq)[:150]]
-    text = "".join(words)[:900]
+    freq = load_82k_dict()
+    assert len(freq) == 82000
     t0 = time.time()
-    try:
-        wb.tokenize(text)
-    except ValueError:
-        pass  # truncation may cut a word; latency is what's asserted
-    assert time.time() - t0 < 20.0
+    wb = WordBreakTokenizer(freq)
+    text = ""
+    for w in list(freq)[1000:1400]:
+        if len(text) + len(w) > 900:
+            break
+        text += w
+    toks = wb.tokenize(text)
+    dt = time.time() - t0
+    assert toks and "".join(toks) # non-trivial segmentation
+    assert dt < 20.0, dt
+    # unbreakable input still raises at this scale (reference contract)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        wb.tokenize("qqqqxxxxqqqq")
 
 
 def test_wordbreak_spark_udf_and_analyzer(spark):
@@ -355,3 +371,33 @@ def test_wordbreak_full_dictionary_distributed(spark):
     # reference envelope: a paragraph under 20 s on this dict; 120 rows
     # through the distributed path stays well inside a few multiples of it
     assert wall < 120.0
+
+
+def test_wordbreak_spark_udf_at_82k_dict(spark):
+    """A7's fixed-dictionary Spark path at reference dictionary scale: the
+    82k-entry committed fixture broadcast into the Arrow-batched pandas UDF,
+    segmenting 200 concatenated-word docs distributed — every row equal to
+    the single-node tokenizer. Proves the 82k dict survives closure
+    broadcast + per-worker construction, not just driver-side use."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.functions.analyzers import (
+        WordBreakTokenizer,
+        make_wordbreak_udf,
+    )
+
+    freq = load_82k_dict()
+    words = list(freq)
+    texts = []
+    for i in range(200):
+        ws = [words[(i * 37 + j * 11) % 82000] for j in range(12)]
+        texts.append("".join(ws))
+    single = WordBreakTokenizer(freq)
+    exp = {i: single.tokenize(t) for i, t in enumerate(texts)}
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, content string"
+    ).repartition(8)
+    udf = make_wordbreak_udf(freq)
+    got = {r.id: list(r.toks) for r in
+           df.select("id", udf(F.col("content")).alias("toks")).collect()}
+    assert got == exp
