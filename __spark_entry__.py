@@ -414,6 +414,7 @@ def q_s3_url_map(spark, sf_dir):
 
 
 WORDBREAK_ROOT = os.path.join(tempfile.gettempdir(), "se_wordbreak_ref")
+LANGID_ROOT = os.path.join(tempfile.gettempdir(), "se_langid_ref")
 JAPANESE_ROOT = os.path.join(tempfile.gettempdir(), "se_japanese_ref")
 # Bound on the driver-side single-node reference runs (a7/a8 oracle side
 # tables): they deliberately re-run the pytest-golden Python tokenizer on the
@@ -807,6 +808,48 @@ def q_t1_lang_id(spark, sf_dir):
     return lang_id(d, "text", "doc_id")
 
 
+def q_t1b_lang_id_nb(spark, sf_dir):
+    """Model-shaped language ID: hashed char-trigram multinomial Naive
+    Bayes trained on the committed fixture
+    (search_engine_spark/functions/data/langid_train.tsv), scored by a
+    vectorized pandas UDF (functions/langid.py — the exact UDF shape a
+    fastText-grade model swap needs; held-out accuracy in BENCH.md).
+
+    Oracle construction (a7-style): a single-node run of the SAME model's
+    ``predict_pdf`` is written to a side parquet keyed by (doc_id,
+    md5(text)); the check proves the distributed Arrow/UDF path reproduces
+    the single-node scorer bit-exactly (identical per-row accumulation
+    order, see langid.py docstring)."""
+    import hashlib
+
+    import pandas as pd
+
+    from search_engine_spark.functions.langid import default_model, lang_id_nb
+
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < SIDE_DOC_CAP)
+        .toPandas()
+    )
+    pred = default_model().predict_pdf(pdf["text"])
+    ref = pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "content_md5": [hashlib.md5(t.encode()).hexdigest() for t in pdf["text"]],
+            "lang_nb": list(pred),
+        }
+    )
+    out = os.path.join(LANGID_ROOT, os.path.basename(sf_dir.rstrip("/")))
+    os.makedirs(out, exist_ok=True)
+    ref.to_parquet(os.path.join(out, "ref.parquet"), index=False)
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < SIDE_DOC_CAP
+    )
+    return lang_id_nb(d, "text", "doc_id")
+
+
 def q_t2_quality(spark, sf_dir):
     from search_engine_spark.operators.textstats import quality_score
 
@@ -915,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t5_stratified_sample": q_t5_stratified_sample,
         "t6_token_budget": q_t6_token_budget,
         "t1_lang_id": q_t1_lang_id,
+        "t1b_lang_id_nb": q_t1b_lang_id_nb,
         "t2_quality_score": q_t2_quality,
         "t3_fingerprint": q_t3_fingerprint,
         "m1_media_meta": q_m1_media_meta,
@@ -1565,6 +1609,15 @@ def oracle_sql() -> dict[str, str]:
             LIMIT {ANN_K}
         """,
         "t1_lang_id": _lang_id_sql(),
+        "t1b_lang_id_nb": f"""
+            SELECT r.doc_id, r.lang_nb
+            FROM (
+              SELECT DISTINCT doc_id, content_md5, lang_nb
+              FROM read_parquet('{LANGID_ROOT}/*/*.parquet')
+            ) r
+            JOIN documents d ON d.doc_id = r.doc_id AND md5(d.text) = r.content_md5
+            WHERE r.doc_id < {SIDE_DOC_CAP}
+        """,
         "t2_quality_score": _quality_sql(),
         "t3_fingerprint": f"""
             WITH {_SHINGLES}

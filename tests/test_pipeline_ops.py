@@ -686,3 +686,30 @@ def test_ppm_decoder_runs_real_decode_in_spark(spark):
         decode_ppm(b"P5 2 2 255 " + bytes(12))
     with pytest.raises(ValueError):
         decode_ppm(b"P6 4 4 255 " + bytes(5))  # truncated raster
+
+
+def test_langid_nb_model(spark):
+    """Char-trigram NB lang-ID (functions/langid.py): held-out accuracy on
+    the committed fixture, bit-identical distributed vs single-node
+    predictions, und for unscoreable rows, deterministic across calls."""
+    from search_engine_spark.functions import langid as L
+
+    acc, n = L.heldout_accuracy()
+    assert n >= 20 and acc >= 0.9, (acc, n)
+    m = L.default_model()
+    texts = [
+        "the weather is lovely today and the birds are singing",
+        "la vida es un viaje largo lleno de sorpresas y alegría",
+        "das leben ist eine reise voller überraschungen und freude",
+        "la vie est un long voyage plein de surprises et de joie",
+        "",
+        "12",
+    ]
+    import pandas as pd
+    single = list(m.predict_pdf(pd.Series(texts)))
+    assert single[:4] == ["en", "es", "de", "fr"] and single[4:] == ["und", "und"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).repartition(4)
+    got = {r.doc_id: r.lang_nb for r in L.lang_id_nb(df, "text", "doc_id").collect()}
+    assert [got[i] for i in range(len(texts))] == single
