@@ -260,10 +260,13 @@ def synthetic_corpus(
     seed: int = 42,
     partitions: int | None = None,
     clustered_ids: bool = False,
+    dense_ids: bool = False,
 ) -> DataFrame:
     """Distributed deterministic corpus: each partition generates its own row
     range via ``mapInPandas`` — no driver-side materialization, scales to any
-    n_docs."""
+    n_docs. ``dense_ids`` routes docId assignment through
+    :func:`dense_doc_ids` (exact 0..n-1 in (repo, path, commit) order — the
+    10^12-file mode) instead of the hashed expression."""
     partitions = partitions or max(1, min(n_docs // 500 + 1, 64))
     bounds = spark.createDataFrame(
         [
@@ -285,6 +288,10 @@ def synthetic_corpus(
                 yield _gen_rows(int(r.start), int(r.end), vocab_size, seed)
 
     corpus = bounds.mapInPandas(gen, CORPUS_SCHEMA)
+    if dense_ids:
+        return dense_doc_ids(corpus).withColumn(
+            "content_sha256", F.sha2(F.col("content"), 256)
+        )
     return with_doc_ids(corpus, clustered=clustered_ids)
 
 

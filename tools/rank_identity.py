@@ -35,6 +35,7 @@ def main() -> int:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 60
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    ids = sys.argv[4] if len(sys.argv) > 4 else "hash"  # hash | dense
 
     from search_engine_spark.operators import rank as R
     from search_engine_spark.plans.oracle import OracleIndex
@@ -43,7 +44,8 @@ def main() -> int:
     from search_engine_spark.sources.corpus import synthetic_corpus
 
     spark = get_spark(app="rank_identity", master="local[8]", shuffle_partitions=8)
-    corpus = synthetic_corpus(spark, n_docs=n_docs, vocab_size=max(600, n_docs // 3), seed=11)
+    corpus = synthetic_corpus(spark, n_docs=n_docs, vocab_size=max(600, n_docs // 3),
+                              seed=11, dense_ids=(ids == "dense"))
     idx = "/tmp/rank_identity_idx"
     shutil.rmtree(idx, ignore_errors=True)
     m = S.build_index(

@@ -113,12 +113,19 @@ def main() -> None:
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     per_scheme = {}
-    for scheme, clustered in (("uniform", False), ("clustered", True)):
+    # dense = exact 0..n-1 ids in (repo, path, commit) order (the stated
+    # 10^12-file mode, corpus.dense_doc_ids) — repo runs stay contiguous,
+    # so project-scoped queries should prune like clustered-hash ids do
+    for scheme, clustered, dense in (
+        ("uniform", False, False),
+        ("clustered", True, False),
+        ("dense", False, True),
+    ):
         src = tempfile.mkdtemp(prefix=f"wand_src_{scheme}_")
         shutil.rmtree(src, ignore_errors=True)
         synthetic_corpus(
             spark, n_docs=n_docs, vocab_size=20000, partitions=32,
-            clustered_ids=clustered,
+            clustered_ids=clustered, dense_ids=dense,
         ).write.parquet(src)
         idx = tempfile.mkdtemp(prefix=f"wand_idx_{scheme}_")
         per_scheme[scheme] = audit_index(
