@@ -336,11 +336,16 @@ def test_concurrent_batch_commit_and_compaction(spark, tmp_index):
     assert not errs, errs
     m = S.read_manifest(tmp_index)
     committed = {k for k, b in m["batches"].items() if b.get("committed")}
-    assert "9" in committed, committed  # the racing batch commit survived
+    # batch "9" either survives as its own batch OR a second auto_compact
+    # round legitimately absorbed it into a merged m<N> batch — the
+    # invariant is that its DATA survives (checked below), never that the
+    # key does
+    assert committed, m
     assert int(m.get("generation", 0)) >= 4  # every commit bumped it
     after = {(r.term, r.docId, r.tf) for r in
              S.decode_postings(S.load_segments(spark, tmp_index)).collect()}
     new_only = {t for t in after - before}
     assert all(t[0] in {"zzznew", "doc", "alpha", "beta", "gamma"} for t in new_only)
+    assert any(t[0] == "zzznew" for t in new_only)  # batch 9's data survived
     assert before <= after  # nothing lost, nothing doubled
     assert len(after) == len(before) + len(new_only)
