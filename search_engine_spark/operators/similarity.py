@@ -142,25 +142,33 @@ def kmeans_centroids(
     train = emb
     if sample_mod > 1:
         train = emb.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
-    cents = [(i, vec) for i, (_, vec) in enumerate(lowid_centroids(train, k, id_col, vec_col))]
-    for _ in range(n_iters):
-        cid = ivf_assign_expr(cents, vec_col)
-        means = (
-            train.select(cid.alias("cid"), F.posexplode(F.col(vec_col)).alias("pos", "v"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("v").alias("m"))
-            .collect()
-        )
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cell.setdefault(int(r.cid), {})[int(r.pos)] = float(r.m)
-        cents = [
-            (
-                i,
-                [by_cell[i][p] for p in range(len(old))] if i in by_cell else old,
+    # Every Lloyd's round re-scans the train slice; cache it so iterations
+    # 2..n read deserialized vectors instead of re-running the upstream
+    # scan/filter (the slice is 1/sample_mod of the corpus by construction).
+    cached = train if n_iters <= 1 else train.select(id_col, vec_col).persist()
+    try:
+        cents = [(i, vec) for i, (_, vec) in enumerate(lowid_centroids(cached, k, id_col, vec_col))]
+        for _ in range(n_iters):
+            cid = ivf_assign_expr(cents, vec_col)
+            means = (
+                cached.select(cid.alias("cid"), F.posexplode(F.col(vec_col)).alias("pos", "v"))
+                .groupBy("cid", "pos")
+                .agg(F.avg("v").alias("m"))
+                .collect()
             )
-            for i, old in cents
-        ]
+            by_cell: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_cell.setdefault(int(r.cid), {})[int(r.pos)] = float(r.m)
+            cents = [
+                (
+                    i,
+                    [by_cell[i][p] for p in range(len(old))] if i in by_cell else old,
+                )
+                for i, old in cents
+            ]
+    finally:
+        if cached is not train:
+            cached.unpersist()
     return cents
 
 
