@@ -48,6 +48,10 @@ SIMHASH_BITS = 16
 NEARDUP_TAU = 0.10
 N_PLANES, PLANE_SEED, EMB_DIM = 8, 42, 64
 IVF_CENTROIDS, IVF_NPROBE = 8, 2
+Q_PREFIX = "s"
+Q_NEAR, Q_NEAR_WINDOW = ("table", "scan"), 5
+SNIPPET_TERM, SNIPPET_BEFORE, SNIPPET_AFTER = "spark", 3, 3
+PQ_M, PQ_K = 4, 16
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,6 +225,92 @@ def q_q5_phrase(spark, sf_dir):
     idx, _ = _index(spark, sf_dir)
     dec = decode_postings(load_segments(spark, idx), Q_PHRASE, with_positions=True)
     return search_phrase(dec, Q_PHRASE).select(F.col("docId").alias("doc_id"))
+
+
+def q_q2p_prefix(spark, sf_dir):
+    """Prefix term query against the SEGMENT store: ``startswith`` compiles
+    to a StringStartsWith pushed filter on the term-sorted parquet — the
+    dictionary range-seek analog (TreeMap subMap in the reference's term
+    dictionary shape). Only matching packed rows decode."""
+    from search_engine_spark.operators.query import search_prefix
+    from search_engine_spark.sources.segments import load_segments
+
+    idx, _ = _index(spark, sf_dir)
+    out = search_prefix(load_segments(spark, idx), Q_PREFIX, analyzer="naive")
+    return out.select(F.col("docId").alias("doc_id"))
+
+
+def q_q3n_and_not(spark, sf_dir):
+    """Boolean AND-NOT: all of Q_AND[:2], none of Q_AND[2]."""
+    from search_engine_spark.operators.query import search_and_not
+
+    out = search_and_not(_postings(spark, sf_dir), Q_AND[:2], [Q_AND[2]])
+    return out.select(F.col("docId").alias("doc_id"))
+
+
+def q_q5w_proximity(spark, sf_dir):
+    """Ordered proximity over the positional index: Q_NEAR[1] within
+    1..Q_NEAR_WINDOW positions after Q_NEAR[0] (window=1 would be Q5)."""
+    from search_engine_spark.operators.query import search_proximity
+    from search_engine_spark.sources.segments import decode_postings, load_segments
+
+    idx, _ = _index(spark, sf_dir)
+    dec = decode_postings(load_segments(spark, idx), list(Q_NEAR), with_positions=True)
+    return search_proximity(dec, Q_NEAR[0], Q_NEAR[1], Q_NEAR_WINDOW).select(
+        F.col("docId").alias("doc_id")
+    )
+
+
+def q_t7_snippets(spark, sf_dir):
+    """Result-snippet generation: token window around the first occurrence
+    of the query term — serving-path hydration, pure JVM array exprs."""
+    from search_engine_spark.operators.textstats import keyword_snippets
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return keyword_snippets(
+        d, SNIPPET_TERM, text="text", id_col="doc_id",
+        before=SNIPPET_BEFORE, after=SNIPPET_AFTER,
+    )
+
+
+PQ_REF_ROOT = os.path.join(tempfile.gettempdir(), "se_pq_ref")
+
+
+def q_e4_pq_topk(spark, sf_dir):
+    """PQ-ADC approximate top-k over the compressed code table.
+
+    Oracle construction (a7-style side table): the SAME deterministic
+    codebooks (``pq_train`` — lowest-id sample, numpy Lloyd's, tie-to-lower
+    argmin) drive a single-node Python mirror (``pq_reference_scores``) that
+    shares the Spark expressions' left-fold arithmetic bit for bit; its
+    top-k lands in a side parquet the SQL reads back. The check proves the
+    distributed encode (inline-argmin projection) + ADC lookup path
+    reproduces the single-node quantizer exactly."""
+    import pandas as pd
+
+    from search_engine_spark.operators.similarity import (
+        pq_reference_scores, pq_topk, pq_train,
+    )
+
+    e = _emb(spark, sf_dir).where(F.col("vec_id") < SIDE_DOC_CAP)
+    qv = [float(x) for x in e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    corpus = e.where(F.col("vec_id") != 0)
+    books = pq_train(corpus, m=PQ_M, k=PQ_K)
+
+    rows = [(int(r[0]), [float(x) for x in r[1]])
+            for r in corpus.select("vec_id", "embedding").collect()]
+    scored = pq_reference_scores(rows, books, qv)
+    scored.sort(key=lambda t: (t[1], t[0]))
+    ref = pd.DataFrame(scored[:ANN_K], columns=["vec_id", "adc"])
+    # sf-scope guard: side rows from a different sf dir (overlapping vec_id
+    # space) can never satisfy the oracle's corpus-count predicate
+    ref["n_corpus"] = len(rows)
+    out = os.path.join(PQ_REF_ROOT, os.path.basename(sf_dir.rstrip("/")))
+    os.makedirs(out, exist_ok=True)
+    ref.to_parquet(os.path.join(out, "ref.parquet"), index=False)
+
+    res = pq_topk(corpus, qv, ANN_K, codebooks=books)
+    return res.select("vec_id", F.round("adc", 6).alias("adc"))
 
 
 def q_q8_tfidf(spark, sf_dir):
@@ -930,6 +1020,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_and_search": q_q3_and,
         "q4_or_search": q_q4_or,
         "q5_phrase_search": q_q5_phrase,
+        "q2p_prefix_search": q_q2p_prefix,
+        "q3n_and_not_search": q_q3n_and_not,
+        "q5w_proximity_search": q_q5w_proximity,
+        "t7_snippets": q_t7_snippets,
+        "e4_pq_topk": q_e4_pq_topk,
         "q1_full_scan": q_q1_full_scan,
         "s4_doc_fetch": q_s4_doc_fetch,
         "st1_windowed_events": q_st1_windowed_events,
@@ -1412,6 +1507,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id
             FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
             WHERE a.term = '{Q_PHRASE[0]}' AND b.term = '{Q_PHRASE[1]}'
+        """,
+        "q2p_prefix_search": f"""
+            WITH {_TOKS}
+            SELECT DISTINCT doc_id FROM postings WHERE term LIKE '{Q_PREFIX}%'
+        """,
+        "q3n_and_not_search": f"""
+            WITH {_TOKS},
+            pos AS (
+              SELECT doc_id FROM postings
+              WHERE term IN ({", ".join(repr(t) for t in sorted(set(Q_AND[:2])))})
+              GROUP BY doc_id HAVING count(DISTINCT term) = {len(set(Q_AND[:2]))}
+            )
+            SELECT doc_id FROM pos
+            WHERE doc_id NOT IN (
+              SELECT doc_id FROM postings WHERE term = '{Q_AND[2]}'
+            )
+        """,
+        "q5w_proximity_search": f"""
+            WITH {_TOKS}
+            SELECT DISTINCT a.doc_id
+            FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+              AND b.pos - a.pos BETWEEN 1 AND {Q_NEAR_WINDOW}
+            WHERE a.term = '{Q_NEAR[0]}' AND b.term = '{Q_NEAR[1]}'
+        """,
+        "t7_snippets": rf"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+              FROM documents
+            ),
+            hit AS (
+              SELECT doc_id, t, list_position(t, '{SNIPPET_TERM}') AS p FROM toks
+              WHERE list_position(t, '{SNIPPET_TERM}') > 0
+            )
+            SELECT doc_id, p AS first_pos,
+              array_to_string(
+                list_slice(t, greatest(p - {SNIPPET_BEFORE}, 1), p + {SNIPPET_AFTER}),
+                ' '
+              ) AS snippet
+            FROM hit
+        """,
+        "e4_pq_topk": f"""
+            SELECT vec_id, round(adc, 6) AS adc
+            FROM read_parquet('{PQ_REF_ROOT}/*/*.parquet')
+            WHERE n_corpus = (
+              SELECT count(*) FROM embeddings
+              WHERE vec_id <> 0 AND vec_id < {SIDE_DOC_CAP}
+            )
         """,
         "q1_full_scan": f"""
             WITH toks AS (

@@ -166,6 +166,20 @@ def run_trial(spark, sf_dir: str, docs, n_docs_sf: int, syn, n_syn: int) -> dict
     qv = list(e.where(F.col("vec_id") == 0).select("embedding").first()[0])
     timed("cosine_topk", lambda: cosine_topk(e.where(F.col("vec_id") != 0), qv, 20).collect())
 
+    # PQ serving: codebooks + code table are per-corpus artifacts (untimed);
+    # the timed row is the ADC top-k over the compressed codes only
+    from search_engine_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+    e_corpus = e.where(F.col("vec_id") != 0)
+    pq_books = pq_train(e_corpus, m=4, k=16)
+    pq_codes = pq_encode(e_corpus, pq_books).persist()
+    pq_codes.count()
+    timed(
+        "pq_adc_topk",
+        lambda: pq_topk(e_corpus, qv, 20, codebooks=pq_books, codes=pq_codes).collect(),
+    )
+    pq_codes.unpersist()
+
     # compaction: 4-batch build over the sf docs (untimed setup), then the
     # byte-level packed-row merge of all four batches into one (timed)
     idx_c = tempfile.mkdtemp(prefix="bench_cmp_")

@@ -114,6 +114,88 @@ def search_phrase(postings_pos: DataFrame, terms: list[str]) -> DataFrame:
     return base.where(F.size("_acc") > 0).select("docId")
 
 
+def search_and_not(
+    postings: DataFrame, terms: list[str], neg_terms: list[str]
+) -> DataFrame:
+    """Boolean AND-NOT: docs containing ALL ``terms`` and NONE of
+    ``neg_terms``. The reference stops at AND/OR (IIM:747-903); NOT is the
+    natural third member and the classic filter-query shape.
+
+    Scale shape: the positive side is :func:`search_and` (one count-matching
+    aggregation); the negative side is a LEFT ANTI join against the
+    (term-pushdown-filtered) negative posting docIds. Both sides prune to
+    their query terms at the parquet scan; the anti join hashes on docId —
+    result-set-sized inputs, never the corpus."""
+    pos = search_and(postings, terms)
+    ns = sorted(set(neg_terms) - set(terms))
+    if not ns:
+        return pos
+    neg = postings_for(postings, ns).select("docId")
+    return pos.join(neg, "docId", "left_anti")
+
+
+def search_prefix(segments: DataFrame, prefix: str, analyzer: str = "naive") -> DataFrame:
+    """Prefix term query (term-dictionary range scan): docs containing ANY
+    term starting with ``prefix``.
+
+    The reference's TreeMap term dictionary supports this shape via
+    ``subMap`` range views (java.util.TreeMap over the IIM:435-485 keyword
+    dictionary); here the segment store is term-SORTED parquet, so
+    ``startswith`` compiles to a ``StringStartsWith`` pushed filter — the
+    scan skips row groups whose term min/max range cannot contain the
+    prefix, the parquet analog of a dictionary range seek. No decode happens
+    for non-matching rows; matching packed rows decode docIds only.
+    """
+    from ..sources.segments import decode_postings
+
+    if not prefix:
+        return segments.select(F.lit(0).alias("docId")).limit(0)
+    fn = get_analyzer(analyzer)
+    toks = fn(prefix)
+    if not toks:
+        return segments.select(F.lit(0).alias("docId")).limit(0)
+    hits = segments.where(F.col("term").startswith(toks[0]))
+    return decode_postings(hits).select("docId").distinct()
+
+
+def search_proximity(
+    postings_pos: DataFrame, term_a: str, term_b: str, window: int = 5
+) -> DataFrame:
+    """Ordered proximity query: docs where ``term_b`` occurs 1..``window``
+    token positions AFTER ``term_a`` (window=1 degenerates to the 2-term
+    phrase query, Q5).
+
+    Same vectorized shape as :func:`search_phrase`: per-term position sets
+    (salted/multi-batch rows for one doc are unioned), then a per-docId
+    equi-join and a JVM-side set test — each ``a`` position expands to the
+    admissible ``a+1..a+window`` range (``transform`` + ``sequence`` +
+    ``flatten``) and matches if it intersects ``b``'s positions. All
+    whole-stage-codegen array expressions; no Python, no window function,
+    one join keyed on docId over query-term-filtered postings only."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+
+    def _positions(t: str, out: str) -> DataFrame:
+        return (
+            postings_pos.where(F.col("term") == t)
+            .groupBy("docId")
+            .agg(F.flatten(F.collect_list("positions")).alias(out))
+        )
+
+    a = _positions(term_a, "_pa")
+    b = _positions(term_b, "_pb")
+    reach = F.array_distinct(
+        F.flatten(
+            F.transform("_pa", lambda x: F.sequence(x + 1, x + F.lit(window)))
+        )
+    )
+    return (
+        a.join(b, "docId")
+        .where(F.size(F.array_intersect(reach, F.col("_pb"))) > 0)
+        .select("docId")
+    )
+
+
 def full_scan_search(corpus: DataFrame, keywords: list[str], analyzer: str = "porter") -> DataFrame:
     """Q1 oracle: docs whose analyzed token set contains ALL query tokens."""
     terms = analyze_query(keywords, analyzer)

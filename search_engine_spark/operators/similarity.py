@@ -267,3 +267,196 @@ def lsh_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): memory-compressed ANN.
+#
+# At 100 TB of float32 embeddings the vectors themselves are the cost: a
+# 768-dim corpus is ~3 KB/vector, so a 10^9-vector index is ~3 TB of vector
+# bytes that every ANN probe must touch. PQ stores each vector as m one-byte
+# codes (m=8 -> 8 bytes, ~384x smaller): split the dimension into m
+# subspaces, k-means each subspace to k centroids, store per-subspace
+# nearest-centroid ids. A query scores candidates with an ADC (asymmetric
+# distance computation) lookup table: per subspace, the L2 distance from the
+# query's subvector to each centroid -- scoring a candidate is m table
+# lookups + adds over the CODES, never the original vector.
+#
+# Spark shape: training collects a bounded, deterministic sample (a codebook
+# artifact, like kmeans_centroids); encoding is a pure per-row projection
+# built from centroid LITERALS (inline argmin, whole-stage codegen -- the
+# same no-join/no-window form as ivf_assign_expr); ADC scoring is
+# element_at() lookups against literal arrays + TakeOrderedAndProject. No
+# shuffle anywhere except the final top-k.
+
+PQCodebooks = list[list[list[float]]]  # m subspaces x k centroids x subdim
+
+
+def _sq_l2_expr(a: Column, cent: list[float]) -> Column:
+    """Sequential-fold squared L2 distance between an array column and a
+    centroid literal -- deterministic summation order so a driver-side
+    Python mirror (pq_reference_scores) is bit-identical."""
+    c = F.array(*[F.lit(float(x)) for x in cent])
+    return F.aggregate(
+        F.zip_with(a, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _seq_sq_l2(a, cent) -> float:
+    """Python mirror of :func:`_sq_l2_expr` (same left-fold order)."""
+    acc = 0.0
+    for x, y in zip(a, cent):
+        acc += (float(x) - float(y)) * (float(x) - float(y))
+    return acc
+
+
+def pq_train(
+    emb: DataFrame, m: int = 4, k: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    sample_cap: int = 4096, n_iters: int = 5,
+) -> PQCodebooks:
+    """Train m per-subspace codebooks of k centroids each.
+
+    Deterministic end to end: the training sample is the ``sample_cap``
+    LOWEST-id vectors (an orderBy+limit top-k job -- bounded driver traffic
+    at any corpus size), init is the k lowest-id subvectors, Lloyd's
+    assignment breaks ties toward the lower centroid id, and empty cells
+    keep their previous centroid. Training is driver-local numpy over the
+    sample (codebooks are per-CORPUS artifacts: train once, reuse across a
+    query workload, exactly like ``kmeans_centroids``)."""
+    rows = emb.orderBy(id_col).limit(sample_cap).select(id_col, vec_col).collect()
+    if not rows:
+        raise ValueError("pq_train: empty embedding table")
+    x = np.array([[float(v) for v in r[1]] for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books: PQCodebooks = []
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        cents = xs[: min(k, len(xs))].copy()
+        if len(cents) < k:  # tiny sample: pad with repeats (degenerate, legal)
+            cents = np.vstack([cents] * ((k // len(cents)) + 1))[:k]
+        for _ in range(n_iters):
+            d = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)  # ties -> lowest index
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = xs[mask].mean(axis=0)
+        books.append([[float(v) for v in c] for c in cents])
+    return books
+
+
+def pq_code_exprs(codebooks: PQCodebooks, vec_col: str = "embedding") -> list[Column]:
+    """Per-subspace nearest-centroid code as an inline-argmin projection
+    (array_max over struct<-dist, -cid> literals: max of -dist is min dist,
+    ties to the LOWER centroid id). Same 10^9-row-safe shape as
+    ``ivf_assign_expr`` -- no join, no window, no shuffle."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    out = []
+    for j, book in enumerate(codebooks):
+        subvec = F.slice(F.col(vec_col), j * sub + 1, sub)
+        entries = [
+            F.struct(
+                (-_sq_l2_expr(subvec, cent)).alias("nd"),
+                F.lit(-c).alias("nc"),
+            )
+            for c, cent in enumerate(book)
+        ]
+        best = F.array_max(
+            F.array(*entries).cast("array<struct<nd: double, nc: bigint>>")
+        )
+        out.append((-best["nc"]).cast("int").alias(f"code_{j}"))
+    assert m == len(out)
+    return out
+
+
+def pq_encode(
+    emb: DataFrame, codebooks: PQCodebooks,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code_0..code_{m-1}): the compressed representation. At scale
+    this is the PERSISTED form (m small ints per vector); the original
+    embedding column is only needed at encode/re-rank time."""
+    return emb.select(F.col(id_col), *pq_code_exprs(codebooks, vec_col))
+
+
+def pq_adc_lut(codebooks: PQCodebooks, query_vec: list[float]) -> list[list[float]]:
+    """ADC lookup table: LUT[j][c] = squared L2 distance from the query's
+    j-th subvector to centroid c, computed with the same sequential fold as
+    the Spark-side encode so both sides share bit-identical arithmetic."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    return [
+        [_seq_sq_l2(query_vec[j * sub : (j + 1) * sub], cent) for cent in book]
+        for j, book in enumerate(codebooks)
+    ]
+
+
+def pq_adc_expr(lut: list[list[float]], code_cols: list[str]) -> Column:
+    """Approximate squared L2 = sum of per-subspace LUT lookups, added in
+    subspace order (deterministic)."""
+    acc = None
+    for j, col in enumerate(code_cols):
+        term = F.element_at(
+            F.array(*[F.lit(float(v)) for v in lut[j]]), F.col(col) + 1
+        )
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def pq_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    m: int = 4, n_centroids: int = 16,
+    codebooks: PQCodebooks | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """PQ-ADC approximate top-k: (id, adc) for the k candidates with the
+    smallest asymmetric distance, ties to the lower id.
+
+    Pass ``codebooks=`` (from :func:`pq_train`, per-corpus artifact) and
+    optionally ``codes=`` (from :func:`pq_encode`, the persisted compressed
+    table) for the production serving shape: the per-query plan is then a
+    scan of the CODES table + m element_at lookups + TakeOrdered -- it never
+    touches the float vectors."""
+    if codebooks is None:
+        codebooks = pq_train(emb, m=m, k=n_centroids, id_col=id_col, vec_col=vec_col)
+    if codes is None:
+        codes = pq_encode(emb, codebooks, id_col, vec_col)
+    code_cols = [c for c in codes.columns if c.startswith("code_")]
+    lut = pq_adc_lut(codebooks, query_vec)
+    return (
+        codes.select(F.col(id_col), pq_adc_expr(lut, code_cols).alias("adc"))
+        .orderBy(F.asc("adc"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def pq_reference_scores(
+    rows: list, codebooks: PQCodebooks, query_vec: list[float]
+) -> list[tuple[int, float]]:
+    """Single-node Python mirror of encode+ADC for oracle side tables:
+    same left-fold arithmetic, same argmin tie rule, same add order as the
+    Spark expressions -- bit-identical doubles. ``rows`` = [(id, vector)]."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    lut = pq_adc_lut(codebooks, query_vec)
+    out = []
+    for rid, vec in rows:
+        adc = 0.0
+        for j, book in enumerate(codebooks):
+            sv = vec[j * sub : (j + 1) * sub]
+            best_c, best_d = 0, None
+            for c, cent in enumerate(book):
+                d = _seq_sq_l2(sv, cent)
+                if best_d is None or -d > -best_d:  # strict: ties keep lower c
+                    best_c, best_d = c, d
+            adc += lut[j][best_c]
+        out.append((int(rid), adc))
+    return out

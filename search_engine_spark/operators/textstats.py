@@ -41,6 +41,45 @@ def bpe_token_count_expr(col: Column) -> Column:
     return F.size(F.regexp_extract_all(F.lower(col), F.lit(BPE_PATTERN), F.lit(0)))
 
 
+def snippet_expr(
+    toks: Column, term: str, before: int = 3, after: int = 3
+) -> tuple[Column, Column]:
+    """(first_pos, snippet) for one query term over a token array.
+
+    ``first_pos`` is the 1-based position of the term's FIRST occurrence
+    (0 when absent); ``snippet`` is the space-joined token window
+    ``[first_pos-before, first_pos+after]`` clipped to the document. Pure
+    JVM array expressions (``array_position`` + ``slice`` + ``concat_ws``)
+    — whole-stage codegen, no UDF, oracle-mirrorable in SQL
+    (``list_position`` / ``list_slice`` / ``array_to_string``)."""
+    pos = F.array_position(toks, term)
+    start = F.greatest(pos - F.lit(before), F.lit(1))
+    length = pos + F.lit(after) - start + F.lit(1)
+    return pos, F.concat_ws(" ", F.slice(toks, start, length))
+
+
+def keyword_snippets(
+    df: DataFrame,
+    term: str,
+    text: str = "content",
+    id_col: str = "docId",
+    before: int = 3,
+    after: int = 3,
+) -> DataFrame:
+    """Result-page snippet generation: for every doc containing ``term``
+    (naive tokens), the token window around its first occurrence.
+
+    The serving-path shape at scale: run AFTER retrieval on the (small)
+    hydrated hit set — a scan + project over result rows, never the corpus.
+    Exposed over the whole table here so the oracle can check every row."""
+    toks = tokens_expr(F.col(text))
+    pos, snip = snippet_expr(toks, term, before, after)
+    return (
+        df.select(F.col(id_col), pos.alias("first_pos"), snip.alias("snippet"))
+        .where(F.col("first_pos") > 0)
+    )
+
+
 def lang_scores(toks: Column) -> dict[str, Column]:
     """Occurrence count of each language's marker words."""
     out = {}

@@ -1,0 +1,107 @@
+"""Product quantization: distributed encode/ADC vs the single-node mirror.
+
+The contract's e4 oracle rests on ``pq_reference_scores`` being bit-identical
+to the Spark expressions (same left-fold arithmetic, same argmin tie rule,
+same add order); these tests pin that identity plus training determinism and
+basic quantizer quality.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.similarity import (
+    pq_adc_lut,
+    pq_code_exprs,
+    pq_encode,
+    pq_reference_scores,
+    pq_topk,
+    pq_train,
+)
+
+DIM, M, K, N = 16, 4, 8, 160
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    # clustered corpus: quantization should separate the clusters
+    centers = rng.standard_normal((K, DIM)) * 3.0
+    rows = []
+    for i in range(N):
+        v = centers[i % K] + rng.standard_normal(DIM) * 0.3
+        rows.append((i, [float(x) for x in v.astype(np.float32)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), rows
+
+
+def test_pq_train_deterministic(emb):
+    df, _ = emb
+    b1 = pq_train(df, m=M, k=K)
+    b2 = pq_train(df, m=M, k=K)
+    assert b1 == b2
+    assert len(b1) == M and all(len(bk) == K for bk in b1)
+    assert all(len(c) == DIM // M for bk in b1 for c in bk)
+
+
+def test_pq_dim_mismatch(emb):
+    df, _ = emb
+    with pytest.raises(ValueError):
+        pq_train(df, m=5, k=K)  # 16 % 5 != 0
+
+
+def test_pq_encode_matches_reference_mirror(emb):
+    """Spark inline-argmin codes == the Python mirror's argmin, bit for bit."""
+    df, rows = emb
+    books = pq_train(df, m=M, k=K)
+    codes = {
+        r.vec_id: [r[f"code_{j}"] for j in range(M)]
+        for r in pq_encode(df, books).collect()
+    }
+    sub = DIM // M
+    for rid, vec in rows:
+        for j, book in enumerate(books):
+            sv = vec[j * sub : (j + 1) * sub]
+            dists = []
+            for cent in book:
+                acc = 0.0
+                for x, y in zip(sv, cent):
+                    acc += (float(x) - float(y)) * (float(x) - float(y))
+                dists.append(acc)
+            want = min(range(K), key=lambda c: (dists[c], c))
+            assert codes[rid][j] == want, (rid, j)
+
+
+def test_pq_topk_matches_reference_scores(emb):
+    """End-to-end ADC top-k == the oracle mirror, scores bit-identical."""
+    df, rows = emb
+    books = pq_train(df, m=M, k=K)
+    qv = rows[0][1]
+    corpus = df.where(F.col("vec_id") != 0)
+    got = pq_topk(corpus, qv, 10, codebooks=books).collect()
+    ref = pq_reference_scores([r for r in rows if r[0] != 0], books, qv)
+    ref.sort(key=lambda t: (t[1], t[0]))
+    assert [(r.vec_id, r.adc) for r in got] == ref[:10]
+
+
+def test_pq_quality_on_clustered_corpus(emb):
+    """ADC top-k should recover mostly same-cluster neighbors: recall@10 vs
+    exact L2 ≥ 0.5 on a well-separated clustered corpus (PQ with m=4
+    subspaces is lossy; this is a sanity floor, not a benchmark)."""
+    df, rows = emb
+    books = pq_train(df, m=M, k=K)
+    qv = np.array(rows[0][1])
+    corpus = df.where(F.col("vec_id") != 0)
+    got = {r.vec_id for r in pq_topk(corpus, list(qv), 10, codebooks=books).collect()}
+    exact = sorted(
+        ((np.linalg.norm(np.array(v) - qv) ** 2, i) for i, v in rows if i != 0),
+    )[:10]
+    want = {i for _, i in exact}
+    assert len(got & want) >= 5
+
+
+def test_pq_adc_lut_shape(emb):
+    df, rows = emb
+    books = pq_train(df, m=M, k=K)
+    lut = pq_adc_lut(books, rows[0][1])
+    assert len(lut) == M and all(len(r) == K for r in lut)
+    assert all(v >= 0.0 for r in lut for v in r)

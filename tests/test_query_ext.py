@@ -1,0 +1,127 @@
+"""Extended query operators: prefix, AND-NOT, proximity, snippets.
+
+Each is checked against a brute-force single-node Python oracle over the
+same naive tokenization (the reference stops at AND/OR/phrase — IIM:747-1101
+— these are the natural extensions of the same posting-list algebra).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators import query as Q
+from search_engine_spark.operators.build import build_postings
+from search_engine_spark.operators.textstats import keyword_snippets
+from search_engine_spark.sources import segments as S
+from tests.conftest import corpus_from_texts
+
+DOCS = [
+    "spark scan table scan filter join",
+    "table a b c d e scan",
+    "scan table",
+    "join filter spark spark",
+    "table x scan y table z z scan",
+    "prefix press pressed spring",
+    "zebra",
+]
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in text.lower().split() if t]
+
+
+@pytest.fixture(scope="module")
+def ext_index(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("qext") / "idx")
+    corpus = corpus_from_texts(spark, DOCS)
+    m = S.build_index(spark, corpus, p, analyzer="naive", n_batches=2)
+    return p, m, corpus
+
+
+def test_search_prefix(spark, ext_index):
+    p, _, _ = ext_index
+    segs = S.load_segments(spark, p)
+    got = sorted(r.docId for r in Q.search_prefix(segs, "s", "naive").collect())
+    want = sorted(
+        i for i, d in enumerate(DOCS) if any(t.startswith("s") for t in _toks(d))
+    )
+    assert got == want
+    # multi-term prefix: 'pre' matches prefix/press/pressed but not spring
+    got2 = sorted(r.docId for r in Q.search_prefix(segs, "pre", "naive").collect())
+    assert got2 == [5]
+    # no match + empty prefix
+    assert Q.search_prefix(segs, "qq", "naive").collect() == []
+    assert Q.search_prefix(segs, "", "naive").collect() == []
+
+
+def test_search_and_not(spark, ext_index):
+    _, _, corpus = ext_index
+    postings = build_postings(corpus, "naive")
+    got = sorted(
+        r.docId for r in Q.search_and_not(postings, ["table", "scan"], ["filter"]).collect()
+    )
+    want = sorted(
+        i
+        for i, d in enumerate(DOCS)
+        if {"table", "scan"} <= set(_toks(d)) and "filter" not in _toks(d)
+    )
+    assert got == want
+    # negating a term not present anywhere is the plain AND
+    base = sorted(r.docId for r in Q.search_and(postings, ["table", "scan"]).collect())
+    got2 = sorted(
+        r.docId for r in Q.search_and_not(postings, ["table", "scan"], ["nosuch"]).collect()
+    )
+    assert got2 == base
+    # neg term overlapping the positive set is ignored (can't both require and forbid)
+    got3 = sorted(
+        r.docId for r in Q.search_and_not(postings, ["table", "scan"], ["table"]).collect()
+    )
+    assert got3 == base
+
+
+def _prox_oracle(a: str, b: str, w: int) -> list[int]:
+    out = []
+    for i, d in enumerate(DOCS):
+        toks = _toks(d)
+        pa = [p for p, t in enumerate(toks) if t == a]
+        pb = [p for p, t in enumerate(toks) if t == b]
+        if any(1 <= q - p <= w for p in pa for q in pb):
+            out.append(i)
+    return out
+
+
+def test_search_proximity(spark, ext_index):
+    p, _, _ = ext_index
+    dec = S.decode_postings(
+        S.load_segments(spark, p), ["table", "scan"], with_positions=True
+    )
+    for w in (1, 2, 5):
+        got = sorted(
+            r.docId for r in Q.search_proximity(dec, "table", "scan", w).collect()
+        )
+        assert got == _prox_oracle("table", "scan", w), f"window={w}"
+    # window=1 == 2-term phrase
+    phrase = sorted(r.docId for r in Q.search_phrase(dec, ["table", "scan"]).collect())
+    got1 = sorted(r.docId for r in Q.search_proximity(dec, "table", "scan", 1).collect())
+    assert got1 == phrase
+    with pytest.raises(ValueError):
+        Q.search_proximity(dec, "table", "scan", 0)
+
+
+def test_keyword_snippets(spark):
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(DOCS)], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: (r.first_pos, r.snippet)
+        for r in keyword_snippets(
+            df, "scan", text="text", id_col="doc_id", before=2, after=2
+        ).collect()
+    }
+    want = {}
+    for i, d in enumerate(DOCS):
+        toks = _toks(d)
+        if "scan" in toks:
+            p = toks.index("scan")  # 0-based
+            lo = max(p - 2, 0)
+            want[i] = (p + 1, " ".join(toks[lo : p + 3]))
+    assert rows == want
