@@ -959,6 +959,34 @@ _AUTO_VECTORIZED_MIN_Q = 1
 _BLOB_MERGE_CAP = 8_000_000
 
 
+# Above this fraction of the vocabulary, a query workload's candidate
+# filter stops paying: the IN predicate prunes little while its FIXED cost
+# grows with term count (a ~19k-literal predicate measured ~3.3s of driver
+# build + Catalyst parse + per-task filter setup — cores-independent, so it
+# caps N->4N scaling on big batched workloads).
+_FILTER_COVERAGE_MAX = 0.5
+
+
+def _candidate_scan(segments: DataFrame, live_terms: list[str], term_stats) -> DataFrame:
+    """Candidate segment rows for a workload: term-pushdown scan, OR the
+    unfiltered scan when the workload covers most of the vocabulary.
+
+    Skipping the filter is semantically safe: the batch kernel touches rows
+    only through qmeta-term lookups (``rows_by_term``), so non-query rows
+    ride the splitter shuffle but are never decoded or scored. The trade is
+    (1-coverage) extra shuffled bytes vs ~seconds of fixed predicate cost —
+    at >50% coverage the bytes are cheaper at every level, and MORE so at
+    high parallelism (bytes scale out, fixed cost does not). The coverage
+    test needs the vocabulary size driver-side, so it only engages on the
+    serving path (``term_stats`` as a pandas frame via
+    ``load_term_stats_pdf``); Spark-DataFrame stats keep the pushdown."""
+    if isinstance(term_stats, pd.DataFrame):
+        n_vocab = len(term_stats)
+        if n_vocab and len(live_terms) / n_vocab > _FILTER_COVERAGE_MAX:
+            return segments
+    return segments.where(isin_expr("term", live_terms))
+
+
 def _auto_buckets(spark: SparkSession, est_work: int | None) -> int:
     """Bucket count for an estimated workload (Σ over queries×terms of df).
 
@@ -1121,7 +1149,7 @@ def score_queries_daat_batch(
         vectorized = len(qmetas) >= _AUTO_VECTORIZED_MIN_Q
     if n_buckets is None:
         n_buckets = _auto_buckets(spark, est_work)
-    seg = segments.where(isin_expr("term", live_terms))
+    seg = _candidate_scan(segments, live_terms, term_stats)
     bucketed = _bucketize_segments(spark, seg, n_buckets, docid_span, est_work)
     if bucketed is None:
         return spark.createDataFrame([], BATCH_SCHEMA)

@@ -43,6 +43,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
+        # Scan granularity: the default 128 MB coalesces a mid-size segment
+        # index (32 files x ~15 MB) into ~4 input partitions, so the
+        # CPU-heavy scan+filter+shuffle-write stage of a serving workload
+        # runs HALF-IDLE on 8 cores (measured: scan+split phase scaled at
+        # 0.43 N->4N with 128 MB; the kernel stage behind it at 0.86).
+        # 16 MB keeps one task per segment file here; at 100 TB a scan is
+        # thousands of tasks either way and smaller splits only add
+        # scheduling overhead Spark amortizes fine (task launch ~ms).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
