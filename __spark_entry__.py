@@ -274,6 +274,7 @@ def q_t7_snippets(spark, sf_dir):
 
 
 PQ_REF_ROOT = os.path.join(tempfile.gettempdir(), "se_pq_ref")
+IVFPQ_REF_ROOT = os.path.join(tempfile.gettempdir(), "se_ivfpq_ref")
 
 
 def q_e4_pq_topk(spark, sf_dir):
@@ -310,6 +311,45 @@ def q_e4_pq_topk(spark, sf_dir):
     ref.to_parquet(os.path.join(out, "ref.parquet"), index=False)
 
     res = pq_topk(corpus, qv, ANN_K, codebooks=books)
+    return res.select("vec_id", F.round("adc", 6).alias("adc"))
+
+
+def q_e5_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ top-k: coarse-cell pruning + compressed ADC scoring, the
+    billion-scale serving composition. Oracle: the same a7/e4-style
+    single-node mirror — deterministic centroids (lowest-id) + pq_train
+    codebooks drive ``ivf_reference_assign`` + ``pq_reference_scores``
+    restricted to the probed cells, bit-identical arithmetic throughout."""
+    import pandas as pd
+
+    from search_engine_spark.operators.similarity import (
+        _probe_cells, ivf_reference_assign, ivfpq_topk, lowid_centroids,
+        pq_reference_scores, pq_train,
+    )
+
+    e = _emb(spark, sf_dir).where(F.col("vec_id") < SIDE_DOC_CAP)
+    qv = [float(x) for x in e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    corpus = e.where(F.col("vec_id") != 0)
+    cents = lowid_centroids(corpus, IVF_CENTROIDS)
+    books = pq_train(corpus, m=PQ_M, k=PQ_K)
+
+    rows = [(int(r[0]), [float(x) for x in r[1]])
+            for r in corpus.select("vec_id", "embedding").collect()]
+    probe = set(_probe_cells(cents, qv, IVF_NPROBE))
+    cid_of = ivf_reference_assign(rows, cents)
+    probed_rows = [(rid, vec) for rid, vec in rows if cid_of[rid] in probe]
+    scored = pq_reference_scores(probed_rows, books, qv)
+    scored.sort(key=lambda t: (t[1], t[0]))
+    ref = pd.DataFrame(scored[:ANN_K], columns=["vec_id", "adc"])
+    ref["n_corpus"] = len(rows)
+    out = os.path.join(IVFPQ_REF_ROOT, os.path.basename(sf_dir.rstrip("/")))
+    os.makedirs(out, exist_ok=True)
+    ref.to_parquet(os.path.join(out, "ref.parquet"), index=False)
+
+    res = ivfpq_topk(
+        corpus, qv, ANN_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE,
+        centroids=cents, codebooks=books,
+    )
     return res.select("vec_id", F.round("adc", 6).alias("adc"))
 
 
@@ -1025,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5w_proximity_search": q_q5w_proximity,
         "t7_snippets": q_t7_snippets,
         "e4_pq_topk": q_e4_pq_topk,
+        "e5_ivfpq_topk": q_e5_ivfpq_topk,
         "q1_full_scan": q_q1_full_scan,
         "s4_doc_fetch": q_s4_doc_fetch,
         "st1_windowed_events": q_st1_windowed_events,
@@ -1551,6 +1592,14 @@ def oracle_sql() -> dict[str, str]:
         "e4_pq_topk": f"""
             SELECT vec_id, round(adc, 6) AS adc
             FROM read_parquet('{PQ_REF_ROOT}/*/*.parquet')
+            WHERE n_corpus = (
+              SELECT count(*) FROM embeddings
+              WHERE vec_id <> 0 AND vec_id < {SIDE_DOC_CAP}
+            )
+        """,
+        "e5_ivfpq_topk": f"""
+            SELECT vec_id, round(adc, 6) AS adc
+            FROM read_parquet('{IVFPQ_REF_ROOT}/*/*.parquet')
             WHERE n_corpus = (
               SELECT count(*) FROM embeddings
               WHERE vec_id <> 0 AND vec_id < {SIDE_DOC_CAP}

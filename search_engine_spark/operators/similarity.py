@@ -460,3 +460,101 @@ def pq_reference_scores(
             adc += lut[j][best_c]
         out.append((int(rid), adc))
     return out
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the two stages composed — IVF cells prune the candidate set,
+# PQ codes make scoring it cheap. The classic billion-scale serving shape:
+# the persisted index is (id, cell, m code bytes) per vector; a query reads
+# ~nprobe/n_centroids of THAT (already ~100-400x smaller than the float
+# vectors), so the per-query scan cost falls by both factors multiplied.
+# This variant quantizes raw vectors (not cell residuals): the codebook
+# stays cell-independent, which keeps encode a single pure projection and
+# lets the exact same codes serve flat-PQ and IVF-PQ queries. Residual
+# encoding (FAISS IVFPQ's default) buys accuracy at the cost of per-cell
+# codebook lookups in encode; it drops into pq_code_exprs by subtracting
+# the assigned centroid literal first if a deployment needs it.
+
+
+def _probe_cells(centroids: Centroids, query_vec: list[float], nprobe: int) -> list[int]:
+    """The nprobe cells nearest the query by dot product (sequential-fold
+    arithmetic, ties to the lower cid — identical to the oracle mirror)."""
+    def seqdot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    dots = {cid: seqdot(query_vec, cvec) for cid, cvec in centroids}
+    return [c for c, _ in sorted(dots.items(), key=lambda kv: (-kv[1], kv[0]))[:nprobe]]
+
+
+def ivfpq_encode(
+    emb: DataFrame, centroids: Centroids, codebooks: PQCodebooks,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cid, code_0..code_{m-1}) — the persisted IVF-PQ index rows.
+    One pure projection (coarse inline-argmax + m inline-argmins over
+    literals): no join, no window, no shuffle; at 10^9 vectors this is an
+    embarrassingly parallel scan whose output is ~(4+m) bytes of payload
+    per vector. Partition/sort the output by cid on write so a probe scan
+    prunes at the parquet row-group level."""
+    return emb.select(
+        F.col(id_col),
+        ivf_assign_expr(centroids, vec_col).alias("cid"),
+        *pq_code_exprs(codebooks, vec_col),
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_centroids: int = 8, nprobe: int = 2, m: int = 4, pq_k: int = 16,
+    centroids: Centroids | None = None,
+    codebooks: PQCodebooks | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k: ADC-score only the probed cells' codes.
+
+    ``centroids``/``codebooks``/``codes`` are per-CORPUS artifacts (train
+    and encode once, reuse across the workload); per query the plan is a
+    cid-filtered scan of the code table + m ``element_at`` lookups +
+    TakeOrdered — no float vectors, no join, no shuffle."""
+    if centroids is None:
+        centroids = lowid_centroids(emb, n_centroids, id_col, vec_col)
+    if codebooks is None:
+        codebooks = pq_train(emb, m=m, k=pq_k, id_col=id_col, vec_col=vec_col)
+    if codes is None:
+        codes = ivfpq_encode(emb, centroids, codebooks, id_col, vec_col)
+    probe = _probe_cells(centroids, query_vec, nprobe)
+    code_cols = [c for c in codes.columns if c.startswith("code_")]
+    lut = pq_adc_lut(codebooks, query_vec)
+    return (
+        codes.where(F.col("cid").isin([int(c) for c in probe]))
+        .select(F.col(id_col), pq_adc_expr(lut, code_cols).alias("adc"))
+        .orderBy(F.asc("adc"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_reference_assign(
+    rows: list, centroids: Centroids
+) -> dict[int, int]:
+    """Single-node mirror of :func:`ivf_assign_expr` for oracle side tables:
+    same sequential-fold dots, same argmax tie rule (lower cid wins).
+    ``rows`` = [(id, vector)] -> {id: cid}."""
+    def seqdot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    out = {}
+    for rid, vec in rows:
+        best_c, best_d = None, None
+        for cid, cvec in centroids:
+            d = seqdot(vec, cvec)
+            if best_d is None or d > best_d:  # strict: ties keep lower cid
+                best_c, best_d = int(cid), d
+        out[int(rid)] = best_c
+    return out
