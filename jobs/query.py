@@ -6,7 +6,9 @@ Usage::
         --index <index dir> --mode bm25 --k 10 -- spark query join
 
 Modes: bm25 (block-max DAAT), tfidf (reference-parity cosine), and/or/phrase
-(boolean + positional), keyword. Prints one JSON line with results + latency.
+(boolean + positional), keyword, prefix (term-dictionary range seek),
+near (--window positional proximity), not (--exclude anti-terms). Prints one
+JSON line with results + latency.
 
 Tombstoned docs (jobs/delete.py / operators/delete.py) are excluded by
 default — the DAAT kernel masks them as blocks decode, the boolean paths
@@ -25,8 +27,13 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
     ap.add_argument("--mode", default="bm25",
-                    choices=["bm25", "tfidf", "and", "or", "phrase", "keyword"])
+                    choices=["bm25", "tfidf", "and", "or", "phrase", "keyword",
+                             "not", "near", "prefix"])
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--window", type=int, default=5,
+                    help="near mode: max positions between the two terms")
+    ap.add_argument("--exclude", nargs="*", default=[],
+                    help="not mode: terms the document must NOT contain")
     ap.add_argument("--master", default=None, help="local testing only")
     ap.add_argument(
         "--ignore-deleted", action="store_true",
@@ -40,9 +47,12 @@ def main(argv: list[str] | None = None) -> int:
     from search_engine_spark.operators.query import (
         analyze_query,
         search_and,
+        search_and_not,
         search_keyword,
         search_or,
         search_phrase,
+        search_prefix,
+        search_proximity,
     )
     from search_engine_spark.operators.rank import Scorer, score_query, score_query_daat
     from search_engine_spark.sources.segments import (
@@ -86,6 +96,24 @@ def main(argv: list[str] | None = None) -> int:
         out = score_query(spark, dec, stats, a.terms, n_docs, avgdl,
                           Scorer("tfidf_cosine"), k=a.k, analyzer=analyzer)
         rows = [{"docId": r.docId, "score": round(r.score, 6)} for r in out.collect()]
+    elif a.mode == "prefix":
+        # the raw prefix is matched against the term dictionary as-is
+        # (dictionary entries are analyzer output already)
+        out = live(search_prefix(segs, a.terms[0], analyzer), tomb)
+        rows = [{"docId": r.docId} for r in out.limit(a.k).collect()]
+    elif a.mode == "near":
+        terms = analyze_query(a.terms, analyzer)
+        if len(terms) != 2:
+            ap.error("near mode takes exactly two terms")
+        dec = live(decode_postings(segs, terms, with_positions=True), tomb)
+        out = search_proximity(dec, terms[0], terms[1], a.window)
+        rows = [{"docId": r.docId} for r in out.limit(a.k).collect()]
+    elif a.mode == "not":
+        terms = analyze_query(a.terms, analyzer)
+        neg = analyze_query(a.exclude, analyzer)
+        dec = live(decode_postings(segs, sorted(set(terms + neg))), tomb)
+        out = search_and_not(dec, terms, neg)
+        rows = [{"docId": r.docId} for r in out.limit(a.k).collect()]
     else:
         terms = analyze_query(a.terms, analyzer)
         dec = live(

@@ -75,6 +75,38 @@ def test_query_job(built, capsys, mode):
         assert scores == sorted(scores, reverse=True)
 
 
+def test_query_job_extended_modes(built, capsys):
+    """prefix / near / not modes through the spark-submit surface, checked
+    by their containment laws against the established modes."""
+    from jobs.query import main as query_main
+
+    _, idx = built
+
+    def run(args):
+        rc = query_main(["--index", idx, "--master", "local[4]", *args])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        return {r["docId"] for r in out["results"]}
+
+    keyword = run(["--mode", "keyword", "--k", "1000", "appl"])
+    assert keyword  # synthetic vocab contains the 'appl' stem
+    # prefix hits ⊇ the exact-term hits for a prefix equal to the term
+    prefix = run(["--mode", "prefix", "--k", "1000", "appl"])
+    assert keyword <= prefix
+    # near hits ⊆ AND hits, and widening the window only adds docs
+    both = run(["--mode", "and", "--k", "1000", "rotten", "apple"])
+    near3 = run(["--mode", "near", "--window", "3", "--k", "1000",
+                 "rotten", "apple"])
+    near9 = run(["--mode", "near", "--window", "9", "--k", "1000",
+                 "rotten", "apple"])
+    assert near3 <= near9 <= both
+    # not-mode results never contain the excluded term
+    rotten = run(["--mode", "keyword", "--k", "1000", "rotten"])
+    not_hits = run(["--mode", "not", "--k", "1000",
+                    "--exclude", "rotten", "--", "apple"])
+    assert not_hits == keyword - rotten
+
+
 def test_pagerank_job_rank_window(spark, tmp_path_factory, capsys):
     """jobs/pagerank.py over a fixture edge TSV: the hub of a star graph
     must rank in the top window (IcsSearchEnginePageRankTest.java:74-108
