@@ -1,0 +1,88 @@
+"""Structured-Streaming query serving: micro-batch BM25 over a live index.
+
+The serving twin of :mod:`ingest`: queries arrive as a stream (a file
+source here — at deployment a Kafka topic with the same schema), each
+micro-batch is scored as ONE ``score_queries_daat_batch`` job (shared scan,
+one bucket shuffle, decode-once kernel — the engine's throughput path), and
+results land in an append sink keyed by ``(batch_id, qid)``.
+
+Scale shape: the per-corpus serving state (driver-local term stats + the
+manifest docId span) loads ONCE at stream start, so a micro-batch launches
+no auxiliary jobs; index growth is picked up by restarting the stream (or
+re-resolving state in ``foreachBatch`` when a manifest generation bump is
+observed — the manifest read is one small JSON). Exactly-once: Spark's
+checkpoint tracks the input; the sink writes each micro-batch to its own
+``batch=<id>`` directory, so a replayed batch overwrites itself.
+
+Query schema: ``qid long, terms array<string>`` — terms are RAW keywords;
+the index's analyzer (from the manifest) runs inside the scoring call,
+matching the batch path exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
+
+QUERY_STREAM_SCHEMA = StructType(
+    [
+        StructField("qid", LongType()),
+        StructField("terms", ArrayType(StringType())),
+    ]
+)
+
+
+def stream_queries_from_files(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of query rows (parquet dropped into ``path``)."""
+    return spark.readStream.schema(QUERY_STREAM_SCHEMA).parquet(path)
+
+
+def serving_sink(
+    spark: SparkSession,
+    stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    k: int = 10,
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+    scorer=None,
+):
+    """``writeStream.foreachBatch`` -> one batched-DAAT job per micro-batch.
+
+    Results parquet schema: ``batch_id, qid, docId, score`` under
+    ``out_dir/batch=<id>/`` (self-overwriting on replay). Returns the
+    started ``StreamingQuery``; callers ``awaitTermination()``."""
+    from ..operators.rank import Scorer, score_queries_daat_batch
+    from ..sources.segments import docid_span, load_segments, load_term_stats_pdf, read_manifest
+
+    m = read_manifest(index_dir)
+    analyzer = m.get("analyzer", "porter")
+    n_docs, avgdl = m["stats"]["n_docs"], m["stats"]["avgdl"]
+    span = docid_span(index_dir)
+    stats_pdf = load_term_stats_pdf(index_dir)
+    segs = load_segments(spark, index_dir)
+    sc = scorer if scorer is not None else Scorer("bm25")
+
+    def handle(batch_df: DataFrame, batch_id: int):
+        rows = batch_df.collect()  # queries are tiny (qid + a few terms)
+        if not rows:
+            return
+        queries = {int(r.qid): list(r.terms) for r in rows}
+        out = score_queries_daat_batch(
+            spark, segs, stats_pdf, queries, n_docs, avgdl, sc, k,
+            analyzer=analyzer, docid_span=span,
+        ).withColumn("batch_id", F.lit(int(batch_id)))
+        out.select("batch_id", "qid", "docId", "score").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"batch={batch_id}"))
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation",
+        checkpoint_dir or os.path.join(out_dir, "_checkpoint"),
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

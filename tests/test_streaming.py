@@ -292,3 +292,80 @@ def test_first_seen_dedup_bad_mode():
 
     with _pytest.raises(ValueError, match="state_mode"):
         first_seen_dedup(None, state_mode="nope")
+
+
+def test_stream_serving_equals_batch_scoring(spark, tmp_path):
+    """Streaming query serving (foreachBatch -> batched DAAT) must produce
+    exactly the batch path's results, micro-batch replay must overwrite
+    itself, and every micro-batch is one job over the shared index state."""
+    import pandas as pd
+
+    from search_engine_spark.operators.rank import Scorer, score_queries_daat_batch
+    from search_engine_spark.sources.segments import (
+        docid_span,
+        load_term_stats_pdf,
+    )
+    from search_engine_spark.streaming.serve import (
+        serving_sink,
+        stream_queries_from_files,
+    )
+
+    corpus = corpus_from_texts(spark, TEXTS)
+    idx = str(tmp_path / "serve_idx")
+    m = build_index(spark, corpus, idx, analyzer="naive", n_batches=1)
+
+    qdir = str(tmp_path / "qstream")
+    out = str(tmp_path / "results")
+    import os
+
+    os.makedirs(qdir, exist_ok=True)
+    queries = {0: ["apple"], 1: ["banana", "egg"], 2: ["fig", "grape"]}
+    pd.DataFrame(
+        {"qid": list(queries), "terms": [queries[q] for q in queries]}
+    ).to_parquet(f"{qdir}/q0.parquet")
+
+    q = serving_sink(
+        spark, stream_queries_from_files(spark, qdir), idx, out, k=5
+    )
+    q.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(f"{out}/batch=0")
+        .orderBy("qid", F.desc("score"), "docId")
+        .collect()
+    )
+    want = (
+        score_queries_daat_batch(
+            spark,
+            load_segments(spark, idx),
+            load_term_stats_pdf(idx),
+            queries,
+            m["stats"]["n_docs"],
+            m["stats"]["avgdl"],
+            Scorer("bm25"),
+            5,
+            analyzer="naive",
+            docid_span=docid_span(idx),
+        )
+        .orderBy("qid", F.desc("score"), "docId")
+        .collect()
+    )
+    assert [(r.qid, r.docId, r.score) for r in got] == [
+        (r.qid, r.docId, r.score) for r in want
+    ]
+
+    # late micro-batch: drop more queries, restart the availableNow stream
+    # from the same checkpoint — batch 0 is not re-emitted, batch 1 lands
+    pd.DataFrame({"qid": [7], "terms": [["cherry"]]}).to_parquet(
+        f"{qdir}/q1.parquet"
+    )
+    q2 = serving_sink(
+        spark, stream_queries_from_files(spark, qdir), idx, out, k=5
+    )
+    q2.awaitTermination(120)
+    batches = {
+        int(r.batch_id) for r in spark.read.parquet(f"{out}/batch=*").select("batch_id").distinct().collect()
+    }
+    assert batches == {0, 1}
+    got7 = spark.read.parquet(f"{out}/batch=1").collect()
+    assert {int(r.qid) for r in got7} == {7} and len(got7) >= 1
