@@ -146,16 +146,17 @@ def search_prefix(segments: DataFrame, prefix: str, analyzer: str = "naive") -> 
     prefix, the parquet analog of a dictionary range seek. No decode happens
     for non-matching rows; matching packed rows decode docIds only.
     """
-    from ..sources.segments import decode_postings
+    from ..sources.segments import decode_docids
 
     if not prefix:
-        return segments.select(F.lit(0).alias("docId")).limit(0)
+        return segments.select(F.lit(0).cast("long").alias("docId")).limit(0)
     fn = get_analyzer(analyzer)
     toks = fn(prefix)
     if not toks:
-        return segments.select(F.lit(0).alias("docId")).limit(0)
+        return segments.select(F.lit(0).cast("long").alias("docId")).limit(0)
     hits = segments.where(F.col("term").startswith(toks[0]))
-    return decode_postings(hits).select("docId").distinct()
+    # docId-only decode: tf/dl/position blobs never leave the parquet scan
+    return decode_docids(hits).distinct()
 
 
 def search_proximity(

@@ -564,6 +564,26 @@ def decode_postings(
     return df.mapInPandas(kernel, schema)
 
 
+def decode_docids(segments: DataFrame) -> DataFrame:
+    """DocId-only decode: (docId) rows from the packed ``docids`` blobs.
+
+    For membership-style queries (prefix search, boolean sets over very
+    heavy terms) the tf/dl/position columns are dead weight — this path
+    projects ONLY ``docids``, so parquet column pruning keeps every other
+    blob on disk (ReadSchema shows the single binary column) and the kernel
+    runs one vectorized delta decode per row."""
+
+    def kernel(batches):
+        for pdf in batches:
+            arrs = [blockwise_delta_decode(b) for b in pdf["docids"]]
+            if arrs:
+                yield pd.DataFrame(
+                    {"docId": np.concatenate(arrs) if len(arrs) > 1 else arrs[0]}
+                )
+
+    return segments.select("docids").mapInPandas(kernel, "docId long")
+
+
 def segment_dict(spark: SparkSession, index_dir: str, positional: bool = False) -> dict:
     """Q13 test oracle (IIM:1402-1471): whole index -> python dicts."""
     rows = decode_postings(load_segments(spark, index_dir), None, positional).collect()
