@@ -558,3 +558,59 @@ def ivf_reference_assign(
                 best_c, best_d = int(cid), d
         out[int(rid)] = best_c
     return out
+
+
+def pq_rerank_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    shortlist: int = 100,
+    codebooks: PQCodebooks | None = None,
+    codes: DataFrame | None = None,
+    m: int = 4, n_centroids: int = 16,
+    metric: str = "cosine",
+) -> DataFrame:
+    """ADC shortlist + exact re-rank — the standard PQ serving pattern.
+
+    Flat ADC cannot rank WITHIN a tight neighborhood: near-duplicate
+    vectors quantize to identical codes, their ADC distances tie exactly,
+    and the tie-break (not geometry) picks the top-k (measured: recall@10
+    collapses to ~k/cluster_size on a clustered corpus, tools/ann_recall.py).
+    The fix every production system uses: take the ADC top-``shortlist``
+    (codes only — cheap at any corpus size), then score just those
+    ``shortlist`` vectors exactly. Plan shape: TakeOrdered(shortlist) over
+    the code table -> broadcast semi-join back to the vector table (the
+    shortlist is tiny by construction) -> exact fold + TakeOrdered(k). The
+    full-precision vector column is touched for ``shortlist`` rows per
+    query, never the corpus."""
+    if codebooks is None:
+        codebooks = pq_train(emb, m=m, k=n_centroids, id_col=id_col, vec_col=vec_col)
+    if codes is None:
+        codes = pq_encode(emb, codebooks, id_col, vec_col)
+    code_cols = [c for c in codes.columns if c.startswith("code_")]
+    lut = pq_adc_lut(codebooks, query_vec)
+    short = (
+        codes.select(F.col(id_col), pq_adc_expr(lut, code_cols).alias("adc"))
+        .orderBy(F.asc("adc"), F.asc(id_col))
+        .limit(shortlist)
+        .select(id_col)
+    )
+    cand = emb.join(F.broadcast(short), id_col, "left_semi")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    if metric == "cosine":
+        score = cosine_expr(F.col(vec_col), q)
+        return (
+            cand.select(F.col(id_col), score.alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc(id_col))
+            .limit(k)
+        )
+    # exact squared L2 (the metric ADC approximates)
+    d2 = F.aggregate(
+        F.zip_with(F.col(vec_col), q, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.select(F.col(id_col), d2.alias("dist2"))
+        .orderBy(F.asc("dist2"), F.asc(id_col))
+        .limit(k)
+    )

@@ -154,3 +154,42 @@ def test_ivfpq_nprobe_full_equals_flat_pq(emb):
     full = ivfpq_topk(corpus, qv, 10, n_centroids=4, nprobe=4,
                       centroids=cents, codebooks=books).collect()
     assert [(r.vec_id, r.adc) for r in flat] == [(r.vec_id, r.adc) for r in full]
+
+
+def test_pq_rerank_full_shortlist_equals_exact(emb):
+    """shortlist >= corpus => the re-rank IS the exact scorer (same rows,
+    same fold arithmetic as cosine_topk)."""
+    from search_engine_spark.operators.similarity import cosine_topk, pq_rerank_topk
+
+    df, rows = emb
+    qv = rows[0][1]
+    corpus = df.where(F.col("vec_id") != 0)
+    books = pq_train(corpus, m=M, k=K)
+    got = pq_rerank_topk(corpus, qv, 10, shortlist=N, codebooks=books).collect()
+    want = cosine_topk(corpus, qv, 10).collect()
+    assert [(r.vec_id, r.cosine) for r in got] == [(r.vec_id, r.cosine) for r in want]
+
+
+def test_pq_rerank_beats_flat_adc(emb):
+    """On a clustered corpus the exact re-rank must recover neighbors the
+    tied ADC ordering loses."""
+    import numpy as np
+
+    from search_engine_spark.operators.similarity import pq_rerank_topk
+
+    df, rows = emb
+    qv = np.array(rows[0][1])
+    corpus = df.where(F.col("vec_id") != 0)
+    books = pq_train(corpus, m=M, k=K)
+    exact = {
+        i for _, i in sorted(
+            ((float(np.dot(v, qv) / (np.linalg.norm(v) * np.linalg.norm(qv))), i)
+             for i, v in rows if i != 0),
+            reverse=True,
+        )[:10]
+    }
+    flat = {r.vec_id for r in pq_topk(corpus, list(qv), 10, codebooks=books).collect()}
+    rr = {r.vec_id for r in pq_rerank_topk(
+        corpus, list(qv), 10, shortlist=60, codebooks=books).collect()}
+    assert len(rr & exact) >= len(flat & exact)
+    assert len(rr & exact) >= 7

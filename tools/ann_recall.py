@@ -28,6 +28,12 @@ SCAN_FRAC = {
     "lsh_p8_probe4": 4 / 256,
     "ivf_c8_probe2_lowid": 2 / 8,
     "ivf_c8_probe2_kmeans": 2 / 8,
+    # PQ rows scan CODES, not vectors: the row fraction below is what they
+    # visit; the bytes visited are a further ~m/(4*dim) (= 1/64 at m=4,
+    # dim=64 float32) of a vector scan
+    "pq_flat_m4": 1.0,
+    "pq_rerank100_m4": 1.0,
+    "ivfpq_c8_probe2_m4": 2 / 8,
 }
 
 
@@ -93,9 +99,13 @@ def main() -> int:
 
     from search_engine_spark.operators.similarity import (
         ivf_topk,
+        ivfpq_topk,
         kmeans_centroids,
         lowid_centroids,
         lsh_topk,
+        pq_rerank_topk,
+        pq_topk,
+        pq_train,
     )
     from search_engine_spark.session import get_spark
 
@@ -103,9 +113,10 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     def make_methods(emb):
-        # a codebook is a per-corpus artifact: train ONCE, reuse per query
+        # codebooks are per-corpus artifacts: train ONCE, reuse per query
         cb_low = lowid_centroids(emb, 8)
         cb_km = kmeans_centroids(emb, 8, 3)
+        books = pq_train(emb, m=4, k=16)
         return {
             "lsh_p8_probe1": lambda d, qv: lsh_topk(d, qv, k, n_planes=8, n_probes=1),
             "lsh_p8_probe4": lambda d, qv: lsh_topk(d, qv, k, n_planes=8, n_probes=4),
@@ -114,6 +125,19 @@ def main() -> int:
             ),
             "ivf_c8_probe2_kmeans": lambda d, qv: ivf_topk(
                 d, qv, k, nprobe=2, centroids=cb_km
+            ),
+            # PQ ranks by quantized L2; on unit-norm corpora (the clustered
+            # one) L2 order == cosine order, so recall vs exact cosine is
+            # the quantization loss alone
+            "pq_flat_m4": lambda d, qv: pq_topk(d, qv, k, codebooks=books),
+            # ADC shortlist + exact re-rank: flat ADC collapses inside tight
+            # neighborhoods (identical codes => tied distances); the rerank
+            # restores geometry while touching only `shortlist` full vectors
+            "pq_rerank100_m4": lambda d, qv: pq_rerank_topk(
+                d, qv, k, shortlist=100, codebooks=books
+            ),
+            "ivfpq_c8_probe2_m4": lambda d, qv: ivfpq_topk(
+                d, qv, k, nprobe=2, centroids=cb_km, codebooks=books
             ),
         }
 
