@@ -275,6 +275,7 @@ def q_t7_snippets(spark, sf_dir):
 
 PQ_REF_ROOT = os.path.join(tempfile.gettempdir(), "se_pq_ref")
 IVFPQ_REF_ROOT = os.path.join(tempfile.gettempdir(), "se_ivfpq_ref")
+IVFPQ_RES_REF_ROOT = os.path.join(tempfile.gettempdir(), "se_ivfpq_res_ref")
 
 
 def q_e4_pq_topk(spark, sf_dir):
@@ -349,6 +350,39 @@ def q_e5_ivfpq_topk(spark, sf_dir):
     res = ivfpq_topk(
         corpus, qv, ANN_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE,
         centroids=cents, codebooks=books,
+    )
+    return res.select("vec_id", F.round("adc", 6).alias("adc"))
+
+
+def q_e6_ivfpq_residual(spark, sf_dir):
+    """Residual IVF-PQ top-k (FAISS IVFPQ semantics: quantize
+    x - centroid[cell]) — same side-table oracle pattern as e4/e5; the
+    mirror covers assignment, residual, per-cell LUTs, and ADC."""
+    import pandas as pd
+
+    from search_engine_spark.operators.similarity import (
+        ivfpq_residual_reference_scores, ivfpq_topk_residual,
+        ivfpq_train_residual, lowid_centroids,
+    )
+
+    e = _emb(spark, sf_dir).where(F.col("vec_id") < SIDE_DOC_CAP)
+    qv = [float(x) for x in e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    corpus = e.where(F.col("vec_id") != 0)
+    cents = lowid_centroids(corpus, IVF_CENTROIDS)
+    books = ivfpq_train_residual(corpus, cents, m=PQ_M, k=PQ_K)
+
+    rows = [(int(r[0]), [float(x) for x in r[1]])
+            for r in corpus.select("vec_id", "embedding").collect()]
+    scored = ivfpq_residual_reference_scores(rows, cents, books, qv, IVF_NPROBE)
+    scored.sort(key=lambda t: (t[1], t[0]))
+    ref = pd.DataFrame(scored[:ANN_K], columns=["vec_id", "adc"])
+    ref["n_corpus"] = len(rows)
+    out = os.path.join(IVFPQ_RES_REF_ROOT, os.path.basename(sf_dir.rstrip("/")))
+    os.makedirs(out, exist_ok=True)
+    ref.to_parquet(os.path.join(out, "ref.parquet"), index=False)
+
+    res = ivfpq_topk_residual(
+        corpus, qv, ANN_K, nprobe=IVF_NPROBE, centroids=cents, codebooks=books,
     )
     return res.select("vec_id", F.round("adc", 6).alias("adc"))
 
@@ -1066,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t7_snippets": q_t7_snippets,
         "e4_pq_topk": q_e4_pq_topk,
         "e5_ivfpq_topk": q_e5_ivfpq_topk,
+        "e6_ivfpq_residual_topk": q_e6_ivfpq_residual,
         "q1_full_scan": q_q1_full_scan,
         "s4_doc_fetch": q_s4_doc_fetch,
         "st1_windowed_events": q_st1_windowed_events,
@@ -1600,6 +1635,14 @@ def oracle_sql() -> dict[str, str]:
         "e5_ivfpq_topk": f"""
             SELECT vec_id, round(adc, 6) AS adc
             FROM read_parquet('{IVFPQ_REF_ROOT}/*/*.parquet')
+            WHERE n_corpus = (
+              SELECT count(*) FROM embeddings
+              WHERE vec_id <> 0 AND vec_id < {SIDE_DOC_CAP}
+            )
+        """,
+        "e6_ivfpq_residual_topk": f"""
+            SELECT vec_id, round(adc, 6) AS adc
+            FROM read_parquet('{IVFPQ_RES_REF_ROOT}/*/*.parquet')
             WHERE n_corpus = (
               SELECT count(*) FROM embeddings
               WHERE vec_id <> 0 AND vec_id < {SIDE_DOC_CAP}

@@ -614,3 +614,140 @@ def pq_rerank_topk(
         .orderBy(F.asc("dist2"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Residual IVF-PQ (FAISS IVFPQ semantics): quantize x - centroid[cell], not
+# x. On clustered data raw-vector PQ collapses — cells ~ clusters, so every
+# member of a cell shares codes and ADC ties (measured recall@10 ~
+# k/cluster_size, tools/ann_recall.py). The residual carries exactly the
+# within-cell offsets the raw codes lose, so members become distinguishable
+# at the same m and k. Cost: the query-side LUT is per PROBED CELL
+# ((q - centroid) changes per cell) — nprobe small LUTs, driver-side; the
+# encode stays one pure projection (centroid lookup via element_at over k
+# literal arrays, subtract, then the same inline-argmin).
+
+
+def _residual_expr(centroids: Centroids, cid_col: Column, vec_col: str) -> Column:
+    """vec - centroid[cid] as a JVM expression: the k centroid literals form
+    one array<array<double>>, element_at picks the row's cell, zip_with
+    subtracts. Pure projection — no join, no shuffle. Cell ids need not be
+    contiguous (lowid centroids use vector ids): the row's cid is translated
+    to its array slot via array_position over the sorted cid literals."""
+    ordered = sorted(centroids, key=lambda cv: int(cv[0]))
+    cids = F.array(*[F.lit(int(c)) for c, _ in ordered])
+    cents = F.array(*[
+        F.array(*[F.lit(float(x)) for x in cvec]) for _, cvec in ordered
+    ])
+    cent = F.element_at(cents, F.array_position(cids, cid_col.cast("long")).cast("int"))
+    return F.zip_with(F.col(vec_col), cent, lambda x, y: x.cast("double") - y)
+
+
+def ivfpq_train_residual(
+    emb: DataFrame, centroids: Centroids, m: int = 4, k: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    sample_cap: int = 4096, n_iters: int = 5,
+) -> PQCodebooks:
+    """Train PQ codebooks on CELL RESIDUALS: assign the (bounded, lowest-id)
+    sample to cells with the exact mirror arithmetic, subtract, then the
+    same deterministic numpy Lloyd's as :func:`pq_train`."""
+    rows = emb.orderBy(id_col).limit(sample_cap).select(id_col, vec_col).collect()
+    if not rows:
+        raise ValueError("ivfpq_train_residual: empty embedding table")
+    pairs = [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+    cid_of = ivf_reference_assign(pairs, centroids)
+    cvec = {int(c): list(v) for c, v in centroids}
+    res_rows = [
+        (rid, [x - y for x, y in zip(vec, cvec[cid_of[rid]])])
+        for rid, vec in pairs
+    ]
+    # same deterministic Lloyd's as pq_train, over the residual matrix
+    x = np.array([v for _, v in res_rows], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"ivfpq_train_residual: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books: PQCodebooks = []
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        cents = xs[: min(k, len(xs))].copy()
+        if len(cents) < k:
+            cents = np.vstack([cents] * ((k // len(cents)) + 1))[:k]
+        for _ in range(n_iters):
+            d = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = xs[mask].mean(axis=0)
+        books.append([[float(v) for v in c] for c in cents])
+    return books
+
+
+def ivfpq_encode_residual(
+    emb: DataFrame, centroids: Centroids, codebooks: PQCodebooks,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cid, code_0..code_{m-1}) with codes over the CELL RESIDUAL.
+    Still one pure projection: coarse argmax -> centroid lookup ->
+    subtract -> per-subspace inline argmin."""
+    cid = ivf_assign_expr(centroids, vec_col)
+    res = _residual_expr(centroids, cid, vec_col)
+    tmp = emb.select(F.col(id_col), cid.alias("cid"), res.alias("_res"))
+    return tmp.select(
+        F.col(id_col), "cid", *pq_code_exprs(codebooks, "_res")
+    )
+
+
+def ivfpq_topk_residual(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_centroids: int = 8, nprobe: int = 2, m: int = 4, pq_k: int = 16,
+    centroids: Centroids | None = None,
+    codebooks: PQCodebooks | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Residual IVF-PQ top-k: per probed cell, ADC against THAT cell's
+    query residual (q - centroid[cell]); one union-of-filters plan over the
+    code table, still no joins/windows/shuffles beyond the final top-k."""
+    if centroids is None:
+        centroids = lowid_centroids(emb, n_centroids, id_col, vec_col)
+    if codebooks is None:
+        codebooks = ivfpq_train_residual(
+            emb, centroids, m=m, k=pq_k, id_col=id_col, vec_col=vec_col
+        )
+    if codes is None:
+        codes = ivfpq_encode_residual(emb, centroids, codebooks, id_col, vec_col)
+    probe = _probe_cells(centroids, query_vec, nprobe)
+    code_cols = [c for c in codes.columns if c.startswith("code_")]
+    cvec = {int(c): list(v) for c, v in centroids}
+    out = None
+    for c in probe:
+        qres = [float(x) - y for x, y in zip(query_vec, cvec[int(c)])]
+        lut = pq_adc_lut(codebooks, qres)
+        part = codes.where(F.col("cid") == int(c)).select(
+            F.col(id_col), pq_adc_expr(lut, code_cols).alias("adc")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy(F.asc("adc"), F.asc(id_col)).limit(k)
+
+
+def ivfpq_residual_reference_scores(
+    rows: list, centroids: Centroids, codebooks: PQCodebooks,
+    query_vec: list[float], nprobe: int,
+) -> list[tuple[int, float]]:
+    """Single-node mirror of the residual path for oracle side tables:
+    same assignment, residual, argmin, and per-cell LUT arithmetic."""
+    probe = _probe_cells(centroids, query_vec, nprobe)
+    cid_of = ivf_reference_assign(rows, centroids)
+    cvec = {int(c): list(v) for c, v in centroids}
+    out = []
+    for c in probe:
+        qres = [float(x) - y for x, y in zip(query_vec, cvec[int(c)])]
+        cell_rows = [
+            (rid, [x - y for x, y in zip(vec, cvec[int(c)])])
+            for rid, vec in rows
+            if cid_of[rid] == int(c)
+        ]
+        out.extend(pq_reference_scores(cell_rows, codebooks, qres))
+    return out

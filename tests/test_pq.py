@@ -193,3 +193,46 @@ def test_pq_rerank_beats_flat_adc(emb):
         corpus, list(qv), 10, shortlist=60, codebooks=books).collect()}
     assert len(rr & exact) >= len(flat & exact)
     assert len(rr & exact) >= 7
+
+
+def test_ivfpq_residual_matches_mirror(emb):
+    """Residual IVF-PQ == its single-node mirror bit for bit, and on the
+    clustered fixture residual codes must beat raw codes at equal m,k
+    (the raw path ties inside cells; residuals separate cell members)."""
+    import numpy as np
+
+    from search_engine_spark.operators.similarity import (
+        ivfpq_residual_reference_scores,
+        ivfpq_topk,
+        ivfpq_topk_residual,
+        ivfpq_train_residual,
+        lowid_centroids,
+    )
+
+    df, rows = emb
+    qv = rows[0][1]
+    corpus = df.where(F.col("vec_id") != 0)
+    crows = [r for r in rows if r[0] != 0]
+    cents = lowid_centroids(corpus, 4)
+    books_res = ivfpq_train_residual(corpus, cents, m=M, k=K)
+
+    got = ivfpq_topk_residual(
+        corpus, qv, 10, nprobe=2, centroids=cents, codebooks=books_res
+    ).collect()
+    ref = ivfpq_residual_reference_scores(crows, cents, books_res, qv, 2)
+    ref.sort(key=lambda t: (t[1], t[0]))
+    assert [(r.vec_id, r.adc) for r in got] == ref[:10]
+
+    # quality: recall@10 vs exact L2, residual >= raw at the same budget
+    qarr = np.array(qv)
+    exact = {
+        i for _, i in sorted(
+            ((float(np.sum((np.array(v) - qarr) ** 2)), i) for i, v in crows)
+        )[:10]
+    }
+    books_raw = pq_train(corpus, m=M, k=K)
+    raw = {r.vec_id for r in ivfpq_topk(
+        corpus, qv, 10, nprobe=2, centroids=cents, codebooks=books_raw).collect()}
+    res = {r.vec_id for r in got}
+    assert len(res & exact) >= len(raw & exact)
+    assert len(res & exact) >= 5

@@ -34,6 +34,8 @@ SCAN_FRAC = {
     "pq_flat_m4": 1.0,
     "pq_rerank100_m4": 1.0,
     "ivfpq_c8_probe2_m4": 2 / 8,
+    "ivfpq_res_c8_probe2_m4": 2 / 8,
+    "ivfpq_res_c32_probe4_m4": 4 / 32,
 }
 
 
@@ -100,6 +102,8 @@ def main() -> int:
     from search_engine_spark.operators.similarity import (
         ivf_topk,
         ivfpq_topk,
+        ivfpq_topk_residual,
+        ivfpq_train_residual,
         kmeans_centroids,
         lowid_centroids,
         lsh_topk,
@@ -117,6 +121,9 @@ def main() -> int:
         cb_low = lowid_centroids(emb, 8)
         cb_km = kmeans_centroids(emb, 8, 3)
         books = pq_train(emb, m=4, k=16)
+        books_res = ivfpq_train_residual(emb, cb_km, m=4, k=16)
+        cb_km32 = kmeans_centroids(emb, 32, 3)
+        books_res32 = ivfpq_train_residual(emb, cb_km32, m=4, k=16)
         return {
             "lsh_p8_probe1": lambda d, qv: lsh_topk(d, qv, k, n_planes=8, n_probes=1),
             "lsh_p8_probe4": lambda d, qv: lsh_topk(d, qv, k, n_planes=8, n_probes=4),
@@ -138,6 +145,19 @@ def main() -> int:
             ),
             "ivfpq_c8_probe2_m4": lambda d, qv: ivfpq_topk(
                 d, qv, k, nprobe=2, centroids=cb_km, codebooks=books
+            ),
+            # residual codes carry the within-cell offsets raw codes
+            # lose — but ONLY once the coarse quantizer resolves the data's
+            # cluster structure (cells >~ clusters); at c8 over 20 planted
+            # clusters each cell still holds 2-3 clusters and the residual
+            # codebook spends its centroids separating THEM, so same-cluster
+            # members still tie. c32/probe4 scans LESS (4/32 vs 2/8) and
+            # should recover the within-cluster ordering.
+            "ivfpq_res_c8_probe2_m4": lambda d, qv: ivfpq_topk_residual(
+                d, qv, k, nprobe=2, centroids=cb_km, codebooks=books_res
+            ),
+            "ivfpq_res_c32_probe4_m4": lambda d, qv: ivfpq_topk_residual(
+                d, qv, k, nprobe=4, centroids=cb_km32, codebooks=books_res32
             ),
         }
 
