@@ -52,6 +52,8 @@ Q_PREFIX = "s"
 Q_NEAR, Q_NEAR_WINDOW = ("table", "scan"), 5
 SNIPPET_TERM, SNIPPET_BEFORE, SNIPPET_AFTER = "spark", 3, 3
 PQ_M, PQ_K = 4, 16
+Q_FUZZY, Q_FUZZY_DIST, Q_FUZZY_EXP = "sow", 1, 16
+Q_SUGGEST, Q_SUGGEST_K, Q_SUGGEST_DIST = "spak", 3, 2
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -259,6 +261,28 @@ def q_q5w_proximity(spark, sf_dir):
     return search_proximity(dec, Q_NEAR[0], Q_NEAR[1], Q_NEAR_WINDOW).select(
         F.col("docId").alias("doc_id")
     )
+
+
+def q_q2f_fuzzy(spark, sf_dir):
+    """Typo-tolerant keyword query: expand Q_FUZZY against the term
+    dictionary (Levenshtein <= Q_FUZZY_DIST, ranked + capped), then OR-seek
+    the expansions with the usual ``In`` term pushdown."""
+    from search_engine_spark.operators.query import search_fuzzy
+
+    p = _postings(spark, sf_dir)
+    stats = p.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    out = search_fuzzy(p, stats, Q_FUZZY, Q_FUZZY_DIST, Q_FUZZY_EXP)
+    return out.select(F.col("docId").alias("doc_id"))
+
+
+def q_q6s_suggest(spark, sf_dir):
+    """Did-you-mean: top-K_SUGGEST dictionary terms near Q_SUGGEST by
+    (edit distance, df desc, term) — dictionary-only TakeOrdered plan."""
+    from search_engine_spark.operators.query import suggest_terms
+
+    p = _postings(spark, sf_dir)
+    stats = p.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    return suggest_terms(stats, Q_SUGGEST, Q_SUGGEST_K, Q_SUGGEST_DIST)
 
 
 def q_t7_snippets(spark, sf_dir):
@@ -1095,6 +1119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_or_search": q_q4_or,
         "q5_phrase_search": q_q5_phrase,
         "q2p_prefix_search": q_q2p_prefix,
+        "q2f_fuzzy_search": q_q2f_fuzzy,
+        "q6s_suggest_terms": q_q6s_suggest,
         "q3n_and_not_search": q_q3n_and_not,
         "q5w_proximity_search": q_q5w_proximity,
         "t7_snippets": q_t7_snippets,
@@ -1587,6 +1613,27 @@ def oracle_sql() -> dict[str, str]:
         "q2p_prefix_search": f"""
             WITH {_TOKS}
             SELECT DISTINCT doc_id FROM postings WHERE term LIKE '{Q_PREFIX}%'
+        """,
+        "q2f_fuzzy_search": f"""
+            WITH {_TOKS},
+            stats AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+            cand AS (
+              SELECT term FROM stats
+              WHERE levenshtein(term, '{Q_FUZZY}') <= {Q_FUZZY_DIST}
+              ORDER BY levenshtein(term, '{Q_FUZZY}') ASC, df DESC, term ASC
+              LIMIT {Q_FUZZY_EXP}
+            )
+            SELECT DISTINCT doc_id FROM postings
+            WHERE term IN (SELECT term FROM cand)
+        """,
+        "q6s_suggest_terms": f"""
+            WITH {_TOKS},
+            stats AS (SELECT term, count(*) AS df FROM postings GROUP BY term)
+            SELECT term, df, levenshtein(term, '{Q_SUGGEST}') AS dist
+            FROM stats
+            WHERE levenshtein(term, '{Q_SUGGEST}') <= {Q_SUGGEST_DIST}
+            ORDER BY dist ASC, df DESC, term ASC
+            LIMIT {Q_SUGGEST_K}
         """,
         "q3n_and_not_search": f"""
             WITH {_TOKS},

@@ -197,6 +197,67 @@ def search_proximity(
     )
 
 
+def fuzzy_candidates(
+    term_stats: DataFrame, term: str, max_dist: int = 1, max_expansions: int = 64
+) -> DataFrame:
+    """Term-dictionary fuzzy expansion (the Lucene ``FuzzyQuery`` shape, over
+    the reference's IIM:435-485 keyword-dictionary surface): all dictionary
+    terms within ``max_dist`` edits of ``term``, ranked by
+    (distance asc, df desc, term asc) and capped at ``max_expansions``.
+
+    Scale shape: this scans the TERM DICTIONARY, not the corpus — the
+    term-stats table is orders of magnitude smaller than postings and the
+    scan is embarrassingly parallel. A length-band prefilter
+    (``|len(t) - len(q)| <= max_dist``, a necessary condition for edit
+    distance) skips the O(|a|·|b|) Levenshtein for most rows, the distance
+    itself is the JVM built-in (whole-stage codegen), and the ranked cap
+    compiles to TakeOrderedAndProject — bounded driver output regardless of
+    dictionary size."""
+    if not term:
+        return term_stats.select(
+            "term", "df", F.lit(0).alias("dist")
+        ).limit(0)
+    band = F.abs(F.length("term") - F.lit(len(term))) <= max_dist
+    return (
+        term_stats.where(band)
+        .select("term", "df", F.levenshtein(F.col("term"), F.lit(term)).alias("dist"))
+        .where(F.col("dist") <= max_dist)
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
+    )
+
+
+def search_fuzzy(
+    postings: DataFrame, term_stats: DataFrame, term: str,
+    max_dist: int = 1, max_expansions: int = 64,
+) -> DataFrame:
+    """Fuzzy keyword query: docs containing ANY dictionary term within
+    ``max_dist`` edits of ``term`` (classic typo-tolerant search; the
+    reference stops at exact keywords, IIM:697-739).
+
+    Two-stage, like Lucene: (1) expand against the term dictionary
+    (:func:`fuzzy_candidates` — bounded ``max_expansions`` collect, a
+    dictionary-sized job, never corpus-sized), then (2) seek the expanded
+    terms exactly like Q4 — the literal term list reaches the term-sorted
+    posting scan as an ``In`` pushed filter (S10 seek analog), so the
+    corpus-side cost equals an OR query over ``max_expansions`` terms."""
+    cands = [r.term for r in fuzzy_candidates(
+        term_stats, term, max_dist, max_expansions
+    ).collect()]
+    return search_or(postings, cands)
+
+
+def suggest_terms(
+    term_stats: DataFrame, term: str, k: int = 3, max_dist: int = 2
+) -> DataFrame:
+    """Did-you-mean: the top-``k`` dictionary terms near ``term`` by
+    (edit distance, document frequency desc, term) — the spell-correction
+    companion of :func:`search_fuzzy`, same dictionary-only TakeOrdered
+    plan. The exact query term itself (dist 0) ranks first when present,
+    which callers use as the "no correction needed" signal."""
+    return fuzzy_candidates(term_stats, term, max_dist, k)
+
+
 def full_scan_search(corpus: DataFrame, keywords: list[str], analyzer: str = "porter") -> DataFrame:
     """Q1 oracle: docs whose analyzed token set contains ALL query tokens."""
     terms = analyze_query(keywords, analyzer)

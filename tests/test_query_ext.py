@@ -107,6 +107,67 @@ def test_search_proximity(spark, ext_index):
         Q.search_proximity(dec, "table", "scan", 0)
 
 
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_candidates_and_search(spark, ext_index):
+    _, _, corpus = ext_index
+    postings = build_postings(corpus, "naive")
+    stats = postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+
+    # dictionary + df oracle over the raw texts
+    vocab: dict[str, int] = {}
+    for d in DOCS:
+        for t in set(_toks(d)):
+            vocab[t] = vocab.get(t, 0) + 1
+
+    # 'scam' ~1~ scan; 'pres' ~1~ press (prefix is dist 2)
+    for q, dist in (("scam", 1), ("pres", 1), ("tble", 1)):
+        got = [(r.term, r.df, r.dist) for r in Q.fuzzy_candidates(stats, q, dist).collect()]
+        want = sorted(
+            ((t, df, _levenshtein(t, q)) for t, df in vocab.items()
+             if _levenshtein(t, q) <= dist),
+            key=lambda x: (x[2], -x[1], x[0]),
+        )
+        assert got == want, q
+
+        docs = sorted(r.docId for r in Q.search_fuzzy(postings, stats, q, dist).collect())
+        cand = {t for t, _, _ in want}
+        assert docs == sorted(
+            i for i, d in enumerate(DOCS) if cand & set(_toks(d))
+        ), q
+
+    # max_expansions caps in rank order
+    capped = Q.fuzzy_candidates(stats, "scam", 2, max_expansions=1).collect()
+    assert len(capped) == 1 and capped[0].dist == 1
+    # empty term -> empty expansion, empty search
+    assert Q.fuzzy_candidates(stats, "", 1).collect() == []
+    assert Q.search_fuzzy(postings, stats, "", 1).collect() == []
+
+
+def test_suggest_terms(spark, ext_index):
+    _, _, corpus = ext_index
+    postings = build_postings(corpus, "naive")
+    stats = postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    got = [(r.term, r.dist) for r in Q.suggest_terms(stats, "pres", k=3, max_dist=2).collect()]
+    # the whole dictionary within dist 2 of 'pres' is exactly {press}
+    assert got == [("press", 1)]
+    # wider radius pulls in the dist-3 family, rank order still holds
+    got3 = [(r.term, r.dist) for r in Q.fuzzy_candidates(stats, "pres", 3, 5).collect()]
+    assert got3[0] == ("press", 1)
+    assert [d for _, d in got3] == sorted(d for _, d in got3)
+    # an exact dictionary term ranks itself first at dist 0
+    got0 = Q.suggest_terms(stats, "spark", k=2, max_dist=2).collect()
+    assert (got0[0].term, got0[0].dist) == ("spark", 0)
+
+
 def test_keyword_snippets(spark):
     df = spark.createDataFrame(
         [(i, d) for i, d in enumerate(DOCS)], "doc_id long, text string"
