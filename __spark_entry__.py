@@ -285,6 +285,18 @@ def q_q6s_suggest(spark, sf_dir):
     return suggest_terms(stats, Q_SUGGEST, Q_SUGGEST_K, Q_SUGGEST_DIST)
 
 
+def q_q14_facets(spark, sf_dir):
+    """Facet counts over the Q_KEYWORD result set by (lang, source):
+    broadcast semi-join hydration + one stacked partial+final count agg."""
+    from search_engine_spark.operators.query import facet_counts, search_keyword
+
+    hits = search_keyword(_postings(spark, sf_dir), Q_KEYWORD).select(
+        F.col("docId").alias("doc_id")
+    )
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return facet_counts(hits, d, ["lang", "source"], id_col="doc_id")
+
+
 def q_t7_snippets(spark, sf_dir):
     """Result-snippet generation: token window around the first occurrence
     of the query term — serving-path hydration, pure JVM array exprs."""
@@ -1120,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_phrase_search": q_q5_phrase,
         "q2p_prefix_search": q_q2p_prefix,
         "q2f_fuzzy_search": q_q2f_fuzzy,
+        "q14_facet_counts": q_q14_facets,
         "q6s_suggest_terms": q_q6s_suggest,
         "q3n_and_not_search": q_q3n_and_not,
         "q5w_proximity_search": q_q5w_proximity,
@@ -1625,6 +1638,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id FROM postings
             WHERE term IN (SELECT term FROM cand)
+        """,
+        "q14_facet_counts": f"""
+            WITH {_TOKS},
+            hits AS (
+              SELECT DISTINCT doc_id FROM postings WHERE term = '{Q_KEYWORD}'
+            ),
+            hit_docs AS (
+              SELECT d.* FROM documents d JOIN hits USING (doc_id)
+            )
+            SELECT 'lang' AS facet, lang AS value, count(*) AS n
+            FROM hit_docs GROUP BY lang
+            UNION ALL
+            SELECT 'source' AS facet, source AS value, count(*) AS n
+            FROM hit_docs GROUP BY source
         """,
         "q6s_suggest_terms": f"""
             WITH {_TOKS},

@@ -258,6 +258,41 @@ def suggest_terms(
     return fuzzy_candidates(term_stats, term, max_dist, k)
 
 
+def facet_counts(
+    result: DataFrame, docs: DataFrame, fields: list[str], id_col: str = "docId"
+) -> DataFrame:
+    """Facet aggregation: for each metadata field in ``fields``, the count of
+    matching documents per field value — the standard search-results sidebar
+    (the reference has no metadata columns; this is the natural companion of
+    its Q2-Q4 result sets over a corpus that does).
+
+    Scale shape: the result set broadcasts (result ≪ corpus, the S4
+    hydration assumption), the semi-join prunes the corpus scan to matched
+    rows with only ``fields`` + id in ReadSchema, and ALL fields unpivot
+    via ``stack`` into (facet, value) BEFORE a single partial+final count
+    aggregation — one shuffle total regardless of len(fields), never one
+    job per facet."""
+    if not fields:
+        return docs.select(
+            F.lit("").alias("facet"), F.lit("").alias("value"),
+            F.lit(0).cast("long").alias("n"),
+        ).limit(0)
+    hit = docs.join(F.broadcast(result), id_col, "left_semi")
+    stacked = hit.select(
+        F.expr(
+            "stack({}, {})".format(
+                len(fields),
+                ", ".join(
+                    f"'{f}', cast(`{f}` as string)" for f in fields
+                ),
+            )
+        ).alias("facet", "value")
+    )
+    return stacked.groupBy("facet", "value").agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
 def full_scan_search(corpus: DataFrame, keywords: list[str], analyzer: str = "porter") -> DataFrame:
     """Q1 oracle: docs whose analyzed token set contains ALL query tokens."""
     terms = analyze_query(keywords, analyzer)

@@ -168,6 +168,28 @@ def test_suggest_terms(spark, ext_index):
     assert (got0[0].term, got0[0].dist) == ("spark", 0)
 
 
+def test_facet_counts(spark, ext_index):
+    _, _, corpus = ext_index
+    postings = build_postings(corpus, "naive")
+    # metadata table: docId, lang, source
+    meta = [(i, ["en", "de"][i % 2], f"s{i % 3}") for i in range(len(DOCS))]
+    docs = spark.createDataFrame(meta, "docId long, lang string, source string")
+    hits = Q.search_keyword(postings, "scan")
+    got = {
+        (r.facet, r.value): r.n
+        for r in Q.facet_counts(hits, docs, ["lang", "source"]).collect()
+    }
+    matched = [i for i, d in enumerate(DOCS) if "scan" in _toks(d)]
+    want: dict[tuple[str, str], int] = {}
+    for i in matched:
+        for facet, value in (("lang", meta[i][1]), ("source", meta[i][2])):
+            want[(facet, value)] = want.get((facet, value), 0) + 1
+    assert got == want
+    # no fields -> empty, schema intact
+    empty = Q.facet_counts(hits, docs, [])
+    assert empty.columns == ["facet", "value", "n"] and empty.collect() == []
+
+
 def test_keyword_snippets(spark):
     df = spark.createDataFrame(
         [(i, d) for i, d in enumerate(DOCS)], "doc_id long, text string"
