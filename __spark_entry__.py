@@ -54,6 +54,7 @@ SNIPPET_TERM, SNIPPET_BEFORE, SNIPPET_AFTER = "spark", 3, 3
 PQ_M, PQ_K = 4, 16
 Q_FUZZY, Q_FUZZY_DIST, Q_FUZZY_EXP = "sow", 1, 16
 Q_SUGGEST, Q_SUGGEST_K, Q_SUGGEST_DIST = "spak", 3, 2
+MLT_SEED, MLT_TOP_TERMS, MLT_K = 7, 8, 10
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -283,6 +284,26 @@ def q_q6s_suggest(spark, sf_dir):
     p = _postings(spark, sf_dir)
     stats = p.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     return suggest_terms(stats, Q_SUGGEST, Q_SUGGEST_K, Q_SUGGEST_DIST)
+
+
+def q_q8m_more_like_this(spark, sf_dir):
+    """More-like-this: seed doc MLT_SEED's tf-idf-heaviest MLT_TOP_TERMS
+    terms re-run as a weighted TF-IDF query through the DAAT kernel,
+    seed excluded, top-MLT_K by (score desc, doc asc)."""
+    from search_engine_spark.operators.rank import Scorer, more_like_this
+    from search_engine_spark.sources.segments import load_segments, load_term_stats
+
+    idx, m = _index(spark, sf_dir)
+    out = more_like_this(
+        spark, _docs(spark, sf_dir), load_segments(spark, idx),
+        load_term_stats(spark, idx), MLT_SEED,
+        m["stats"]["n_docs"], m["stats"]["avgdl"],
+        top_terms=MLT_TOP_TERMS, k=MLT_K,
+        analyzer="naive", scorer=Scorer("tfidf_cosine"),
+    )
+    return out.select(
+        F.col("docId").alias("doc_id"), F.round("score", 6).alias("score")
+    )
 
 
 def q_q14_facets(spark, sf_dir):
@@ -1133,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2p_prefix_search": q_q2p_prefix,
         "q2f_fuzzy_search": q_q2f_fuzzy,
         "q14_facet_counts": q_q14_facets,
+        "q8m_more_like_this": q_q8m_more_like_this,
         "q6s_suggest_terms": q_q6s_suggest,
         "q3n_and_not_search": q_q3n_and_not,
         "q5w_proximity_search": q_q5w_proximity,
@@ -1638,6 +1660,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id FROM postings
             WHERE term IN (SELECT term FROM cand)
+        """,
+        "q8m_more_like_this": f"""
+            WITH {_TOKS},
+            n AS (SELECT count(*)::double AS n FROM documents),
+            tstats AS (
+              SELECT term, count(*)::double AS df FROM postings GROUP BY term
+            ),
+            seedq AS (
+              SELECT p.term, p.tf AS qtf
+              FROM postings p JOIN tstats t ON p.term = t.term CROSS JOIN n
+              WHERE p.doc_id = {MLT_SEED}
+              ORDER BY p.tf * log10(n.n / t.df) DESC, p.term ASC
+              LIMIT {MLT_TOP_TERMS}
+            ),
+            scored AS (
+              SELECT p.doc_id,
+                sum((p.tf * log10(n.n / t.df)) * (q.qtf * log10(n.n / t.df))) AS dot,
+                sum((p.tf * log10(n.n / t.df)) * (p.tf * log10(n.n / t.df))) AS len
+              FROM postings p
+              JOIN seedq q ON p.term = q.term
+              JOIN tstats t ON p.term = t.term
+              CROSS JOIN n
+              WHERE p.doc_id <> {MLT_SEED}
+              GROUP BY p.doc_id
+            )
+            SELECT doc_id,
+                   round(CASE WHEN len > 0 THEN dot / sqrt(len) ELSE 0.0 END, 6)
+                     AS score
+            FROM scored
+            ORDER BY CASE WHEN len > 0 THEN dot / sqrt(len) ELSE 0.0 END DESC,
+                     doc_id ASC
+            LIMIT {MLT_K}
         """,
         "q14_facet_counts": f"""
             WITH {_TOKS},

@@ -1325,3 +1325,82 @@ def score_query_daat(
     order = [F.desc("score"), F.desc("docId") if ties == "desc" else F.asc("docId")]
     out = local.orderBy(*order)
     return out.limit(k) if k is not None else out
+
+
+def mlt_seed_terms(
+    corpus: DataFrame,
+    term_stats: DataFrame,
+    doc_id: int,
+    n_docs: int,
+    top_terms: int = 10,
+    analyzer: str = "porter",
+    scorer: Scorer = Scorer("tfidf_cosine"),
+) -> list[tuple[str, int]]:
+    """More-like-this seed selection (the Lucene ``MoreLikeThis`` shape over
+    the reference's Q8 scoring surface): analyze ONE document, weight its
+    terms by tf·idf, keep the ``top_terms`` heaviest.
+
+    Returns ``[(term, tf), ...]`` ranked by (weight desc, term asc).
+
+    Scale shape: the seed doc is a POINT LOOKUP (docId equality pushed to
+    the corpus scan — the S4 fetch path), analysis of that single text is
+    driver-side, and the df lookup seeks the term-stats table with the usual
+    ``In`` pushdown over at most |doc vocabulary| terms. No corpus-sized
+    work anywhere; the expansion itself is bounded by ``top_terms``."""
+    from ..functions.analyzers import get_analyzer
+
+    row = corpus.where(F.col("docId") == int(doc_id)).select("content").collect()
+    if not row:
+        return []
+    tfs = Counter(get_analyzer(analyzer)(row[0][0]))
+    if not tfs:
+        return []
+    stats = term_stats.where(isin_expr("term", sorted(tfs))).select("term", "df").collect()
+    dfs = {r.term: float(r.df) for r in stats}
+    weighted = [
+        (t, tf, tf * float(scorer.idf(float(n_docs), dfs[t])))
+        for t, tf in tfs.items()
+        if t in dfs
+    ]
+    weighted.sort(key=lambda x: (-x[2], x[0]))
+    return [(t, tf) for t, tf, _ in weighted[:top_terms]]
+
+
+def more_like_this(
+    spark: SparkSession,
+    corpus: DataFrame,
+    segments: DataFrame,
+    term_stats: DataFrame,
+    doc_id: int,
+    n_docs: int,
+    avgdl: float,
+    top_terms: int = 10,
+    k: int = 10,
+    analyzer: str = "porter",
+    scorer: Scorer = Scorer("tfidf_cosine"),
+) -> DataFrame:
+    """More-like-this: rank documents similar to ``doc_id`` by running its
+    tf·idf-heaviest ``top_terms`` as a weighted query through the SAME
+    distributed DAAT kernel as Q8 (seed term frequencies become query term
+    frequencies, exactly as repeated user keywords do), excluding the seed
+    doc itself, top-``k`` by (score desc, docId asc).
+
+    The whole pipeline is expansion (bounded, :func:`mlt_seed_terms`) +
+    the existing ranked-serving path — no new scoring machinery, so every
+    100 TB property of ``score_query_daat`` (term pushdown, bucketized
+    kernel, TakeOrdered) carries over unchanged."""
+    seed = mlt_seed_terms(
+        corpus, term_stats, doc_id, n_docs, top_terms, analyzer, scorer
+    )
+    if not seed:
+        return spark.createDataFrame([], SCORE_SCHEMA)
+    keywords = [t for t, tf in seed for _ in range(tf)]
+    scored = score_query_daat(
+        spark, segments, term_stats, keywords, n_docs, avgdl, scorer,
+        k=None, analyzer=analyzer, ties="asc",
+    )
+    return (
+        scored.where(F.col("docId") != int(doc_id))
+        .orderBy(F.desc("score"), F.asc("docId"))
+        .limit(k)
+    )

@@ -480,3 +480,42 @@ def test_narrow_docid_span_is_a_hint_not_a_constraint(spark, tmp_path_factory):
             spark, segs, stats, queries, nd, avg, R.Scorer(), 10,
             n_buckets=8, docid_span=narrow, vectorized=vec))
         assert bgot == bfull and bfull
+
+
+def test_more_like_this(spark, phrase_index):
+    """MLT == (seed top-terms by tf·idf) run through the oracle scorer,
+    seed excluded, (score desc, docId asc) top-k."""
+    import math
+
+    p, m, corpus = phrase_index
+    segs, stats = S.load_segments(spark, p), S.load_term_stats(spark, p)
+    pdf = corpus.select("docId", "content").toPandas()
+    oracle = OracleIndex(dict(zip(pdf.docId, pdf.content)))
+    nd, avg = m["stats"]["n_docs"], m["stats"]["avgdl"]
+
+    for seed_doc, top_terms, k in ((1, 5, 3), (3, 8, 5), (6, 4, 7)):
+        seed = R.mlt_seed_terms(corpus, stats, seed_doc, nd, top_terms)
+        # expansion oracle: tf·idf-heaviest terms of the seed doc
+        tfs = {}
+        for t in oracle.tokens[seed_doc]:
+            tfs[t] = tfs.get(t, 0) + 1
+        want_seed = sorted(
+            ((t, tf, tf * math.log10(nd / oracle.df(t))) for t, tf in tfs.items()),
+            key=lambda x: (-x[2], x[0]),
+        )[:top_terms]
+        assert seed == [(t, tf) for t, tf, _ in want_seed], seed_doc
+
+        got = R.more_like_this(
+            spark, corpus, segs, stats, seed_doc, nd, avg,
+            top_terms=top_terms, k=k,
+        ).collect()
+        kw = [t for t, tf in seed for _ in range(tf)]
+        want = [
+            (d, s) for d, s in oracle.topk(kw, None, "tfidf_cosine", ties="asc")
+            if d != seed_doc
+        ][:k]
+        assert [r.docId for r in got] == [d for d, _ in want], seed_doc
+        assert all(abs(r.score - s) < 1e-9 for r, (_, s) in zip(got, want)), seed_doc
+
+    # missing seed doc -> empty
+    assert R.more_like_this(spark, corpus, segs, stats, 999, nd, avg).collect() == []
