@@ -55,6 +55,7 @@ PQ_M, PQ_K = 4, 16
 Q_FUZZY, Q_FUZZY_DIST, Q_FUZZY_EXP = "sow", 1, 16
 Q_SUGGEST, Q_SUGGEST_K, Q_SUGGEST_DIST = "spak", 3, 2
 MLT_SEED, MLT_TOP_TERMS, MLT_K = 7, 8, 10
+GTOPK_K, GTOPK_BUCKETS = 3, 8
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -303,6 +304,17 @@ def q_q8m_more_like_this(spark, sf_dir):
     )
     return out.select(
         F.col("docId").alias("doc_id"), F.round("score", 6).alias("score")
+    )
+
+
+def q_t9_grouped_topk(spark, sf_dir):
+    """Windowless grouped top-k: the GTOPK_K longest docs per lang
+    (n_chars desc, doc_id asc) via the bucketed two-stage sort-trim."""
+    from search_engine_spark.operators.sampling import grouped_topk
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return grouped_topk(
+        d, ["lang"], "n_chars", "doc_id", GTOPK_K, n_buckets=GTOPK_BUCKETS
     )
 
 
@@ -1155,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2f_fuzzy_search": q_q2f_fuzzy,
         "q14_facet_counts": q_q14_facets,
         "q8m_more_like_this": q_q8m_more_like_this,
+        "t9_grouped_topk": q_t9_grouped_topk,
         "q6s_suggest_terms": q_q6s_suggest,
         "q3n_and_not_search": q_q3n_and_not,
         "q5w_proximity_search": q_q5w_proximity,
@@ -1660,6 +1673,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id FROM postings
             WHERE term IN (SELECT term FROM cand)
+        """,
+        "t9_grouped_topk": f"""
+            WITH ranked AS (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (
+                       PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+                     ) AS rn
+              FROM documents
+            )
+            SELECT lang, doc_id, n_chars FROM ranked WHERE rn <= {GTOPK_K}
         """,
         "q8m_more_like_this": f"""
             WITH {_TOKS},

@@ -148,3 +148,53 @@ def token_budget_sample(
         .where(F.col("_cum") <= budget)
         .drop("_ticket", "_bucket", "_offset", "_cum")
     )
+
+
+def grouped_topk(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    id_col: str,
+    k: int,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Windowless grouped top-k: the ``k`` rows with the largest
+    ``value_col`` per ``keys`` group (ties broken by ``id_col`` ascending) —
+    the "best N examples per stratum" selector of a training-data pipeline,
+    and the grouped analog of the engine's windowless batch top-k.
+
+    Scale shape: NO window function (a window would sort every group in one
+    task). Two bounded aggregations instead: stage 1 groups by
+    (keys, hash(id) % n_buckets) and keeps a sort-trimmed top-k per bucket
+    — each task sees ~group_rows/n_buckets rows, hash-uniform so no planted
+    skew survives; stage 2 merges the ≤ n_buckets×k survivors per group the
+    same way. Both trims are JVM `sort_array` + `slice` over packed structs
+    (whole-stage codegen); memory per task is O(rows/bucket), per group
+    O(n_buckets × k). Size ``n_buckets`` ≳ max_group_rows / (10M/k) to keep
+    stage-1 state small — same rule family as ``token_budget_sample``'s
+    auto-B."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    # struct sorts lexicographically: value desc, then -id desc == id asc
+    s = F.struct(
+        F.col(value_col).alias("_v"),
+        (-F.col(id_col)).alias("_negid"),
+        F.col(id_col).alias("_id"),
+    )
+    trim = lambda c: F.slice(F.sort_array(c, asc=False), 1, k)  # noqa: E731
+    stage1 = (
+        df.groupBy(*keys, F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("_b"))
+        .agg(trim(F.collect_list(s)).alias("_t"))
+    )
+    stage2 = (
+        stage1.select(*keys, F.explode("_t").alias("_t"))
+        .groupBy(*keys)
+        .agg(trim(F.collect_list("_t")).alias("_t"))
+    )
+    return stage2.select(
+        *keys, F.explode("_t").alias("_t")
+    ).select(
+        *keys,
+        F.col("_t._id").alias(id_col),
+        F.col("_t._v").alias(value_col),
+    )

@@ -713,3 +713,37 @@ def test_langid_nb_model(spark):
     ).repartition(4)
     got = {r.doc_id: r.lang_nb for r in L.lang_id_nb(df, "text", "doc_id").collect()}
     assert [got[i] for i in range(len(texts))] == single
+
+
+def test_grouped_topk(spark):
+    """Bucketed two-stage grouped top-k == the row_number() oracle, at
+    several (k, n_buckets) shapes including ties and k > group size."""
+    import random
+
+    from search_engine_spark.operators.sampling import grouped_topk
+
+    rng = random.Random(7)
+    rows = [
+        (i, ["en", "de", "fr"][i % 3], rng.randrange(0, 40))  # dup values => ties
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, v long")
+
+    def oracle(k):
+        out = []
+        for g in ("en", "de", "fr"):
+            grp = sorted(
+                ((v, -i) for i, l, v in rows if l == g), reverse=True
+            )[:k]
+            out.extend((g, -ni, v) for v, ni in grp)
+        return sorted(out)
+
+    for k, b in ((1, 4), (3, 8), (5, 1), (7, 64), (500, 8)):
+        got = sorted(
+            (r.lang, r.doc_id, r.v)
+            for r in grouped_topk(df, ["lang"], "v", "doc_id", k, n_buckets=b).collect()
+        )
+        assert got == oracle(k), (k, b)
+
+    with pytest.raises(ValueError):
+        grouped_topk(df, ["lang"], "v", "doc_id", 0)
