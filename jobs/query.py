@@ -7,8 +7,11 @@ Usage::
 
 Modes: bm25 (block-max DAAT), tfidf (reference-parity cosine), and/or/phrase
 (boolean + positional), keyword, prefix (term-dictionary range seek),
-near (--window positional proximity), not (--exclude anti-terms). Prints one
-JSON line with results + latency.
+near (--window positional proximity), not (--exclude anti-terms),
+fuzzy (--max-dist/--max-expansions typo-tolerant dictionary expansion),
+suggest (did-you-mean term corrections), mlt (--corpus more-like-this: the
+single positional arg is the seed docId). Prints one JSON line with
+results + latency.
 
 Tombstoned docs (jobs/delete.py / operators/delete.py) are excluded by
 default — the DAAT kernel masks them as blocks decode, the boolean paths
@@ -28,12 +31,21 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--index", required=True)
     ap.add_argument("--mode", default="bm25",
                     choices=["bm25", "tfidf", "and", "or", "phrase", "keyword",
-                             "not", "near", "prefix"])
+                             "not", "near", "prefix", "fuzzy", "suggest",
+                             "mlt"])
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--window", type=int, default=5,
                     help="near mode: max positions between the two terms")
     ap.add_argument("--exclude", nargs="*", default=[],
                     help="not mode: terms the document must NOT contain")
+    ap.add_argument("--max-dist", type=int, default=1,
+                    help="fuzzy/suggest: max Levenshtein edits")
+    ap.add_argument("--max-expansions", type=int, default=64,
+                    help="fuzzy: cap on expanded dictionary terms")
+    ap.add_argument("--corpus", default=None,
+                    help="mlt mode: corpus parquet dir (seed-doc text source)")
+    ap.add_argument("--top-terms", type=int, default=10,
+                    help="mlt mode: seed terms kept by tf-idf weight")
     ap.add_argument("--master", default=None, help="local testing only")
     ap.add_argument(
         "--ignore-deleted", action="store_true",
@@ -46,6 +58,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from search_engine_spark.operators.query import (
         analyze_query,
+        fuzzy_candidates,
         search_and,
         search_and_not,
         search_keyword,
@@ -108,6 +121,35 @@ def main(argv: list[str] | None = None) -> int:
         dec = live(decode_postings(segs, terms, with_positions=True), tomb)
         out = search_proximity(dec, terms[0], terms[1], a.window)
         rows = [{"docId": r.docId} for r in out.limit(a.k).collect()]
+    elif a.mode == "fuzzy":
+        # two-stage: bounded dictionary expansion, then an OR seek with the
+        # usual In pushdown (same plan family as --mode or)
+        cands = fuzzy_candidates(
+            stats, analyze_query(a.terms, analyzer)[0], a.max_dist,
+            a.max_expansions,
+        ).collect()
+        terms = [r.term for r in cands]
+        dec = live(decode_postings(segs, terms), tomb)
+        rows = [
+            {"docId": r.docId}
+            for r in search_or(dec, terms).limit(a.k).collect()
+        ]
+    elif a.mode == "suggest":
+        out = fuzzy_candidates(
+            stats, analyze_query(a.terms, analyzer)[0], a.max_dist, a.k
+        ).collect()
+        rows = [{"term": r.term, "df": r.df, "dist": r.dist} for r in out]
+    elif a.mode == "mlt":
+        from search_engine_spark.operators.rank import more_like_this
+
+        if not a.corpus:
+            ap.error("mlt mode requires --corpus")
+        corpus = spark.read.parquet(a.corpus)
+        out = more_like_this(
+            spark, corpus, segs, stats, int(a.terms[0]), n_docs, avgdl,
+            top_terms=a.top_terms, k=a.k, analyzer=analyzer, deleted=deleted,
+        )
+        rows = [{"docId": r.docId, "score": round(r.score, 6)} for r in out.collect()]
     elif a.mode == "not":
         terms = analyze_query(a.terms, analyzer)
         neg = analyze_query(a.exclude, analyzer)

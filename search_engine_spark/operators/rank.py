@@ -1378,6 +1378,7 @@ def more_like_this(
     k: int = 10,
     analyzer: str = "porter",
     scorer: Scorer = Scorer("tfidf_cosine"),
+    deleted: np.ndarray | None = None,
 ) -> DataFrame:
     """More-like-this: rank documents similar to ``doc_id`` by running its
     tf·idf-heaviest ``top_terms`` as a weighted query through the SAME
@@ -1397,7 +1398,7 @@ def more_like_this(
     keywords = [t for t, tf in seed for _ in range(tf)]
     scored = score_query_daat(
         spark, segments, term_stats, keywords, n_docs, avgdl, scorer,
-        k=None, analyzer=analyzer, ties="asc",
+        k=None, analyzer=analyzer, ties="asc", deleted=deleted,
     )
     return (
         scored.where(F.col("docId") != int(doc_id))

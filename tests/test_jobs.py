@@ -107,6 +107,43 @@ def test_query_job_extended_modes(built, capsys):
     assert not_hits == keyword - rotten
 
 
+def test_query_job_fuzzy_suggest_mlt(built, capsys):
+    """fuzzy / suggest / mlt modes through the spark-submit surface:
+    containment + shape laws against the established modes."""
+    from jobs.query import main as query_main
+
+    src, idx = built
+
+    def run(args):
+        rc = query_main(["--index", idx, "--master", "local[4]", *args])
+        assert rc == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    # fuzzy at dist 0 == exact keyword; widening the radius only adds docs
+    keyword = {r["docId"] for r in run(
+        ["--mode", "keyword", "--k", "1000", "appl"])["results"]}
+    f0 = {r["docId"] for r in run(
+        ["--mode", "fuzzy", "--max-dist", "0", "--k", "1000", "appl"])["results"]}
+    f1 = {r["docId"] for r in run(
+        ["--mode", "fuzzy", "--max-dist", "1", "--k", "1000", "appl"])["results"]}
+    assert f0 == keyword and keyword <= f1
+
+    # suggest: the exact dictionary term ranks itself first at dist 0
+    sug = run(["--mode", "suggest", "--max-dist", "2", "--k", "3", "appl"])
+    assert sug["results"] and sug["results"][0]["term"] == "appl"
+    assert sug["results"][0]["dist"] == 0
+
+    # mlt: seed doc never in its own results; scores are sorted desc
+    import pyarrow.parquet as pq
+
+    seed = int(pq.read_table(src, columns=["docId"]).column(0)[0].as_py())
+    mlt = run(["--mode", "mlt", "--corpus", src, "--top-terms", "6",
+               "--k", "5", str(seed)])
+    assert mlt["results"] and all(r["docId"] != seed for r in mlt["results"])
+    scores = [r["score"] for r in mlt["results"]]
+    assert scores == sorted(scores, reverse=True)
+
+
 def test_pagerank_job_rank_window(spark, tmp_path_factory, capsys):
     """jobs/pagerank.py over a fixture edge TSV: the hub of a star graph
     must rank in the top window (IcsSearchEnginePageRankTest.java:74-108
