@@ -56,6 +56,7 @@ Q_FUZZY, Q_FUZZY_DIST, Q_FUZZY_EXP = "sow", 1, 16
 Q_SUGGEST, Q_SUGGEST_K, Q_SUGGEST_DIST = "spak", 3, 2
 MLT_SEED, MLT_TOP_TERMS, MLT_K = 7, 8, 10
 GTOPK_K, GTOPK_BUCKETS = 3, 8
+REL_TERM, REL_K, REL_MIN_CODF = "spark", 10, 2
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -316,6 +317,19 @@ def q_t9_grouped_topk(spark, sf_dir):
     return grouped_topk(
         d, ["lang"], "n_chars", "doc_id", GTOPK_K, n_buckets=GTOPK_BUCKETS
     )
+
+
+def q_q15_related_terms(spark, sf_dir):
+    """Related searches for REL_TERM: co-occurrence PMI over postings,
+    top-REL_K by (pmi desc, term asc), codf >= REL_MIN_CODF."""
+    from search_engine_spark.operators.query import related_terms
+
+    p = _postings(spark, sf_dir)
+    n = _docs(spark, sf_dir).count()
+    out = related_terms(p, p.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    ), REL_TERM, n, REL_K, REL_MIN_CODF)
+    return out.select("term", "codf", F.round("pmi", 6).alias("pmi"))
 
 
 def q_q14_facets(spark, sf_dir):
@@ -1168,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_facet_counts": q_q14_facets,
         "q8m_more_like_this": q_q8m_more_like_this,
         "t9_grouped_topk": q_t9_grouped_topk,
+        "q15_related_terms": q_q15_related_terms,
         "q6s_suggest_terms": q_q6s_suggest,
         "q3n_and_not_search": q_q3n_and_not,
         "q5w_proximity_search": q_q5w_proximity,
@@ -1673,6 +1688,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id FROM postings
             WHERE term IN (SELECT term FROM cand)
+        """,
+        "q15_related_terms": f"""
+            WITH {_TOKS},
+            n AS (SELECT count(*)::double AS n FROM documents),
+            tstats AS (
+              SELECT term, count(*) AS df FROM postings GROUP BY term
+            ),
+            seed AS (
+              SELECT DISTINCT doc_id FROM postings WHERE term = '{REL_TERM}'
+            ),
+            dfseed AS (SELECT count(*)::double AS dfs FROM seed),
+            co AS (
+              SELECT p.term, count(*) AS codf
+              FROM postings p JOIN seed USING (doc_id)
+              WHERE p.term <> '{REL_TERM}'
+              GROUP BY p.term
+              HAVING count(*) >= {REL_MIN_CODF}
+            )
+            SELECT co.term, co.codf,
+                   round(ln(co.codf * n.n / (t.df * d.dfs)), 6) AS pmi
+            FROM co JOIN tstats t ON co.term = t.term
+            CROSS JOIN n CROSS JOIN dfseed d
+            ORDER BY ln(co.codf * n.n / (t.df * d.dfs)) DESC, co.term ASC
+            LIMIT {REL_K}
         """,
         "t9_grouped_topk": f"""
             WITH ranked AS (

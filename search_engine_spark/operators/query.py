@@ -258,6 +258,62 @@ def suggest_terms(
     return fuzzy_candidates(term_stats, term, max_dist, k)
 
 
+def related_terms(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    term: str,
+    n_docs: int,
+    k: int = 10,
+    min_codf: int = 2,
+) -> DataFrame:
+    """Related searches: dictionary terms co-occurring with ``term``, ranked
+    by pointwise mutual information ``ln(codf·N / (df·df_seed))`` — the
+    standard query-expansion / "related searches" signal (the reference has
+    no co-occurrence surface; this is posting-list algebra over its Q2
+    result shape).
+
+    Returns (term, codf, pmi) with codf = co-occurring doc count, top-``k``
+    by (pmi desc, term asc), dropping terms seen together fewer than
+    ``min_codf`` times (PMI is noise at codf 1).
+
+    Scale shape: df_seed is a single-row term-stats lookup (the Q6 point
+    read — inlined as a literal, so no scalar cross join appears in the
+    plan); the seed doc set comes from a term-pushed scan; the
+    co-occurrence count is ONE equi-join on docId (seed side is df_seed
+    rows — let AQE pick broadcast vs shuffle; never a cartesian) followed
+    by one partial+final count agg over (term); the df join for PMI touches
+    only the ≤ |co-vocabulary| surviving terms and the ranked cap is
+    TakeOrderedAndProject. No windows, no Python."""
+    seed_row = term_stats.where(F.col("term") == term).select("df").collect()
+    if not seed_row:
+        return postings.select(
+            "term", F.lit(0).cast("long").alias("codf"),
+            F.lit(0.0).alias("pmi"),
+        ).limit(0)
+    df_seed = float(seed_row[0][0])
+    seed = search_keyword(postings, term)
+    co = (
+        postings.join(seed, "docId")
+        .where(F.col("term") != term)
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("codf"))
+        .where(F.col("codf") >= min_codf)
+    )
+    return (
+        co.join(term_stats.select("term", "df"), "term")
+        .select(
+            "term",
+            "codf",
+            F.log(
+                F.col("codf") * F.lit(float(n_docs))
+                / (F.col("df").cast("double") * F.lit(df_seed))
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("term"))
+        .limit(k)
+    )
+
+
 def facet_counts(
     result: DataFrame, docs: DataFrame, fields: list[str], id_col: str = "docId"
 ) -> DataFrame:

@@ -208,3 +208,40 @@ def test_keyword_snippets(spark):
             lo = max(p - 2, 0)
             want[i] = (p + 1, " ".join(toks[lo : p + 3]))
     assert rows == want
+
+
+def test_related_terms(spark, ext_index):
+    import math
+
+    _, _, corpus = ext_index
+    postings = build_postings(corpus, "naive")
+    stats = postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n = len(DOCS)
+
+    # python PMI oracle
+    docs_tok = [set(_toks(d)) for d in DOCS]
+    dfmap: dict[str, int] = {}
+    for s in docs_tok:
+        for t in s:
+            dfmap[t] = dfmap.get(t, 0) + 1
+    for seed, min_codf in (("scan", 2), ("table", 1)):
+        seed_docs = [i for i, s in enumerate(docs_tok) if seed in s]
+        co: dict[str, int] = {}
+        for i in seed_docs:
+            for t in docs_tok[i]:
+                if t != seed:
+                    co[t] = co.get(t, 0) + 1
+        want = sorted(
+            (
+                (t, c, math.log(c * n / (dfmap[t] * len(seed_docs))))
+                for t, c in co.items()
+                if c >= min_codf
+            ),
+            key=lambda x: (-x[2], x[0]),
+        )[:5]
+        got = Q.related_terms(postings, stats, seed, n, k=5, min_codf=min_codf).collect()
+        assert [(r.term, r.codf) for r in got] == [(t, c) for t, c, _ in want], seed
+        assert all(abs(r.pmi - p) < 1e-9 for r, (_, _, p) in zip(got, want)), seed
+
+    # unknown seed term -> empty
+    assert Q.related_terms(postings, stats, "nosuch", n).collect() == []
