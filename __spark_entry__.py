@@ -57,6 +57,7 @@ Q_SUGGEST, Q_SUGGEST_K, Q_SUGGEST_DIST = "spak", 3, 2
 MLT_SEED, MLT_TOP_TERMS, MLT_K = 7, 8, 10
 GTOPK_K, GTOPK_BUCKETS = 3, 8
 REL_TERM, REL_K, REL_MIN_CODF = "spark", 10, 2
+BOOSTS = {"source": {"src3": 0.5, "src7": 0.25}, "lang": {"de": 0.1}}
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -330,6 +331,29 @@ def q_q15_related_terms(spark, sf_dir):
         F.count("*").cast("long").alias("df")
     ), REL_TERM, n, REL_K, REL_MIN_CODF)
     return out.select("term", "codf", F.round("pmi", 6).alias("pmi"))
+
+
+def q_q11b_boosted(spark, sf_dir):
+    """Metadata-boosted BM25: the Q_RANKED DAAT scores (all matching docs)
+    + literal CASE boosts on (source, lang), top-TOPK re-rank."""
+    from search_engine_spark.operators.rank import (
+        Scorer, score_query_daat, score_with_boosts,
+    )
+    from search_engine_spark.sources.segments import load_segments, load_term_stats
+
+    idx, m = _index(spark, sf_dir)
+    base = score_query_daat(
+        spark, load_segments(spark, idx), load_term_stats(spark, idx), Q_RANKED,
+        m["stats"]["n_docs"], m["stats"]["avgdl"], Scorer("bm25"),
+        k=None, analyzer="naive",
+    )
+    meta = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("docId"), "source", "lang"
+    )
+    out = score_with_boosts(base, meta, BOOSTS, k=TOPK)
+    return out.select(
+        F.col("docId").alias("doc_id"), F.round("score", 6).alias("score")
+    )
 
 
 def q_q14_facets(spark, sf_dir):
@@ -1183,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8m_more_like_this": q_q8m_more_like_this,
         "t9_grouped_topk": q_t9_grouped_topk,
         "q15_related_terms": q_q15_related_terms,
+        "q11b_boosted_bm25": q_q11b_boosted,
         "q6s_suggest_terms": q_q6s_suggest,
         "q3n_and_not_search": q_q3n_and_not,
         "q5w_proximity_search": q_q5w_proximity,
@@ -1688,6 +1713,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id FROM postings
             WHERE term IN (SELECT term FROM cand)
+        """,
+        "q11b_boosted_bm25": f"""
+            WITH {_TOKS},
+            {_bm25_scored_ctes(_qterm_values(Q_RANKED))},
+            boosted AS (
+              SELECT s.doc_id,
+                     s.score
+                     + CASE d.source WHEN 'src3' THEN 0.5
+                                     WHEN 'src7' THEN 0.25 ELSE 0.0 END
+                     + CASE d.lang WHEN 'de' THEN 0.1 ELSE 0.0 END AS score
+              FROM scored s JOIN documents d USING (doc_id)
+            )
+            SELECT doc_id, round(score, 6) AS score FROM boosted
+            ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
         """,
         "q15_related_terms": f"""
             WITH {_TOKS},

@@ -1405,3 +1405,41 @@ def more_like_this(
         .orderBy(F.desc("score"), F.asc("docId"))
         .limit(k)
     )
+
+
+def score_with_boosts(
+    scored: DataFrame,
+    meta: DataFrame,
+    boosts: dict[str, dict[str, float]],
+    id_col: str = "docId",
+    k: int | None = 10,
+) -> DataFrame:
+    """Additive metadata boosting over a scored result set:
+    ``final = score + Σ_field boosts[field][value]`` — the
+    source-authority / field-preference layer of a multi-signal ranker
+    (same combine-then-rerank family as the PageRank blend, Q11).
+
+    Scale shape: the boost maps inline as literal CASE chains (field value
+    sets are human-scale: sources, languages), so the meta side is a pure
+    projection with only (id, boosted fields) in ReadSchema; one equi-join
+    on the id (AQE picks broadcast vs shuffle by the result-set size), and
+    the final top-k compiles to TakeOrderedAndProject. Docs absent from
+    ``meta`` keep their base score (left join, missing boost = 0)."""
+    bonus = F.lit(0.0)
+    for field, table in sorted(boosts.items()):
+        col_bonus = F.lit(0.0)
+        for value, w in sorted(table.items()):
+            col_bonus = F.when(
+                F.col(field) == value, F.lit(float(w))
+            ).otherwise(col_bonus)
+        bonus = bonus + col_bonus
+    m = meta.select(F.col(id_col), bonus.alias("_boost"))
+    out = (
+        scored.join(m, id_col, "left")
+        .select(
+            id_col,
+            (F.col("score") + F.coalesce(F.col("_boost"), F.lit(0.0))).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+    )
+    return out.limit(k) if k is not None else out

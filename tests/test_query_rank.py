@@ -519,3 +519,35 @@ def test_more_like_this(spark, phrase_index):
 
     # missing seed doc -> empty
     assert R.more_like_this(spark, corpus, segs, stats, 999, nd, avg).collect() == []
+
+
+def test_score_with_boosts(spark, tfidf_index):
+    """Boosted re-rank == base scores + literal bonuses; docs missing from
+    the meta table keep their base score."""
+    p, m, corpus = tfidf_index
+    segs, stats = S.load_segments(spark, p), S.load_term_stats(spark, p)
+    nd, avg = m["stats"]["n_docs"], m["stats"]["avgdl"]
+    base = R.score_query_daat(
+        spark, segs, stats, ["apple", "rotten"], nd, avg, R.Scorer(), k=None
+    )
+    base_rows = {r.docId: r.score for r in base.collect()}
+    meta = spark.createDataFrame(
+        [(0, "a", "en"), (1, "b", "de")],  # doc 2 absent on purpose
+        "docId long, src string, lang string",
+    )
+    boosts = {"src": {"a": 1.0, "b": 3.0}, "lang": {"de": 0.5}}
+    got = {r.docId: r.score for r in R.score_with_boosts(
+        base, meta, boosts, k=None).collect()}
+    want = {
+        0: base_rows[0] + 1.0,
+        1: base_rows[1] + 3.0 + 0.5,
+        2: base_rows[2],  # not in meta -> no boost
+    }
+    assert set(got) == set(want)
+    assert all(abs(got[d] - want[d]) < 1e-12 for d in want)
+    # top-k ordering respects the boosted score with docId tie-break
+    top = R.score_with_boosts(base, meta, boosts, k=2).collect()
+    order = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert [(r.docId, round(r.score, 9)) for r in top] == [
+        (d, round(s, 9)) for d, s in order
+    ]
