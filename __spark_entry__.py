@@ -58,6 +58,7 @@ MLT_SEED, MLT_TOP_TERMS, MLT_K = 7, 8, 10
 GTOPK_K, GTOPK_BUCKETS = 3, 8
 REL_TERM, REL_K, REL_MIN_CODF = "spark", 10, 2
 BOOSTS = {"source": {"src3": 0.5, "src7": 0.25}, "lang": {"de": 0.1}}
+PAGE_K = 10
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,6 +352,34 @@ def q_q11b_boosted(spark, sf_dir):
         F.col("doc_id").alias("docId"), "source", "lang"
     )
     out = score_with_boosts(base, meta, BOOSTS, k=TOPK)
+    return out.select(
+        F.col("docId").alias("doc_id"), F.round("score", 6).alias("score")
+    )
+
+
+def q_q8p_page2(spark, sf_dir):
+    """Deep pagination: page 2 of the Q_RANKED BM25 ranking via a
+    (score, docId) cursor — equals OFFSET PAGE_K under the deterministic
+    (score desc, docId asc) total order, without materializing page 1
+    downstream."""
+    from search_engine_spark.operators.rank import (
+        Scorer, score_query_daat, search_after,
+    )
+    from search_engine_spark.sources.segments import load_segments, load_term_stats
+
+    idx, m = _index(spark, sf_dir)
+    scored = score_query_daat(
+        spark, load_segments(spark, idx), load_term_stats(spark, idx), Q_RANKED,
+        m["stats"]["n_docs"], m["stats"]["avgdl"], Scorer("bm25"),
+        k=None, analyzer="naive", ties="asc",
+    )
+    page1 = scored.orderBy(F.desc("score"), F.asc("docId")).limit(PAGE_K).collect()
+    if len(page1) < PAGE_K:
+        return scored.limit(0).select(
+            F.col("docId").alias("doc_id"), F.round("score", 6).alias("score")
+        )
+    cur = (page1[-1].score, page1[-1].docId)
+    out = search_after(scored, cur, PAGE_K)
     return out.select(
         F.col("docId").alias("doc_id"), F.round("score", 6).alias("score")
     )
@@ -1208,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t9_grouped_topk": q_t9_grouped_topk,
         "q15_related_terms": q_q15_related_terms,
         "q11b_boosted_bm25": q_q11b_boosted,
+        "q8p_search_after": q_q8p_page2,
         "q6s_suggest_terms": q_q6s_suggest,
         "q3n_and_not_search": q_q3n_and_not,
         "q5w_proximity_search": q_q5w_proximity,
@@ -1713,6 +1743,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id FROM postings
             WHERE term IN (SELECT term FROM cand)
+        """,
+        "q8p_search_after": f"""
+            WITH {_TOKS},
+            {_bm25_scored_ctes(_qterm_values(Q_RANKED))}
+            SELECT doc_id, round(score, 6) AS score FROM scored
+            ORDER BY score DESC, doc_id ASC
+            LIMIT {PAGE_K} OFFSET {PAGE_K}
         """,
         "q11b_boosted_bm25": f"""
             WITH {_TOKS},

@@ -1443,3 +1443,26 @@ def score_with_boosts(
         .orderBy(F.desc("score"), F.asc(id_col))
     )
     return out.limit(k) if k is not None else out
+
+
+def search_after(
+    scored: DataFrame,
+    cursor: tuple[float, int],
+    k: int = 10,
+    id_col: str = "docId",
+) -> DataFrame:
+    """Cursor pagination over a scored result set: the next ``k`` results
+    strictly after ``cursor = (score, docId)`` in the total order
+    (score desc, docId asc) — the search_after / deep-paging shape, which
+    at 100 TB beats OFFSET because the cursor predicate prunes BEFORE the
+    top-k instead of materializing and discarding every earlier page.
+
+    ``scored`` is any (docId, score) frame with a deterministic total order
+    (``score_query_daat(..., k=None, ties="asc")`` output). The filter is a
+    pure JVM predicate; the page compiles to TakeOrderedAndProject."""
+    s0, d0 = float(cursor[0]), int(cursor[1])
+    nxt = scored.where(
+        (F.col("score") < s0)
+        | ((F.col("score") == s0) & (F.col(id_col) > d0))
+    )
+    return nxt.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

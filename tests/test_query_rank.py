@@ -1,6 +1,7 @@
 """Query + ranking semantics vs reference fixtures and the numpy oracle."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from search_engine_spark.operators import query as Q
 from search_engine_spark.operators import rank as R
@@ -551,3 +552,32 @@ def test_score_with_boosts(spark, tfidf_index):
     assert [(r.docId, round(r.score, 9)) for r in top] == [
         (d, round(s, 9)) for d, s in order
     ]
+
+
+def test_search_after_pagination(spark, phrase_index):
+    """Walking pages via (score, docId) cursors reconstructs the full
+    ranking exactly once, including across tied scores."""
+    p, m, _ = phrase_index
+    segs, stats = S.load_segments(spark, p), S.load_term_stats(spark, p)
+    nd, avg = m["stats"]["n_docs"], m["stats"]["avgdl"]
+    scored = R.score_query_daat(
+        spark, segs, stats, ["pizza", "good", "idea"], nd, avg,
+        R.Scorer(), k=None, ties="asc",
+    )
+    full = scored.orderBy(F.desc("score"), F.asc("docId")).collect()
+    assert len(full) >= 4
+    pages, cur = [], None
+    for _ in range(10):
+        page = (
+            scored.orderBy(F.desc("score"), F.asc("docId")).limit(2).collect()
+            if cur is None
+            else R.search_after(scored, cur, 2).collect()
+        )
+        if not page:
+            break
+        pages.extend(page)
+        cur = (page[-1].score, page[-1].docId)
+    assert [(r.docId, r.score) for r in pages] == [(r.docId, r.score) for r in full]
+    # cursor past the end -> empty page
+    last = (full[-1].score, full[-1].docId)
+    assert R.search_after(scored, last, 5).collect() == []
