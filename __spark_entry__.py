@@ -59,6 +59,7 @@ GTOPK_K, GTOPK_BUCKETS = 3, 8
 REL_TERM, REL_K, REL_MIN_CODF = "spark", 10, 2
 BOOSTS = {"source": {"src3": 0.5, "src7": 0.25}, "lang": {"de": 0.1}}
 PAGE_K = 10
+Q_FUZZY_AND = ["spak", "joln"]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -277,6 +278,18 @@ def q_q2f_fuzzy(spark, sf_dir):
     p = _postings(spark, sf_dir)
     stats = p.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     out = search_fuzzy(p, stats, Q_FUZZY, Q_FUZZY_DIST, Q_FUZZY_EXP)
+    return out.select(F.col("docId").alias("doc_id"))
+
+
+def q_q3f_fuzzy_and(spark, sf_dir):
+    """Multi-term fuzzy AND: every Q_FUZZY_AND term independently expanded
+    (dist <= Q_FUZZY_DIST, ranked cap), doc must match one expansion per
+    group — countDistinct(gid) == n groups."""
+    from search_engine_spark.operators.query import search_fuzzy_and
+
+    p = _postings(spark, sf_dir)
+    stats = p.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    out = search_fuzzy_and(p, stats, Q_FUZZY_AND, Q_FUZZY_DIST, Q_FUZZY_EXP)
     return out.select(F.col("docId").alias("doc_id"))
 
 
@@ -1232,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_phrase_search": q_q5_phrase,
         "q2p_prefix_search": q_q2p_prefix,
         "q2f_fuzzy_search": q_q2f_fuzzy,
+        "q3f_fuzzy_and_search": q_q3f_fuzzy_and,
         "q14_facet_counts": q_q14_facets,
         "q8m_more_like_this": q_q8m_more_like_this,
         "t9_grouped_topk": q_t9_grouped_topk,
@@ -1844,6 +1858,25 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'source' AS facet, source AS value, count(*) AS n
             FROM hit_docs GROUP BY source
+        """,
+        "q3f_fuzzy_and_search": f"""
+            WITH {_TOKS},
+            stats AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+            cand0 AS (
+              SELECT term, 0 AS gid FROM stats
+              WHERE levenshtein(term, '{Q_FUZZY_AND[0]}') <= {Q_FUZZY_DIST}
+              ORDER BY levenshtein(term, '{Q_FUZZY_AND[0]}') ASC, df DESC, term ASC
+              LIMIT {Q_FUZZY_EXP}
+            ),
+            cand1 AS (
+              SELECT term, 1 AS gid FROM stats
+              WHERE levenshtein(term, '{Q_FUZZY_AND[1]}') <= {Q_FUZZY_DIST}
+              ORDER BY levenshtein(term, '{Q_FUZZY_AND[1]}') ASC, df DESC, term ASC
+              LIMIT {Q_FUZZY_EXP}
+            ),
+            gmap AS (SELECT * FROM cand0 UNION ALL SELECT * FROM cand1)
+            SELECT doc_id FROM postings p JOIN gmap g ON p.term = g.term
+            GROUP BY doc_id HAVING count(DISTINCT g.gid) = 2
         """,
         "q6s_suggest_terms": f"""
             WITH {_TOKS},

@@ -247,6 +247,47 @@ def search_fuzzy(
     return search_or(postings, cands)
 
 
+def search_fuzzy_and(
+    postings: DataFrame, term_stats: DataFrame, terms: list[str],
+    max_dist: int = 1, max_expansions: int = 16,
+) -> DataFrame:
+    """Multi-term fuzzy AND: a doc matches iff for EVERY query term it
+    contains at least one of that term's dictionary expansions — the
+    Lucene multi-``FuzzyQuery`` BooleanQuery shape (each term expands
+    independently; groups AND together).
+
+    Expansions of different query terms may overlap (one dictionary term
+    can satisfy several groups), so the term→group mapping is a small
+    exploded (term, gid) relation — broadcast-joined onto the (already
+    term-pushed) posting scan — rather than a single-valued CASE. Matching
+    is the same count-matching aggregation as Q3, on distinct gid instead
+    of distinct term: one shuffle, no self-joins, bounded
+    ``len(terms) × max_expansions`` driver state."""
+    spark = postings.sparkSession
+    groups: list[list[str]] = []
+    for t in terms:
+        cands = [
+            r.term
+            for r in fuzzy_candidates(term_stats, t, max_dist, max_expansions).collect()
+        ]
+        if not cands:
+            return postings.select("docId").limit(0)
+        groups.append(cands)
+    pairs = [(term, gid) for gid, cands in enumerate(groups) for term in cands]
+    gmap = F.broadcast(
+        spark.createDataFrame(pairs, "term string, gid int")
+    )
+    all_terms = sorted({t for t, _ in pairs})
+    return (
+        postings_for(postings, all_terms)
+        .join(gmap, "term")
+        .groupBy("docId")
+        .agg(F.countDistinct("gid").alias("m"))
+        .where(F.col("m") == len(groups))
+        .select("docId")
+    )
+
+
 def suggest_terms(
     term_stats: DataFrame, term: str, k: int = 3, max_dist: int = 2
 ) -> DataFrame:

@@ -245,3 +245,40 @@ def test_related_terms(spark, ext_index):
 
     # unknown seed term -> empty
     assert Q.related_terms(postings, stats, "nosuch", n).collect() == []
+
+
+def test_search_fuzzy_and(spark, ext_index):
+    _, _, corpus = ext_index
+    postings = build_postings(corpus, "naive")
+    stats = postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+
+    def expand(q, dist):
+        vocab = {t for d in DOCS for t in _toks(d)}
+        return {t for t in vocab if _levenshtein(t, q) <= dist}
+
+    # 'scam'->scan..., 'tble'->table: doc must hit one expansion per group
+    for qterms in (["scam", "tble"], ["scam"], ["scam", "joib", "filteq"]):
+        groups = [expand(q, 1) for q in qterms]
+        got = sorted(
+            r.docId for r in Q.search_fuzzy_and(postings, stats, qterms, 1).collect()
+        )
+        want = sorted(
+            i for i, d in enumerate(DOCS)
+            if all(g & set(_toks(d)) for g in groups)
+        )
+        assert got == want, qterms
+
+    # overlapping expansions: both groups satisfiable by distinct terms only
+    # ('scan' and 'scam' expansions overlap on scan itself)
+    got = sorted(
+        r.docId for r in Q.search_fuzzy_and(postings, stats, ["scan", "scam"], 1).collect()
+    )
+    g1, g2 = expand("scan", 1), expand("scam", 1)
+    want = sorted(
+        i for i, d in enumerate(DOCS)
+        if g1 & set(_toks(d)) and g2 & set(_toks(d))
+    )
+    assert got == want
+
+    # a term with zero expansions empties the whole conjunction
+    assert Q.search_fuzzy_and(postings, stats, ["scam", "qqqq"], 1).collect() == []
