@@ -1170,6 +1170,28 @@ def q_t2_quality(spark, sf_dir):
     return quality_score(d, "text", "doc_id")
 
 
+def q_t8_repetition(spark, sf_dir):
+    """t8: Gopher-style repetition signals (top-bigram coverage, duplicate
+    trigram fraction, removal flag) — the repetitious-document filter of an
+    LLM training pipeline, over the documents table."""
+    from search_engine_spark.operators.textstats import repetition_stats
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(d, "text", "doc_id")
+
+
+def q_d7_decontaminate(spark, sf_dir):
+    """d7: benchmark decontamination — flag corpus docs sharing any word
+    8-gram with the held-out benchmark slice (doc_id % 97 == 0), the
+    train/test-overlap removal step (GPT-3 appendix-C family)."""
+    from search_engine_spark.operators.dedup import decontaminate
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench, "text", "doc_id", ngram_n=8)
+
+
 def q_t3_fingerprint(spark, sf_dir):
     from search_engine_spark.operators.textstats import fingerprint
 
@@ -1290,6 +1312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1b_lang_id_nb": q_t1b_lang_id_nb,
         "t2_quality_score": q_t2_quality,
         "t3_fingerprint": q_t3_fingerprint,
+        "t8_repetition_stats": q_t8_repetition,
+        "d7_decontaminate": q_d7_decontaminate,
         "m1_media_meta": q_m1_media_meta,
         "m2_media_features": q_m2_media_features,
     }
@@ -2160,6 +2184,69 @@ def oracle_sql() -> dict[str, str]:
               list_max(list_transform(sh, s -> {_h64("s")})) AS fp_max,
               len(sh) AS n_shingles
             FROM shingle_lists
+        """,
+        "t8_repetition_stats": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+              FROM documents
+            ),
+            tri AS (
+              SELECT doc_id, len(t) AS n_tokens,
+                list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                  i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS tg
+              FROM toks
+            ),
+            bg AS (
+              SELECT doc_id,
+                unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                  i -> concat_ws(' ', t[i], t[i+1]))) AS g
+              FROM toks
+            ),
+            bgtop AS (
+              SELECT doc_id, max(c) AS top
+              FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g)
+              GROUP BY doc_id
+            )
+            SELECT t.doc_id, t.n_tokens,
+              round(coalesce(b.top * 2.0 / t.n_tokens, 0.0), 6) AS top_bigram_frac,
+              round(CASE WHEN len(tg) > 0
+                    THEN 1.0 - len(list_distinct(tg))::double / len(tg)
+                    ELSE 0.0 END, 6) AS dup_trigram_frac,
+              (top_bigram_frac > 0.18 OR dup_trigram_frac > 0.30) AS repetitious
+            FROM tri t LEFT JOIN bgtop b USING (doc_id)
+        """,
+        "d7_decontaminate": rf"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                list_distinct(list_transform(
+                  generate_series(1, greatest(len(t) - 7, 0)),
+                  i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                                 t[i+4], t[i+5], t[i+6], t[i+7]))) AS sh
+              FROM toks
+            ),
+            bench AS (
+              SELECT DISTINCT {_h64("g")} AS gh
+              FROM (SELECT unnest(sh) AS g FROM grams WHERE doc_id % 97 = 0)
+            ),
+            hits AS (
+              SELECT doc_id, count(*)::int64 AS n
+              FROM (SELECT doc_id, {_h64("g")} AS gh
+                    FROM (SELECT doc_id, unnest(sh) AS g FROM grams
+                          WHERE doc_id % 97 <> 0))
+              JOIN bench USING (gh)
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+              coalesce(h.n, 0)::int64 AS n_hit_ngrams,
+              coalesce(h.n, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+            LEFT JOIN hits h USING (doc_id)
         """,
         "m1_media_meta": """
             SELECT doc_id, 'application/octet-stream' AS mime,

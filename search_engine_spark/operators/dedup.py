@@ -33,9 +33,15 @@ def tokens_expr(col: Column) -> Column:
 
 def shingles_expr(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a token array (sorted for
-    deterministic downstream hashing)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    deterministic downstream hashing). Docs shorter than ``n`` tokens yield
+    an empty array — Spark's ``sequence(1, 0)`` counts DOWN (yielding
+    ``[1, 0]`` and an invalid ``slice(…, 0, n)``), so the short case is
+    guarded explicitly."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_sort(F.array_distinct(sh))
 
 
@@ -374,5 +380,53 @@ def canonical_pick(
             id_col,
             "cluster_id",
             (F.col(id_col) == F.col("_keep_id")).alias("keep"),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text: str = "content",
+    id_col: str = "docId",
+    ngram_n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share ANY word
+    ``ngram_n``-gram with a held-out benchmark set — the standard
+    train/test-overlap removal step of an LLM data pipeline (the GPT-3
+    appendix-C / 13-gram-overlap family; ``ngram_n`` defaults lower because
+    it is tuned per corpus).
+
+    Returns one row per corpus doc: ``(id, n_hit_ngrams, contaminated)``
+    where ``n_hit_ngrams`` counts the doc's DISTINCT n-grams that appear in
+    the benchmark.
+
+    Scale shape: the benchmark side is small by definition — its distinct
+    n-gram hash set builds with one partial+final agg and BROADCASTS, so
+    the 100 TB corpus side is scan → per-row shingle expression → explode →
+    broadcast hash semi-join → one count agg keyed by doc id. No shuffle of
+    corpus text, no corpus-×-benchmark join, no windows; corpus rows with
+    zero hits are restored by a left join against the (tiny) hit counts.
+    """
+    sh = shingles_expr(tokens_expr(F.col(text)), ngram_n)
+    bench_grams = (
+        benchmark.select(F.explode(sh).alias("_g"))
+        .select(h64(F.col("_g")).alias("_gh"))
+        .distinct()
+    )
+    hits = (
+        corpus.select(F.col(id_col), F.explode(sh).alias("_g"))
+        .select(id_col, h64(F.col("_g")).alias("_gh"))
+        .join(F.broadcast(bench_grams), "_gh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_hit_ngrams"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hit_ngrams", F.lit(0).cast("long")).alias("n_hit_ngrams"),
+            (F.coalesce("n_hit_ngrams", F.lit(0)) > 0).alias("contaminated"),
         )
     )

@@ -145,6 +145,79 @@ def quality_score(df: DataFrame, text: str = "content", id_col: str = "docId") -
     )
 
 
+def ngrams_expr(toks: Column, n: int) -> Column:
+    """ALL word n-grams of a token array, duplicates kept (unlike
+    :func:`..dedup.shingles_expr`, which distincts for set semantics) —
+    repetition measures need the multiset. Short docs guard against
+    Spark's descending ``sequence(1, 0)`` like ``shingles_expr``."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    df: DataFrame,
+    text: str = "content",
+    id_col: str = "docId",
+    top_bigram_max: float = 0.18,
+    dup_trigram_max: float = 0.30,
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1,
+    the standard "repetitious document" removal rules of an LLM training
+    pipeline, adapted to single-line text):
+
+    - ``top_bigram_frac`` — fraction of tokens covered by the single most
+      frequent word bigram (Gopher's top-2-gram rule; > 0.18 ⇒ remove)
+    - ``dup_trigram_frac`` — fraction of trigram occurrences that are
+      repeats, ``1 − distinct/total`` (the duplicate-n-gram family)
+    - ``repetitious`` — true when either signal crosses its threshold
+
+    Scale shape: the trigram ratio is a pure per-row array expression
+    (whole-stage codegen, zero shuffle). The bigram MODE cannot be a per-row
+    array fold without O(len²) work, so it takes the linear distributed
+    route: explode → partial+final count per (doc, bigram) → max per doc —
+    two bounded aggregations, both map-side combinable, no windows. Docs
+    with < 2 (resp. < 3) tokens score 0.0 by definition."""
+    toks = tokens_expr(F.col(text))
+    tg = ngrams_expr(toks, 3)
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_t"),
+        F.when(
+            F.size(tg) > 0,
+            1.0 - F.size(F.array_distinct(tg)).cast("double") / F.size(tg),
+        )
+        .otherwise(0.0)
+        .alias("_dup3"),
+    )
+    bg_top = (
+        base.select(id_col, F.explode(ngrams_expr(F.col("_t"), 2)).alias("_bg"))
+        .groupBy(id_col, "_bg")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_top"))
+    )
+    out = base.join(bg_top, id_col, "left").select(
+        F.col(id_col),
+        F.size("_t").alias("n_tokens"),
+        F.round(
+            F.when(
+                F.col("_top").isNotNull(),
+                F.col("_top") * 2.0 / F.size("_t").cast("double"),
+            ).otherwise(0.0),
+            6,
+        ).alias("top_bigram_frac"),
+        F.round(F.col("_dup3"), 6).alias("dup_trigram_frac"),
+    )
+    return out.withColumn(
+        "repetitious",
+        (F.col("top_bigram_frac") > top_bigram_max)
+        | (F.col("dup_trigram_frac") > dup_trigram_max),
+    )
+
+
 def fingerprint(
     df: DataFrame, text: str = "content", id_col: str = "docId", shingle_n: int = 3
 ) -> DataFrame:

@@ -747,3 +747,55 @@ def test_grouped_topk(spark):
 
     with pytest.raises(ValueError):
         grouped_topk(df, ["lang"], "v", "doc_id", 0)
+
+
+def test_repetition_stats(spark):
+    from search_engine_spark.operators.textstats import repetition_stats
+
+    texts = [
+        "a b a b a b a b",              # 0: top bigram "a b" covers 4/8*2=... 4 occurrences * 2 / 8 = 1.0
+        "w x y z p q r s t u v m n o k j i h g f",  # 1: all bigrams unique
+        "one two three one two three one two three",  # 2: dup trigrams
+        "solo",                          # 3: 1 token — no bigrams/trigrams
+        "",                              # 4: empty
+    ]
+    df = corpus_from_texts(spark, texts)
+    got = {
+        r.docId: r
+        for r in repetition_stats(df, "content", "docId").collect()
+    }
+    # doc 0: bigrams = [a b, b a, a b, b a, a b, b a, a b] -> top "a b" x4 -> 8/8
+    assert got[0].top_bigram_frac == 1.0 and got[0].repetitious
+    # doc 1: every bigram distinct -> 2/20
+    assert got[1].top_bigram_frac == 0.1 and not got[1].repetitious
+    # doc 2: 9 tokens, trigrams total 7, distinct 3 -> dup frac 1-3/7
+    assert abs(got[2].dup_trigram_frac - (1 - 3 / 7)) < 1e-6
+    assert got[2].repetitious
+    # degenerate docs: all zeros, not flagged
+    for d in (3, 4):
+        assert got[d].top_bigram_frac == 0.0
+        assert got[d].dup_trigram_frac == 0.0
+        assert not got[d].repetitious
+
+
+def test_decontaminate(spark):
+    from search_engine_spark.operators.dedup import decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = [
+        bench_text,                                        # 0: the benchmark doc
+        "prefix alpha beta gamma delta epsilon zeta eta theta suffix",  # 1: shares an 8-gram
+        "alpha beta gamma delta epsilon zeta eta misses the rest",      # 2: longest shared run is 7
+        "totally unrelated content with no overlap at all here now",    # 3: clean
+    ]
+    df = corpus_from_texts(spark, texts)
+    bench = df.where(F.col("docId") == 0)
+    corpus = df.where(F.col("docId") != 0)
+    got = {
+        r.docId: r
+        for r in decontaminate(corpus, bench, "content", "docId", ngram_n=8).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1].contaminated and got[1].n_hit_ngrams == 1
+    assert not got[2].contaminated and got[2].n_hit_ngrams == 0
+    assert not got[3].contaminated
