@@ -1163,6 +1163,46 @@ def q_t1b_lang_id_nb(spark, sf_dir):
     return lang_id_nb(d, "text", "doc_id")
 
 
+def q_t10_pii_scrub(spark, sf_dir):
+    """t10: PII redaction (emails + phone numbers counted and stripped).
+    The synthetic corpus has no organic PII, so the query plants
+    deterministic PII derived from doc_id on both the Spark and oracle
+    sides, then proves the scrub removes it (md5 of the scrubbed text)."""
+    from search_engine_spark.operators.textstats import pii_scrub
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    phone = F.format_string(
+        "555-%03d-%04d",
+        (F.col("doc_id") % 1000).cast("int"),
+        (F.col("doc_id") % 10000).cast("int"),
+    )
+    aug = d.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.concat(F.lit("user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+            F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("call "), phone)).otherwise(
+                F.lit("no phone")
+            ),
+        ).alias("text"),
+    )
+    out = pii_scrub(aug, "text", "doc_id")
+    return out.select(
+        "doc_id", "n_email", "n_phone", F.md5("scrubbed").alias("scrubbed_md5")
+    )
+
+
+def q_st2_user_sessions(spark, sf_dir):
+    """st2: gap-based sessionization of the events stream (Structured
+    Streaming ``session_window``, run here in its batch-equivalent mode —
+    exactly like st1's windowed aggregation)."""
+    from search_engine_spark.streaming.ingest import user_sessions
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return user_sessions(e, gap="30 minutes")
+
+
 def q_t2_quality(spark, sf_dir):
     from search_engine_spark.operators.textstats import quality_score
 
@@ -1314,6 +1354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_fingerprint": q_t3_fingerprint,
         "t8_repetition_stats": q_t8_repetition,
         "d7_decontaminate": q_d7_decontaminate,
+        "t10_pii_scrub": q_t10_pii_scrub,
+        "st2_user_sessions": q_st2_user_sessions,
         "m1_media_meta": q_m1_media_meta,
         "m2_media_features": q_m2_media_features,
     }
@@ -2247,6 +2289,48 @@ def oracle_sql() -> dict[str, str]:
               coalesce(h.n, 0) > 0 AS contaminated
             FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
             LEFT JOIN hits h USING (doc_id)
+        """,
+        "t10_pii_scrub": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                concat_ws(' ', text,
+                  'user' || doc_id::varchar || '@example.com',
+                  CASE WHEN doc_id % 3 = 0
+                       THEN 'call ' || printf('555-%03d-%04d', doc_id % 1000, doc_id % 10000)
+                       ELSE 'no phone' END) AS text
+              FROM documents
+            )
+            SELECT doc_id,
+              len(regexp_extract_all(lower(text),
+                  '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+'))::int AS n_email,
+              len(regexp_extract_all(lower(text),
+                  '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}'))::int AS n_phone,
+              md5(regexp_replace(
+                    regexp_replace(lower(text),
+                      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+', '[EMAIL]', 'g'),
+                    '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '[PHONE]', 'g')) AS scrubbed_md5
+            FROM aug
+        """,
+        "st2_user_sessions": """
+            WITH o AS (
+              SELECT user_id, event_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            )
+            SELECT user_id,
+              strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+              strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+              count(*)::int64 AS n_events,
+              round(sum(value), 6) AS sum_value
+            FROM s GROUP BY user_id, sid
         """,
         "m1_media_meta": """
             SELECT doc_id, 'application/octet-stream' AS mime,

@@ -231,3 +231,37 @@ def fingerprint(
         F.array_max(hashes).alias("fp_max"),
         F.size(sh).alias("n_shingles"),
     )
+
+
+# PII patterns restricted to constructs with identical semantics in Java
+# (Spark) and RE2 (DuckDB): character classes, bounded repetition, no
+# backrefs/lookaround. Email first — redacting it prevents the phone rule
+# from matching digit runs inside an address local part.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+", "[EMAIL]"),
+    ("phone", r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}", "[PHONE]"),
+)
+
+
+def pii_scrub(df: DataFrame, text: str = "content", id_col: str = "docId") -> DataFrame:
+    """PII redaction for training-data pipelines: count and strip email
+    addresses and phone numbers (the standard pre-training scrub; cf. the
+    C4 / RefinedWeb cleaning stages).
+
+    Returns ``(id, n_email, n_phone, scrubbed)`` where ``scrubbed`` is the
+    text with each match replaced by its placeholder, applied in the fixed
+    :data:`PII_PATTERNS` order.
+
+    Scale shape: pure per-row JVM regex expressions (``regexp_extract_all``
+    for counts, chained ``regexp_replace`` for the rewrite) — whole-stage
+    codegen, zero shuffle, zero Python; the oracle mirrors the same RE2-safe
+    patterns verbatim."""
+    col = F.lower(F.col(text))
+    counts = [
+        F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = col
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.select(F.col(id_col), *counts, scrubbed.alias("scrubbed"))

@@ -91,3 +91,44 @@ def windowed_term_counts(
         .agg(F.count("*").alias("tf"))
         .select(F.col("w.start").alias("window_start"), "term", "tf")
     )
+
+
+def user_sessions(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    time_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: group each user's events into sessions
+    separated by more than ``gap`` of inactivity — Structured Streaming's
+    ``session_window`` (the EventsByStreamer analog of the brief's streaming
+    surface; the reference has no temporal operators at all).
+
+    Boundary semantics (verified empirically): an event exactly ``gap``
+    after its predecessor MERGES into the same session (windows touching at
+    a point overlap); the session ends at ``last_ts + gap``. The DuckDB
+    oracle mirrors this with a strict ``ts - lag(ts) > gap`` break in a
+    gaps-and-islands rewrite.
+
+    Works identically over a batch frame or a stream; pass ``watermark``
+    when streaming so state for closed sessions is evicted. Scale shape:
+    ONE shuffle keyed by (key, merged window) — Spark merges overlapping
+    session windows inside the aggregation (partial merge map-side), no
+    per-user global sort, no Python."""
+    src = events.withWatermark(time_col, watermark) if watermark else events
+    return (
+        src.groupBy(F.col(key_col), F.session_window(time_col, gap).alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+        )
+        .select(
+            key_col,
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -799,3 +799,21 @@ def test_decontaminate(spark):
     assert got[1].contaminated and got[1].n_hit_ngrams == 1
     assert not got[2].contaminated and got[2].n_hit_ngrams == 0
     assert not got[3].contaminated
+
+
+def test_pii_scrub(spark):
+    from search_engine_spark.operators.textstats import pii_scrub
+
+    texts = [
+        "contact me at john.doe+spam@mail.example.org or 415-555-0199 thanks",
+        "no pii here just words",
+        "two mails a@b.io c.d@e-f.co and dotted phone 212.867.5309 end",
+    ]
+    df = corpus_from_texts(spark, texts)
+    got = {r.docId: r for r in pii_scrub(df, "content", "docId").collect()}
+    assert (got[0].n_email, got[0].n_phone) == (1, 1)
+    assert got[0].scrubbed == "contact me at [EMAIL] or [PHONE] thanks"
+    assert (got[1].n_email, got[1].n_phone) == (0, 0)
+    assert got[1].scrubbed == texts[1]
+    assert (got[2].n_email, got[2].n_phone) == (2, 1)
+    assert got[2].scrubbed == "two mails [EMAIL] [EMAIL] and dotted phone [PHONE] end"

@@ -9,6 +9,7 @@ from datetime import datetime, timedelta
 
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -369,3 +370,72 @@ def test_stream_serving_equals_batch_scoring(spark, tmp_path):
     assert batches == {0, 1}
     got7 = spark.read.parquet(f"{out}/batch=1").collect()
     assert {int(r.qid) for r in got7} == {7} and len(got7) >= 1
+
+
+def test_user_sessions_batch_boundaries(spark):
+    from search_engine_spark.streaming.ingest import user_sessions
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user 1: three events chained within the gap, then a clean break
+        (1, t0, 1.0),
+        (1, t0 + timedelta(minutes=29, seconds=59), 2.0),
+        (1, t0 + timedelta(minutes=59, seconds=58), 4.0),
+        (1, t0 + timedelta(minutes=90, seconds=30), 8.0),
+        # user 2: an event EXACTLY gap after its predecessor merges
+        (2, t0, 1.0),
+        (2, t0 + timedelta(minutes=30), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.sum_value)
+        for r in user_sessions(df, gap="30 minutes").collect()
+    }
+    assert got[(1, "2024-01-01 00:00:00")] == ("2024-01-01 01:29:58", 3, 7.0)
+    assert got[(1, "2024-01-01 01:30:30")] == ("2024-01-01 02:00:30", 1, 8.0)
+    # exact-gap event merged: one session of 2 events ending last_ts + gap
+    assert got[(2, "2024-01-01 00:00:00")] == ("2024-01-01 01:00:00", 2, 3.0)
+    assert len(got) == 3
+
+
+def test_user_sessions_streaming_matches_batch(spark, tmp_path):
+    from search_engine_spark.streaming.ingest import user_sessions
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + timedelta(minutes=m), float(m)) for m in (0, 10, 50, 120, 125)
+    ] + [(2, t0 + timedelta(minutes=m), float(m)) for m in (5, 90, 95, 200)]
+    schema = StructType([
+        StructField("user_id", LongType(), False),
+        StructField("ts", TimestampType(), False),
+        StructField("value", DoubleType(), False),
+    ])
+    src = tmp_path / "sess_ev"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    agg = user_sessions(stream, gap="30 minutes", watermark="1 minute")
+    out = str(tmp_path / "sess_out")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = user_sessions(spark.createDataFrame(rows, schema), gap="30 minutes")
+    # append mode emits sessions closed by the final watermark (max ts - 1m):
+    # every session ending before it must appear with identical aggregates
+    wm = max(ts for _, ts, _ in rows) - timedelta(minutes=1)
+    exp = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.sum_value)
+        for r in batch.collect()
+        if datetime.strptime(r.session_end, "%Y-%m-%d %H:%M:%S") <= wm
+    }
+    assert exp and all(got.get(k) == v for k, v in exp.items())
