@@ -133,6 +133,29 @@ def _write_porter_side_table(spark: SparkSession, sf_dir: str) -> None:
     side.write.mode("overwrite").parquet(out)
 
 
+def _index_fielded(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
+    """Fielded variant of :func:`_index`: lang and repo columns indexed as
+    ``lang:<tok>`` / ``repo:<tok>`` terms next to the content terms."""
+    key = (sf_dir, "naive-fielded")
+    if key not in _INDEX_CACHE:
+        from search_engine_spark.sources.segments import build_index
+
+        idx = os.path.join(
+            tempfile.gettempdir(),
+            "se_idx_fielded_" + sf_dir.strip("/").replace("/", "_"),
+        )
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        m = build_index(
+            spark, _docs(spark, sf_dir), idx, analyzer="naive",
+            n_batches=2, num_segments=8, heavy_threshold=None, n_salts=4,
+            fields={"lang": "naive", "repo": "naive"},
+        )
+        _INDEX_CACHE[key] = (idx, m)
+    return _INDEX_CACHE[key]
+
+
 def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators.build import build_postings
 
@@ -206,6 +229,28 @@ def q_q2_keyword(spark, sf_dir):
 
     p = _postings(spark, sf_dir)
     return search_keyword(p, Q_KEYWORD).select(F.col("docId").alias("doc_id"))
+
+
+def q_q2fl_field_search(spark, sf_dir):
+    """q2fl: fielded search through the real segment store — content term
+    AND two field constraints (lang:en, repo:testdata/src3), all three just
+    posting lists in the same index (build_index(fields=…))."""
+    from search_engine_spark.operators.query import (
+        analyze_query,
+        field_terms,
+        search_and,
+    )
+    from search_engine_spark.sources.segments import decode_postings, load_segments
+
+    idx, _ = _index_fielded(spark, sf_dir)
+    segs = load_segments(spark, idx)
+    terms = (
+        analyze_query([Q_KEYWORD], "naive")
+        + field_terms("lang", ["en"])
+        + field_terms("repo", ["testdata/src3"])
+    )
+    dec = decode_postings(segs, terms)
+    return search_and(dec, terms).select(F.col("docId").alias("doc_id"))
 
 
 def q_q3_and(spark, sf_dir):
@@ -1302,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b3_term_stats": q_b3_term_stats,
         "q7_corpus_stats": q_q7_corpus_stats,
         "q2_keyword_search": q_q2_keyword,
+        "q2fl_field_search": q_q2fl_field_search,
         "q3_and_search": q_q3_and,
         "q4_or_search": q_q4_or,
         "q5_phrase_search": q_q5_phrase,
@@ -1790,6 +1836,13 @@ def oracle_sql() -> dict[str, str]:
         "q2_keyword_search": f"""
             WITH {_TOKS}
             SELECT DISTINCT doc_id FROM postings WHERE term = '{Q_KEYWORD}'
+        """,
+        "q2fl_field_search": f"""
+            WITH {_TOKS}
+            SELECT DISTINCT p.doc_id FROM postings p
+            JOIN documents d ON p.doc_id = d.doc_id
+            WHERE p.term = '{Q_KEYWORD}'
+              AND d.lang = 'en' AND d.source = 'src3'
         """,
         "q3_and_search": f"""
             WITH {_TOKS}

@@ -7,7 +7,7 @@ Usage::
         --output <index dir> \
         [--format parquet|iceberg] [--analyzer porter_code] [--batches 4] \
         [--segments 512] [--heavy-threshold 100000] [--salts 16] \
-        [--heavy-sample-mod 16] [--no-positions]
+        [--heavy-sample-mod 16] [--no-positions] [--field lang --field path]
 
 Re-running after a crash resumes from the manifest: committed batches are
 skipped byte-identically (segments.py). On a cluster, --segments should be
@@ -47,6 +47,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--no-positions", action="store_true")
     ap.add_argument(
+        "--field", action="append", default=[],
+        help="index an extra column as fielded terms, col[=analyzer] "
+        "(repeatable; default analyzer naive). Queryable as col:token "
+        "via jobs/query.py --field",
+    )
+    ap.add_argument(
         "--clustered-ids", action="store_true",
         help="assign docIds clustered by repo (contiguous per-repo ranges) "
         "so block-max WAND skips whole block runs on repo-correlated "
@@ -82,6 +88,10 @@ def main(argv: list[str] | None = None) -> int:
         analyzer=a.analyzer, n_batches=a.batches, num_segments=a.segments,
         heavy_threshold=a.heavy_threshold, n_salts=a.salts,
         with_positions=not a.no_positions, heavy_sample_mod=a.heavy_sample_mod,
+        fields={
+            spec.partition("=")[0]: (spec.partition("=")[2] or "naive")
+            for spec in a.field
+        } or None,
     )
     dt = time.time() - t0
     s = m["stats"]

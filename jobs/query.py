@@ -10,8 +10,9 @@ Modes: bm25 (block-max DAAT), tfidf (reference-parity cosine), and/or/phrase
 near (--window positional proximity), not (--exclude anti-terms),
 fuzzy (--max-dist/--max-expansions typo-tolerant dictionary expansion),
 suggest (did-you-mean term corrections), mlt (--corpus more-like-this: the
-single positional arg is the seed docId). Prints one JSON line with
-results + latency.
+single positional arg is the seed docId). and/keyword accept repeatable
+--field col=value constraints against a fielded index
+(build_index(fields=…)). Prints one JSON line with results + latency.
 
 Tombstoned docs (jobs/delete.py / operators/delete.py) are excluded by
 default — the DAAT kernel masks them as blocks decode, the boolean paths
@@ -46,6 +47,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="mlt mode: corpus parquet dir (seed-doc text source)")
     ap.add_argument("--top-terms", type=int, default=10,
                     help="mlt mode: seed terms kept by tf-idf weight")
+    ap.add_argument("--field", action="append", default=[],
+                    help="and/keyword modes: col=value fielded-index "
+                         "constraint (repeatable; needs fields= at build)")
     ap.add_argument("--master", default=None, help="local testing only")
     ap.add_argument(
         "--ignore-deleted", action="store_true",
@@ -58,6 +62,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from search_engine_spark.operators.query import (
         analyze_query,
+        field_terms,
         fuzzy_candidates,
         search_and,
         search_and_not,
@@ -158,14 +163,32 @@ def main(argv: list[str] | None = None) -> int:
         rows = [{"docId": r.docId} for r in out.limit(a.k).collect()]
     else:
         terms = analyze_query(a.terms, analyzer)
+        # --field col=value constraints AND in as fielded-index terms
+        # (requires an index built with build_index(fields=…))
+        fterms: list[str] = []
+        for spec in a.field:
+            col, _, val = spec.partition("=")
+            if not val:
+                ap.error(f"--field expects col=value, got {spec!r}")
+            fterms.extend(field_terms(col, [val], analyzer))
+        if fterms and a.mode not in ("and", "keyword"):
+            ap.error("--field applies to and/keyword modes")
         dec = live(
-            decode_postings(segs, terms, with_positions=(a.mode == "phrase")), tomb
+            decode_postings(
+                segs, sorted(set(terms + fterms)),
+                with_positions=(a.mode == "phrase"),
+            ),
+            tomb,
         )
         fn = {
-            "and": lambda: search_and(dec, terms),
+            "and": lambda: search_and(dec, terms + fterms),
             "or": lambda: search_or(dec, terms),
             "phrase": lambda: search_phrase(dec, terms),
-            "keyword": lambda: search_keyword(dec, terms[0]),
+            "keyword": lambda: (
+                search_and(dec, [terms[0]] + fterms)
+                if fterms
+                else search_keyword(dec, terms[0])
+            ),
         }[a.mode]
         rows = [{"docId": r.docId} for r in fn().limit(a.k).collect()]
     print(json.dumps({

@@ -144,11 +144,17 @@ def _batch_postings(pdf: pd.DataFrame, fn):
     )
 
 
-def build_postings(corpus: DataFrame, analyzer: str = "porter") -> DataFrame:
+def build_postings(
+    corpus: DataFrame, analyzer: str = "porter", term_prefix: str = ""
+) -> DataFrame:
     """B1 (+A9): corpus -> (term, docId, tf, dl, posbin) posting rows.
 
     Row-level output — the query/oracle surface. The segment BUILD path uses
     :func:`build_miniblocks` (map-side combine) instead.
+
+    ``term_prefix`` namespaces every emitted term (fielded indexing: the
+    ``path:`` / ``lang:`` Lucene-field shape) — applied AFTER analysis so
+    the analyzer never sees or mangles the prefix.
     """
 
     def kernel(batches):
@@ -160,6 +166,8 @@ def build_postings(corpus: DataFrame, analyzer: str = "porter") -> DataFrame:
             if out is None:
                 continue
             terms, docid, tf, dl, posbuf, bbound = out
+            if term_prefix:
+                terms = (term_prefix + pd.Series(terms, dtype=object)).values
             yield pd.DataFrame(
                 {
                     "term": terms,
@@ -508,9 +516,16 @@ def build_miniblocks(
     heavy: list[str] | None = None,
     n_salts: int = 8,
     with_positions: bool = True,
+    term_prefix: str = "",
 ) -> DataFrame:
     """Map-side combine kernel: corpus partition -> packed (term, salt)
-    mini-blocks. Salting happens here (needs per-posting docId)."""
+    mini-blocks. Salting happens here (needs per-posting docId).
+
+    ``term_prefix`` namespaces emitted terms post-analysis (fielded
+    indexing). The prefix is constant per call, so it is applied to the
+    factorized VOCAB (once per unique term, not per posting) and cannot
+    change the sort/grouping order; ``heavy`` membership is checked on the
+    UNPREFIXED analyzed token — skew detection stays field-local."""
     heavy_set = frozenset(heavy or [])
     do_salt = bool(heavy_set) and n_salts > 1
 
@@ -573,8 +588,9 @@ def build_miniblocks(
         lbuf = varbyte_encode(dl_s)
         lbounds = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(_byte_lens(dl_s), out=lbounds[1:])
+        out_vocab = [term_prefix + v for v in vocab] if term_prefix else vocab
         d = {
-            "term": [vocab[int(codes_s[s])] for s in gs],
+            "term": [out_vocab[int(codes_s[s])] for s in gs],
             "salt": salt_s[gs].astype("int32"),
             "ndocs": (ge - gs).astype("int32"),
             "docids": _slice_all(dbuf, gs, ge, dbounds),
@@ -724,10 +740,32 @@ def build_segments_combined(
     heavy: list[str] | None = None,
     n_salts: int = 8,
     with_positions: bool = True,
+    fields: dict[str, tuple[str, list[str]]] | None = None,
 ) -> DataFrame:
     """The build path: map-side combine -> one hash shuffle of mini-blocks ->
-    vectorized merge into packed segments."""
-    mini = build_miniblocks(corpus, analyzer, heavy, n_salts, with_positions)
+    vectorized merge into packed segments.
+
+    ``fields`` maps extra corpus COLUMNS to ``(analyzer, heavy_terms)``:
+    each is tokenized independently and emitted as ``<col>:<token>`` terms
+    (the Lucene fielded-index shape — ``path:util``, ``lang:python``). All
+    field mini-blocks UNION BEFORE the single hash shuffle, so fielding adds
+    zero extra shuffles; field dl is the FIELD's own token length, which is
+    exactly what per-field BM25 wants. Field heavy lists matter at scale:
+    a low-cardinality field term (``lang:en``) is the heaviest posting list
+    in the index and must salt like any skewed content term."""
+    mini = build_miniblocks(
+        corpus.select("docId", "content"), analyzer, heavy, n_salts, with_positions
+    )
+    for col, (fanalyzer, fheavy) in sorted((fields or {}).items()):
+        fmini = build_miniblocks(
+            corpus.select("docId", F.col(col).cast("string").alias("content")),
+            fanalyzer,
+            fheavy,
+            n_salts,
+            with_positions,
+            term_prefix=f"{col}:",
+        )
+        mini = mini.unionByName(fmini)
     mini = mini.repartition(num_segments, "term", "salt")
     packed = mini.mapInArrow(_merge_encoder, SEGMENT_SCHEMA)
     return packed.withColumn("seg", F.spark_partition_id())

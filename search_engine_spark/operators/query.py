@@ -36,6 +36,16 @@ def analyze_query(keywords: list[str], analyzer: str = "porter") -> list[str]:
     return out
 
 
+def field_terms(field: str, values: list[str], analyzer: str = "naive") -> list[str]:
+    """Analyze field query values and namespace them into the fielded-index
+    term space (``lang:en``, ``path:util`` — see ``build_index(fields=…)``).
+    The prefix is applied AFTER analysis, mirroring the build side, so the
+    analyzer never sees the ``:`` separator. The returned terms flow through
+    every existing query operator (keyword/AND/OR/DAAT) unchanged — a field
+    constraint is just another posting list."""
+    return [f"{field}:{t}" for t in analyze_query(values, analyzer)]
+
+
 def postings_for(postings: DataFrame, terms: list[str]) -> DataFrame:
     """S10 seek analog: predicate pushed to the term-sorted parquet scan."""
     if not terms:

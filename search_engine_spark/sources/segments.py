@@ -162,8 +162,16 @@ def build_index(
     n_salts: int = 8,
     with_positions: bool = True,
     heavy_sample_mod: int = 64,
+    fields: dict[str, str] | None = None,
 ) -> dict:
     """Resumable batched index build. Returns the final manifest.
+
+    ``fields`` maps extra corpus columns to their analyzers; each field's
+    tokens index as ``<col>:<token>`` terms next to the content terms
+    (fielded search — see ``build_segments_combined``). Field skew is
+    detected with the same sampled pass as content skew, because
+    low-cardinality field terms (``lang:en``) are the most skewed posting
+    lists in the index.
 
     Each batch = reference ``flush`` unit: select corpus slice by
     ``xxhash64(docId) % n_batches``, build postings, salt heavy terms, one
@@ -188,11 +196,12 @@ def build_index(
             "num_segments": num_segments,
             "n_salts": n_salts,
             "with_positions": with_positions,
+            "fields": sorted(fields) if fields else [],
             "lineage": m.get("lineage", [])
             or [{"input": "corpus-df", "created_at": time.time()}],
         }
     )
-    corpus = corpus.select("docId", "content")
+    corpus = corpus.select("docId", "content", *sorted(fields or {}))
     for i in range(n_batches):
         key = str(i)
         if m["batches"].get(key, {}).get("committed"):
@@ -207,6 +216,7 @@ def build_index(
             analyzer=analyzer, num_segments=num_segments,
             heavy_threshold=heavy_threshold, n_salts=n_salts,
             with_positions=with_positions, heavy_sample_mod=heavy_sample_mod,
+            fields=fields,
         )
         m["batches"] = committed.get("batches", m["batches"])
     return finalize_index(spark, index_dir)
@@ -224,6 +234,7 @@ def build_one_batch(
     n_salts: int = 8,
     with_positions: bool = True,
     heavy_sample_mod: int = 64,
+    fields: dict[str, str] | None = None,
 ) -> dict:
     """Build and atomically commit ONE batch under its own key/directory.
 
@@ -234,17 +245,34 @@ def build_one_batch(
     if m["batches"].get(key, {}).get("committed"):
         return m
     t0 = time.time()
-    corpus_cols = sub.select("docId", "content")
+    corpus_cols = sub.select("docId", "content", *sorted(fields or {}))
     # Skew stats from a deterministic docId-hash slice: neither a second full
     # tokenize pass nor a persist of raw postings — both dominate at scale.
     heavy: list[str] = (
         []
         if heavy_threshold is None
-        else heavy_terms_sampled(corpus_cols, analyzer, heavy_threshold, heavy_sample_mod)
+        else heavy_terms_sampled(
+            corpus_cols.select("docId", "content"), analyzer, heavy_threshold,
+            heavy_sample_mod,
+        )
     )
+    field_specs: dict[str, tuple[str, list[str]]] = {}
+    for col, fanalyzer in sorted((fields or {}).items()):
+        fheavy: list[str] = (
+            []
+            if heavy_threshold is None
+            else heavy_terms_sampled(
+                corpus_cols.select(
+                    "docId", F.col(col).cast("string").alias("content")
+                ),
+                fanalyzer, heavy_threshold, heavy_sample_mod,
+            )
+        )
+        field_specs[col] = (fanalyzer, fheavy)
     # map-side combine: the shuffle moves packed per-term mini-blocks
     seg = build_segments_combined(
-        corpus_cols, analyzer, num_segments, heavy, n_salts, with_positions
+        corpus_cols, analyzer, num_segments, heavy, n_salts, with_positions,
+        fields=field_specs or None,
     )
     out = os.path.join(index_dir, "segments", f"batch={key}")
     seg.write.mode("overwrite").parquet(out)

@@ -349,3 +349,41 @@ def test_concurrent_batch_commit_and_compaction(spark, tmp_index):
     assert any(t[0] == "zzznew" for t in new_only)  # batch 9's data survived
     assert before <= after  # nothing lost, nothing doubled
     assert len(after) == len(before) + len(new_only)
+
+
+def test_fielded_index_build_and_query(spark, tmp_path):
+    """Fielded indexing: field tokens land as <col>:<token> terms in the
+    SAME segment store, queryable through unchanged operators; field dl is
+    the field's own token length (per-field BM25 shape)."""
+    from search_engine_spark.operators.query import (
+        field_terms,
+        search_and,
+        search_keyword,
+    )
+
+    corpus = corpus_from_texts(spark, MERGE_DOCS).withColumn(
+        "lang", F.when(F.col("docId") < 2, "en").otherwise("de")
+    )
+    idx = str(tmp_path / "fielded_idx")
+    S.build_index(
+        spark, corpus, idx, analyzer="naive", n_batches=1, num_segments=4,
+        fields={"lang": "naive", "path": "naive"},
+    )
+    segs = S.load_segments(spark, idx)
+    dec = S.decode_postings(
+        segs, ["dog", "lang:en", "lang:de", "path:doc_1", "what"]
+    )
+    # field-only query: lang:de == docs 2,3
+    assert sorted(
+        r.docId for r in search_keyword(dec, "lang:de").collect()
+    ) == [2, 3]
+    # mixed content+field AND: dog AND lang:de == doc 3 only
+    got = search_and(dec, ["dog"] + field_terms("lang", ["de"])).collect()
+    assert [r.docId for r in got] == [3]
+    # path field (unique per doc) behaves as a point lookup
+    assert [r.docId for r in search_keyword(dec, "path:doc_1").collect()] == [1]
+    # field dl is the FIELD length (1 token), not the content length
+    rows = dec.where(F.col("term") == "lang:en").collect()
+    assert rows and all(r.dl == 1 for r in rows)
+    # content postings are untouched by fielding
+    assert sorted(r.docId for r in search_keyword(dec, "what").collect()) == [0, 1]

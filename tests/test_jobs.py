@@ -6,6 +6,7 @@ import json
 import sys
 
 import pytest
+from pyspark.sql import functions as F
 
 sys.path.insert(0, "/root/repo")
 
@@ -256,3 +257,51 @@ def test_compact_job_auto(built, spark, capsys):
     assert rc == 0
     after = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert before["results"] == after["results"]
+
+
+def test_fielded_build_and_field_query_jobs(spark, tmp_path_factory, capsys):
+    """--field end to end: build a fielded index via the build job, then
+    constrain and/keyword queries by field through the query job."""
+    from jobs.build_index import main as build_main
+    from jobs.query import main as query_main
+
+    from search_engine_spark.sources.corpus import synthetic_corpus
+
+    root = tmp_path_factory.mktemp("fielded_jobs")
+    src, idx = str(root / "corpus"), str(root / "index")
+    corpus = synthetic_corpus(spark, n_docs=80, vocab_size=300, seed=7)
+    corpus.write.parquet(src)
+    rc = build_main([
+        "--input", src, "--output", idx, "--analyzer", "naive",
+        "--batches", "1", "--segments", "4", "--master", "local[4]",
+        "--field", "lang", "--field", "repo",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+
+    def run(args):
+        rc = query_main(["--index", idx, "--master", "local[4]", *args])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        return {r["docId"] for r in out["results"]}
+
+    langs = {r.lang for r in corpus.select("lang").distinct().collect()}
+    lang = sorted(langs)[0]
+    kw = next(
+        r.term for r in spark.read.parquet(src)
+        .select(F.explode(F.split(F.lower("content"), r"\s+")).alias("term"))
+        .groupBy("term").count().orderBy(F.desc("count")).limit(1).collect()
+    )
+    all_hits = run(["--mode", "keyword", "--k", "1000", kw])
+    fielded = run(["--mode", "keyword", "--k", "1000", "--field", f"lang={lang}", kw])
+    in_lang = {
+        r.docId for r in corpus.where(F.col("lang") == lang).select("docId").collect()
+    }
+    assert fielded == all_hits & in_lang
+    assert fielded < all_hits  # the constraint actually prunes
+    # and-mode accepts fields too; or-mode rejects them
+    and_hits = run(["--mode", "and", "--k", "1000", "--field", f"lang={lang}", kw])
+    assert and_hits == fielded
+    with pytest.raises(SystemExit):
+        query_main(["--index", idx, "--master", "local[4]", "--mode", "or",
+                    "--field", f"lang={lang}", kw])
