@@ -253,6 +253,27 @@ def q_q2fl_field_search(spark, sf_dir):
     return search_and(dec, terms).select(F.col("docId").alias("doc_id"))
 
 
+def q_q8f_fielded_bm25(spark, sf_dir):
+    """q8f: per-field weighted BM25 (BM25F-lite) over the fielded index —
+    content terms at weight 1.0 plus lang:en (0.4) and repo:testdata/src3
+    (0.8), each field scored with its OWN avgdl."""
+    from search_engine_spark.operators.rank import Scorer, score_query_fielded
+    from search_engine_spark.sources.segments import load_segments, load_term_stats
+
+    idx, m = _index_fielded(spark, sf_dir)
+    segs, stats = load_segments(spark, idx), load_term_stats(spark, idx)
+    out = score_query_fielded(
+        spark, segs, stats,
+        {None: (Q_RANKED, 1.0), "lang": (["en"], 0.4),
+         "repo": (["testdata/src3"], 0.8)},
+        m["stats"]["n_docs"], m["stats"]["avgdl_by_field"], Scorer("bm25"),
+        k=TOPK, analyzer="naive",
+    )
+    return out.select(
+        F.col("docId").alias("doc_id"), F.round("score", 6).alias("score")
+    )
+
+
 def q_q3_and(spark, sf_dir):
     from search_engine_spark.operators.query import search_and
 
@@ -1348,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_corpus_stats": q_q7_corpus_stats,
         "q2_keyword_search": q_q2_keyword,
         "q2fl_field_search": q_q2fl_field_search,
+        "q8f_fielded_bm25": q_q8f_fielded_bm25,
         "q3_and_search": q_q3_and,
         "q4_or_search": q_q4_or,
         "q5_phrase_search": q_q5_phrase,
@@ -1836,6 +1858,39 @@ def oracle_sql() -> dict[str, str]:
         "q2_keyword_search": f"""
             WITH {_TOKS}
             SELECT DISTINCT doc_id FROM postings WHERE term = '{Q_KEYWORD}'
+        """,
+        "q8f_fielded_bm25": f"""
+            WITH {_TOKS},
+            {_bm25_scored_ctes(_qterm_values(Q_RANKED))},
+            lang_df AS (
+              SELECT lang, count(*)::double AS df FROM documents GROUP BY lang
+            ),
+            repo_df AS (
+              SELECT source, count(*)::double AS df FROM documents GROUP BY source
+            ),
+            -- one-token fields: dl = avgdl = tf = 1, so saturation = 1 and
+            -- the field part is exactly weight * idf(field df)
+            lang_scored AS (
+              SELECT d.doc_id,
+                0.4 * ln((s.n - t.df + 0.5) / (t.df + 0.5) + 1.0) AS score
+              FROM documents d CROSS JOIN stats s JOIN lang_df t USING (lang)
+              WHERE d.lang = 'en'
+            ),
+            repo_scored AS (
+              SELECT d.doc_id,
+                0.8 * ln((s.n - t.df + 0.5) / (t.df + 0.5) + 1.0) AS score
+              FROM documents d CROSS JOIN stats s JOIN repo_df t USING (source)
+              WHERE d.source = 'src3'
+            ),
+            combined AS (
+              SELECT doc_id, sum(score) AS score FROM (
+                SELECT doc_id, score FROM scored
+                UNION ALL SELECT doc_id, score FROM lang_scored
+                UNION ALL SELECT doc_id, score FROM repo_scored
+              ) GROUP BY doc_id
+            )
+            SELECT doc_id, round(score, 6) AS score FROM combined
+            ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
         """,
         "q2fl_field_search": f"""
             WITH {_TOKS}

@@ -1466,3 +1466,69 @@ def search_after(
         | ((F.col("score") == s0) & (F.col(id_col) > d0))
     )
     return nxt.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def score_query_fielded(
+    spark: SparkSession,
+    segments: DataFrame,
+    term_stats,
+    field_queries: dict[str | None, tuple[list[str], float]],
+    n_docs: int,
+    avgdl_by_field: dict[str, float],
+    scorer: Scorer = Scorer("bm25"),
+    k: int | None = 10,
+    analyzer: str = "porter",
+    deleted: np.ndarray | None = None,
+    docid_span: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Per-field weighted BM25 over a fielded index (``build_index(fields=…)``):
+    ``score(d) = Σ_f w_f · BM25_f(q_f, d)`` — the practical core of BM25F
+    (per-field saturation with field weights; true BM25F additionally pools
+    tf across fields before saturation, which collapses to this form when
+    query terms touch disjoint field vocabularies, as namespaced terms
+    guarantee here).
+
+    ``field_queries`` maps a field name (``None`` = content) to
+    ``(values, weight)``; ``avgdl_by_field`` comes from the manifest's
+    ``stats.avgdl_by_field`` (finalize_index records it for fielded builds —
+    BM25's length normalization must use the FIELD's avgdl, not the global
+    mix; for one-token fields like ``lang`` the saturation term is exactly 1
+    and the field contribution reduces to ``w_f · idf_f``).
+
+    Scale shape: one block-max DAAT pass per field (each with its own term
+    pushdown + bucketized kernel), then the per-field candidate score sets —
+    NOT the corpus — union and sum in one partial+final agg before
+    TakeOrderedAndProject. Weighting selective fields (path, repo) is cheap;
+    scoring a low-selectivity field (``lang:en`` matches a quarter of the
+    corpus) costs a scan of that posting list by design — prefer a field
+    CONSTRAINT (``search_and`` + field term) when you mean a filter, and
+    keep field WEIGHTS for fields that discriminate."""
+    from .query import field_terms
+
+    parts = []
+    for field, (values, weight) in sorted(
+        field_queries.items(), key=lambda kv: kv[0] or ""
+    ):
+        if field is None:
+            kws, f_analyzer, avgdl_f = values, analyzer, avgdl_by_field[""]
+        else:
+            # field terms are pre-namespaced; 'naive' keeps them intact
+            kws = field_terms(field, values, "naive")
+            f_analyzer, avgdl_f = "naive", avgdl_by_field[field]
+        scored = score_query_daat(
+            spark, segments, term_stats, kws, n_docs, avgdl_f, scorer,
+            k=None, analyzer=f_analyzer, ties="asc", deleted=deleted,
+            docid_span=docid_span,
+        )
+        parts.append(scored.select("docId", (F.col("score") * weight).alias("score")))
+    if not parts:
+        return spark.createDataFrame([], SCORE_SCHEMA)
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    out = (
+        allp.groupBy("docId")
+        .agg(F.sum("score").alias("score"))
+        .orderBy(F.desc("score"), F.asc("docId"))
+    )
+    return out.limit(k) if k is not None else out

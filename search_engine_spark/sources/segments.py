@@ -332,7 +332,7 @@ def build_one_batch(
     # the window since our read_manifest survives (update_manifest holds
     # the flock for the read+merge+rename only)
     cfg_keys = ("analyzer", "codec", "n_batches", "num_segments", "n_salts",
-                "with_positions", "lineage")
+                "with_positions", "fields", "lineage")
     cfg = {c: m[c] for c in cfg_keys if c in m}
 
     def _commit(fresh: dict) -> None:
@@ -360,6 +360,20 @@ def finalize_index(spark: SparkSession, index_dir: str) -> dict:
         F.min("min_docid").alias("lo"),
         F.max(F.element_at("block_last_docid", -1)).alias("hi"),
     ).collect()[0]
+    # fielded index: per-field token sums (segment-level agg — no posting
+    # decode) so per-field BM25 can use the FIELD's avgdl, not the global
+    # mix. Content tokens = total − Σ field tokens.
+    fields = read_manifest(index_dir).get("fields") or []
+    field_tokens: dict[str, int] = {}
+    if fields:
+        pref = F.split(F.col("term"), ":", 2).getItem(0)
+        rows = (
+            segs.where(F.col("term").contains(":"))
+            .groupBy(pref.alias("f"))
+            .agg(F.sum("sum_tf").alias("tok"))
+            .collect()
+        )
+        field_tokens = {r["f"]: int(r["tok"]) for r in rows if r["f"] in set(fields)}
 
     def _commit(fresh: dict) -> None:
         bs = [b for b in fresh.get("batches", {}).values() if b.get("committed")]
@@ -373,6 +387,12 @@ def finalize_index(spark: SparkSession, index_dir: str) -> dict:
             "docid_lo": int(span["lo"]) if span["lo"] is not None else None,
             "docid_hi": int(span["hi"]) if span["hi"] is not None else None,
         }
+        if field_tokens and n_docs:
+            content_tokens = total_tokens - sum(field_tokens.values())
+            fresh["stats"]["avgdl_by_field"] = {
+                "": content_tokens / n_docs,
+                **{f: tok / n_docs for f, tok in sorted(field_tokens.items())},
+            }
         fresh["finalized"] = True
 
     return update_manifest(index_dir, _commit)

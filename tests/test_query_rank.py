@@ -581,3 +581,49 @@ def test_search_after_pagination(spark, phrase_index):
     # cursor past the end -> empty page
     last = (full[-1].score, full[-1].docId)
     assert R.search_after(scored, last, 5).collect() == []
+
+
+def test_score_query_fielded(spark, tmp_path):
+    """Fielded weighted BM25: content-only fielded query equals plain DAAT;
+    one-token field contributions are exactly weight * idf(field df)."""
+    import math
+
+    corpus = corpus_from_texts(spark, TFIDF_DOCS, analyzer_ids=None).withColumn(
+        "lang", F.when(F.col("docId") == 0, "en").otherwise("de")
+    )
+    idx = str(tmp_path / "fielded_rank_idx")
+    m = S.build_index(
+        spark, corpus, idx, analyzer="naive", n_batches=1, num_segments=4,
+        fields={"lang": "naive"},
+    )
+    segs, stats = S.load_segments(spark, idx), S.load_term_stats(spark, idx)
+    nd = m["stats"]["n_docs"]
+    by_field = m["stats"]["avgdl_by_field"]
+    assert by_field["lang"] == pytest.approx(1.0)
+
+    q = ["rotten", "apple"]
+    plain = R.score_query_daat(
+        spark, segs, stats, q, nd, by_field[""], R.Scorer("bm25"),
+        k=None, analyzer="naive", ties="asc",
+    )
+    content_only = R.score_query_fielded(
+        spark, segs, stats, {None: (q, 1.0)}, nd, by_field,
+        k=None, analyzer="naive",
+    )
+    a = {r.docId: r.score for r in plain.collect()}
+    b = {r.docId: r.score for r in content_only.collect()}
+    assert a.keys() == b.keys()
+    assert all(abs(a[d] - b[d]) < 1e-9 for d in a)
+
+    both = {
+        r.docId: r.score
+        for r in R.score_query_fielded(
+            spark, segs, stats, {None: (q, 1.0), "lang": (["en"], 0.5)},
+            nd, by_field, k=None, analyzer="naive",
+        ).collect()
+    }
+    idf_en = math.log((nd - 1 + 0.5) / (1 + 0.5) + 1.0)  # df(lang:en) = 1
+    assert both[0] == pytest.approx(a[0] + 0.5 * idf_en, abs=1e-9)
+    for d in (1, 2):
+        if d in a:
+            assert both[d] == pytest.approx(a[d], abs=1e-9)
