@@ -50,6 +50,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--field", action="append", default=[],
                     help="and/keyword modes: col=value fielded-index "
                          "constraint (repeatable; needs fields= at build)")
+    ap.add_argument("--boost-field", action="append", default=[],
+                    help="bm25 mode: col=value:weight fielded-BM25 part "
+                         "(repeatable; needs fields= at build + finalized "
+                         "avgdl_by_field)")
     ap.add_argument("--master", default=None, help="local testing only")
     ap.add_argument(
         "--ignore-deleted", action="store_true",
@@ -94,7 +98,10 @@ def main(argv: list[str] | None = None) -> int:
     analyzer = m.get("analyzer", "porter")
     segs = load_segments(spark, a.index)
     stats = load_term_stats(spark, a.index)
-    n_docs, avgdl = m["stats"]["n_docs"], m["stats"]["avgdl"]
+    n_docs = m["stats"]["n_docs"]
+    # fielded indexes: stats.avgdl is the global token mix (content + field
+    # tokens); content-scoring paths must use the content field's own avgdl
+    avgdl = m["stats"].get("avgdl_by_field", {}).get("", m["stats"]["avgdl"])
     tomb = None if a.ignore_deleted else load_tombstones(spark, a.index)
     deleted = None if tomb is None else deleted_array(spark, a.index)
 
@@ -104,7 +111,25 @@ def main(argv: list[str] | None = None) -> int:
     span = (lo, hi) if lo is not None and hi is not None else None
 
     t0 = time.time()
-    if a.mode == "bm25":
+    if a.mode == "bm25" and a.boost_field:
+        from search_engine_spark.operators.rank import score_query_fielded
+
+        by_field = m["stats"].get("avgdl_by_field")
+        if not by_field:
+            ap.error("--boost-field needs an index built with fields=")
+        fq = {None: (list(a.terms), 1.0)}
+        for spec in a.boost_field:
+            col_val, _, w = spec.rpartition(":")
+            col, _, val = col_val.partition("=")
+            if not val or not w:
+                ap.error(f"--boost-field expects col=value:weight, got {spec!r}")
+            fq[col] = ([val], float(w))
+        out = score_query_fielded(
+            spark, segs, stats, fq, n_docs, by_field, Scorer("bm25"),
+            k=a.k, analyzer=analyzer, deleted=deleted, docid_span=span,
+        )
+        rows = [{"docId": r.docId, "score": round(r.score, 6)} for r in out.collect()]
+    elif a.mode == "bm25":
         out = score_query_daat(spark, segs, stats, a.terms, n_docs, avgdl,
                                Scorer("bm25"), k=a.k, analyzer=analyzer,
                                deleted=deleted, docid_span=span)

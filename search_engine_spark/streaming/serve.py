@@ -60,7 +60,10 @@ def serving_sink(
 
     m = read_manifest(index_dir)
     analyzer = m.get("analyzer", "porter")
-    n_docs, avgdl = m["stats"]["n_docs"], m["stats"]["avgdl"]
+    n_docs = m["stats"]["n_docs"]
+    # fielded indexes: content scoring uses the content field's avgdl, not
+    # the global content+field token mix (same rule as jobs/query.py)
+    avgdl = m["stats"].get("avgdl_by_field", {}).get("", m["stats"]["avgdl"])
     span = docid_span(index_dir)
     stats_pdf = load_term_stats_pdf(index_dir)
     segs = load_segments(spark, index_dir)

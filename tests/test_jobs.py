@@ -305,3 +305,72 @@ def test_fielded_build_and_field_query_jobs(spark, tmp_path_factory, capsys):
     with pytest.raises(SystemExit):
         query_main(["--index", idx, "--master", "local[4]", "--mode", "or",
                     "--field", f"lang={lang}", kw])
+
+
+def test_stats_job(built, capsys):
+    from jobs.stats import main as stats_main
+
+    _, idx = built
+    rc = stats_main(["--index", idx, "--master", "local[4]", "--top-terms", "5"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["finalized"] and out["stats"]["n_docs"] == 120
+    assert out["config"]["analyzer"] == "porter"
+    assert len(out["batches"]) == 2
+    assert out["dictionary"]["n_terms"] > 0
+    assert len(out["dictionary"]["top_df"]) == 5
+    dfs = [t["df"] for t in out["dictionary"]["top_df"]]
+    assert dfs == sorted(dfs, reverse=True)
+    assert out["tombstones"] == 0
+
+
+def test_boost_field_query_job(spark, tmp_path_factory, capsys):
+    """--boost-field: fielded BM25 through the job surface; field part only
+    reorders/boosts docs in the boosted slice, and a zero-weight boost
+    equals plain bm25."""
+    from jobs.build_index import main as build_main
+    from jobs.query import main as query_main
+
+    from search_engine_spark.sources.corpus import synthetic_corpus
+
+    root = tmp_path_factory.mktemp("boost_jobs")
+    src, idx = str(root / "corpus"), str(root / "index")
+    corpus = synthetic_corpus(spark, n_docs=80, vocab_size=300, seed=7)
+    corpus.write.parquet(src)
+    rc = build_main([
+        "--input", src, "--output", idx, "--analyzer", "naive",
+        "--batches", "1", "--segments", "4", "--master", "local[4]",
+        "--field", "lang",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+
+    def run(args):
+        rc = query_main(["--index", idx, "--master", "local[4]", *args])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        return {r["docId"]: r["score"] for r in out["results"]}
+
+    kw = next(
+        r.term for r in spark.read.parquet(src)
+        .select(F.explode(F.split(F.lower("content"), r"\s+")).alias("term"))
+        .groupBy("term").count().orderBy(F.desc("count")).limit(1).collect()
+    )
+    lang = sorted(
+        r.lang for r in corpus.select("lang").distinct().collect()
+    )[0]
+    plain = run(["--mode", "bm25", "--k", "100", kw])
+    zero = run(["--mode", "bm25", "--k", "100",
+                "--boost-field", f"lang={lang}:0.0", kw])
+    assert plain == zero
+    boosted = run(["--mode", "bm25", "--k", "100",
+                   "--boost-field", f"lang={lang}:1.5", kw])
+    in_lang = {
+        r.docId for r in corpus.where(F.col("lang") == lang).select("docId").collect()
+    }
+    for d, s in plain.items():
+        if d in boosted:
+            if d in in_lang:
+                assert boosted[d] > s
+            else:
+                assert boosted[d] == pytest.approx(s, abs=1e-6)
