@@ -39,6 +39,7 @@ BATCH_QUERIES = {
     5: ["zebra"],
 }
 Q_KEYWORD = "spark"
+REGEX_PATTERN = "^s(park|ort|can)$"
 Q_AND = ["spark", "join", "filter"]
 Q_PHRASE = ["table", "scan"]
 TOPK = 10
@@ -272,6 +273,29 @@ def q_q8f_fielded_bm25(spark, sf_dir):
     return out.select(
         F.col("docId").alias("doc_id"), F.round("score", 6).alias("score")
     )
+
+
+def q_q2r_regex_search(spark, sf_dir):
+    """q2r: regex term query — dictionary expansion (bounded, RE2/Java-
+    portable pattern) then the usual In-pushed OR seek over the real
+    segment store."""
+    from search_engine_spark.operators.query import search_regex
+    from search_engine_spark.sources.segments import (
+        decode_postings,
+        load_segments,
+        load_term_stats,
+    )
+
+    idx, _ = _index(spark, sf_dir, "naive")
+    segs, stats = load_segments(spark, idx), load_term_stats(spark, idx)
+    # expand against the dictionary first so decode only seeks matched terms
+    from search_engine_spark.operators.query import regex_terms
+
+    terms = [r.term for r in regex_terms(stats, REGEX_PATTERN, 64).collect()]
+    dec = decode_postings(segs, terms)
+    from search_engine_spark.operators.query import search_or
+
+    return search_or(dec, terms).select(F.col("docId").alias("doc_id"))
 
 
 def q_q3_and(spark, sf_dir):
@@ -1269,6 +1293,16 @@ def q_st2_user_sessions(spark, sf_dir):
     return user_sessions(e, gap="30 minutes")
 
 
+def q_st3_trending_terms(spark, sf_dir):
+    """st3: trending terms per SLIDING window — top-3 event types per
+    1-hour window sliding every 30 minutes, via the watermarkable
+    sliding-window count composed with the windowless grouped_topk."""
+    from search_engine_spark.streaming.ingest import trending_terms
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return trending_terms(e, window="1 hour", slide="30 minutes", top_k=3)
+
+
 def q_t2_quality(spark, sf_dir):
     from search_engine_spark.operators.textstats import quality_score
 
@@ -1369,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_corpus_stats": q_q7_corpus_stats,
         "q2_keyword_search": q_q2_keyword,
         "q2fl_field_search": q_q2fl_field_search,
+        "q2r_regex_search": q_q2r_regex_search,
         "q8f_fielded_bm25": q_q8f_fielded_bm25,
         "q3_and_search": q_q3_and,
         "q4_or_search": q_q4_or,
@@ -1424,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d7_decontaminate": q_d7_decontaminate,
         "t10_pii_scrub": q_t10_pii_scrub,
         "st2_user_sessions": q_st2_user_sessions,
+        "st3_trending_terms": q_st3_trending_terms,
         "m1_media_meta": q_m1_media_meta,
         "m2_media_features": q_m2_media_features,
     }
@@ -1892,6 +1928,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, round(score, 6) AS score FROM combined
             ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
         """,
+        "q2r_regex_search": f"""
+            WITH {_TOKS},
+            expansion AS (
+              SELECT term FROM (
+                SELECT term, count(*) AS df FROM postings GROUP BY term
+              ) WHERE regexp_matches(term, '{REGEX_PATTERN}')
+              ORDER BY df DESC, term ASC LIMIT 64
+            )
+            SELECT DISTINCT doc_id FROM postings
+            WHERE term IN (SELECT term FROM expansion)
+        """,
         "q2fl_field_search": f"""
             WITH {_TOKS}
             SELECT DISTINCT p.doc_id FROM postings p
@@ -2145,6 +2192,26 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::int64 AS n_events,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "st3_trending_terms": """
+            WITH wins AS (
+              SELECT time_bucket(INTERVAL 30 MINUTE, ts)
+                       - (k * INTERVAL 30 MINUTE) AS ws,
+                     event_type
+              FROM events, (VALUES (0), (1)) AS offs(k)
+            ),
+            counts AS (
+              SELECT ws, event_type, count(*)::int64 AS n
+              FROM wins GROUP BY ws, event_type
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY ws ORDER BY n DESC, event_type ASC) AS rn
+              FROM counts
+            )
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, n
+            FROM ranked WHERE rn <= 3
         """,
         "q11_combined_pagerank": _q11_sql(),
         "q8_tfidf_scores": _TFIDF_SQL,

@@ -9,6 +9,7 @@ Modes: bm25 (block-max DAAT), tfidf (reference-parity cosine), and/or/phrase
 (boolean + positional), keyword, prefix (term-dictionary range seek),
 near (--window positional proximity), not (--exclude anti-terms),
 fuzzy (--max-dist/--max-expansions typo-tolerant dictionary expansion),
+regex (RegexpQuery-style dictionary expansion, --max-expansions cap),
 suggest (did-you-mean term corrections), mlt (--corpus more-like-this: the
 single positional arg is the seed docId). and/keyword accept repeatable
 --field col=value constraints against a fielded index
@@ -33,7 +34,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--mode", default="bm25",
                     choices=["bm25", "tfidf", "and", "or", "phrase", "keyword",
                              "not", "near", "prefix", "fuzzy", "suggest",
-                             "mlt"])
+                             "mlt", "regex"])
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--window", type=int, default=5,
                     help="near mode: max positions between the two terms")
@@ -159,6 +160,18 @@ def main(argv: list[str] | None = None) -> int:
             a.max_expansions,
         ).collect()
         terms = [r.term for r in cands]
+        dec = live(decode_postings(segs, terms), tomb)
+        rows = [
+            {"docId": r.docId}
+            for r in search_or(dec, terms).limit(a.k).collect()
+        ]
+    elif a.mode == "regex":
+        from search_engine_spark.operators.query import regex_terms
+
+        terms = [
+            r.term
+            for r in regex_terms(stats, a.terms[0], a.max_expansions).collect()
+        ]
         dec = live(decode_postings(segs, terms), tomb)
         rows = [
             {"docId": r.docId}

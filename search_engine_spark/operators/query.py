@@ -169,6 +169,40 @@ def search_prefix(segments: DataFrame, prefix: str, analyzer: str = "naive") -> 
     return decode_docids(hits).distinct()
 
 
+def regex_terms(
+    term_stats: DataFrame, pattern: str, max_expansions: int = 64
+) -> DataFrame:
+    """Term-dictionary regex expansion (the Lucene ``RegexpQuery`` shape):
+    dictionary terms matching ``pattern`` (unanchored find semantics — anchor
+    with ``^``/``$`` as usual), ranked (df desc, term asc), capped.
+
+    Patterns should stick to RE2/Java-common constructs (classes, anchors,
+    bounded repetition — no backrefs/lookaround) so behavior is portable.
+    Scale shape: like fuzzy/prefix, this scans only the TERM DICTIONARY —
+    orders of magnitude smaller than postings, embarrassingly parallel,
+    JVM `rlike` inside codegen, ranked cap = TakeOrderedAndProject."""
+    if not pattern:
+        return term_stats.select("term", "df").limit(0)
+    return (
+        term_stats.where(F.col("term").rlike(pattern))
+        .select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
+    )
+
+
+def search_regex(
+    postings: DataFrame, term_stats: DataFrame, pattern: str,
+    max_expansions: int = 64,
+) -> DataFrame:
+    """Regex term query: docs containing ANY dictionary term matching
+    ``pattern`` — two-stage like fuzzy (bounded dictionary expansion, then
+    an OR seek whose literal term list reaches the term-sorted posting scan
+    as an ``In`` pushed filter)."""
+    terms = [r.term for r in regex_terms(term_stats, pattern, max_expansions).collect()]
+    return search_or(postings, terms)
+
+
 def search_proximity(
     postings_pos: DataFrame, term_a: str, term_b: str, window: int = 5
 ) -> DataFrame:

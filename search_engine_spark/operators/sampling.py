@@ -175,13 +175,15 @@ def grouped_topk(
     auto-B."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    # struct sorts lexicographically: value desc, then -id desc == id asc
+    # struct sorts lexicographically ASCENDING: -value asc == value desc,
+    # then id asc. Negating the (numeric) VALUE rather than the id keeps
+    # string/date ids orderable (trending terms groups on a string term).
     s = F.struct(
-        F.col(value_col).alias("_v"),
-        (-F.col(id_col)).alias("_negid"),
+        (-F.col(value_col)).alias("_nv"),
         F.col(id_col).alias("_id"),
+        F.col(value_col).alias("_v"),
     )
-    trim = lambda c: F.slice(F.sort_array(c, asc=False), 1, k)  # noqa: E731
+    trim = lambda c: F.slice(F.sort_array(c, asc=True), 1, k)  # noqa: E731
     stage1 = (
         df.groupBy(*keys, F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("_b"))
         .agg(trim(F.collect_list(s)).alias("_t"))

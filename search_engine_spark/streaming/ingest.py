@@ -132,3 +132,43 @@ def user_sessions(
             "sum_value",
         )
     )
+
+
+def trending_terms(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    top_k: int = 3,
+    time_col: str = "ts",
+    term_col: str = "event_type",
+    watermark: str | None = None,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Trending terms per SLIDING window: the ``top_k`` most frequent values
+    of ``term_col`` in each (overlapping) window — the dashboard query of a
+    streaming analytics surface. Ties break on term ascending.
+
+    Composition: watermarked sliding-window count (each event lands in
+    window/slide windows — Spark expands this without a self-join) followed
+    by the engine's windowless ``grouped_topk`` (bucketed two-stage
+    sort-trim), so no per-window global sort and no row_number window
+    function anywhere. State is bounded by the watermark in streaming mode;
+    in batch mode the same expression runs as-is."""
+    from ..operators.sampling import grouped_topk
+
+    src = events.withWatermark(time_col, watermark) if watermark else events
+    counts = (
+        src.groupBy(F.window(time_col, window, slide).alias("w"), term_col)
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            term_col,
+            "n",
+        )
+    )
+    # grouped_topk orders by (value desc, id asc); id here is the term
+    return grouped_topk(
+        counts, ["window_start"], "n", term_col, top_k, n_buckets=n_buckets
+    ).select("window_start", term_col, "n")

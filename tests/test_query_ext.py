@@ -282,3 +282,37 @@ def test_search_fuzzy_and(spark, ext_index):
 
     # a term with zero expansions empties the whole conjunction
     assert Q.search_fuzzy_and(postings, stats, ["scam", "qqqq"], 1).collect() == []
+
+
+def test_regex_search(spark, tmp_path):
+    """Regex dictionary expansion: anchored pattern selects exactly the
+    matching dictionary terms; doc set equals the OR of those terms."""
+    from search_engine_spark.operators.query import (
+        regex_terms,
+        search_or,
+        search_regex,
+    )
+    from search_engine_spark.sources import segments as S
+    from tests.conftest import corpus_from_texts
+
+    texts = [
+        "spark sorts fast",
+        "spork handles soup",
+        "sport and sort",
+        "unrelated words only",
+    ]
+    corpus = corpus_from_texts(spark, texts)
+    idx = str(tmp_path / "regex_idx")
+    S.build_index(spark, corpus, idx, analyzer="naive", n_batches=1, num_segments=2)
+    stats = S.load_term_stats(spark, idx)
+    terms = {r.term for r in regex_terms(stats, "^sp.rk$").collect()}
+    assert terms == {"spark", "spork"}
+    dec = S.decode_postings(S.load_segments(spark, idx), sorted(terms))
+    got = sorted(r.docId for r in search_regex(dec, stats, "^sp.rk$").collect())
+    assert got == [0, 1]
+    assert sorted(
+        r.docId for r in search_or(dec, sorted(terms)).collect()
+    ) == got
+    # empty pattern and no-match pattern both yield empty
+    assert regex_terms(stats, "").count() == 0
+    assert search_regex(dec, stats, "^zzz$").count() == 0

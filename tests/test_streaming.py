@@ -439,3 +439,34 @@ def test_user_sessions_streaming_matches_batch(spark, tmp_path):
         if datetime.strptime(r.session_end, "%Y-%m-%d %H:%M:%S") <= wm
     }
     assert exp and all(got.get(k) == v for k, v in exp.items())
+
+
+def test_trending_terms_batch(spark):
+    from search_engine_spark.streaming.ingest import trending_terms
+
+    t0 = datetime(2024, 1, 1)
+    rows = (
+        [(t0 + timedelta(minutes=5), "a", 1.0)] * 3
+        + [(t0 + timedelta(minutes=10), "b", 1.0)] * 2
+        + [(t0 + timedelta(minutes=40), "c", 1.0)] * 4
+        + [(t0 + timedelta(minutes=40), "d", 1.0)]
+    )
+    df = spark.createDataFrame(
+        [(ts, term, v) for ts, term, v in rows],
+        "ts timestamp, event_type string, value double",
+    )
+    got = {
+        (r.window_start, r.event_type): r.n
+        for r in trending_terms(
+            df, window="1 hour", slide="30 minutes", top_k=2
+        ).collect()
+    }
+    # window starting 00:00 sees a(3), b(2), c(4), d(1) -> top2 = c, a
+    assert got[("2024-01-01 00:00:00", "c")] == 4
+    assert got[("2024-01-01 00:00:00", "a")] == 3
+    assert ("2024-01-01 00:00:00", "b") not in got
+    # sliding: events at :40 also land in the 00:30 window
+    assert got[("2024-01-01 00:30:00", "c")] == 4
+    assert got[("2024-01-01 00:30:00", "d")] == 1
+    # events at :05/:10 also land in the 23:30 window of the previous day
+    assert got[("2023-12-31 23:30:00", "a")] == 3
