@@ -387,3 +387,32 @@ def test_fielded_index_build_and_query(spark, tmp_path):
     assert rows and all(r.dl == 1 for r in rows)
     # content postings are untouched by fielding
     assert sorted(r.docId for r in search_keyword(dec, "what").collect()) == [0, 1]
+
+
+def test_fielded_index_survives_compaction(spark, tmp_path):
+    """Packed compaction over a FIELDED index: prefixed field terms merge
+    like any term; field queries return identical results afterwards."""
+    from search_engine_spark.operators.query import search_and, search_keyword
+
+    corpus = corpus_from_texts(spark, MERGE_DOCS).withColumn(
+        "lang", F.when(F.col("docId") < 2, "en").otherwise("de")
+    )
+    idx = str(tmp_path / "fielded_compact_idx")
+    S.build_index(
+        spark, corpus, idx, analyzer="naive", n_batches=2, num_segments=4,
+        fields={"lang": "naive"},
+    )
+
+    def results(terms):
+        segs = S.load_segments(spark, idx)
+        dec = S.decode_postings(segs, terms)
+        return sorted(r.docId for r in search_and(dec, terms).collect())
+
+    before = results(["dog", "lang:de"])
+    before_kw = results(["lang:en"])
+    m = S.compact(spark, idx, [0, 1])
+    assert len([b for b in m["batches"].values() if b.get("committed")]) == 1
+    assert results(["dog", "lang:de"]) == before == [3]
+    assert results(["lang:en"]) == before_kw == [0, 1]
+    # per-field avgdl survives re-finalization after compaction
+    assert m["stats"]["avgdl_by_field"]["lang"] == pytest.approx(1.0)
