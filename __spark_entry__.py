@@ -43,6 +43,7 @@ REGEX_PATTERN = "^s(park|ort|can)$"
 Q_AND = ["spark", "join", "filter"]
 Q_PHRASE = ["table", "scan"]
 TOPK = 10
+RRF_N = 50
 ANN_K = 20
 MINHASHES, BANDS, ROWS_PER_BAND, SHINGLE_N = 12, 4, 3, 3
 SIMHASH_BITS = 16
@@ -296,6 +297,32 @@ def q_q2r_regex_search(spark, sf_dir):
     from search_engine_spark.operators.query import search_or
 
     return search_or(dec, terms).select(F.col("docId").alias("doc_id"))
+
+
+def q_q16_hybrid_rrf(spark, sf_dir):
+    """q16: hybrid retrieval — BM25 top-50 (real segment index) and cosine
+    top-50 (embeddings table, vec_id as the doc key) fused by reciprocal
+    rank (c=60), top-10 by (rrf desc, id asc)."""
+    from search_engine_spark.operators.rank import Scorer, rrf_fuse, score_query_daat
+    from search_engine_spark.operators.similarity import cosine_topk
+    from search_engine_spark.sources.segments import load_segments, load_term_stats
+
+    idx, m = _index(spark, sf_dir, "naive")
+    segs, stats = load_segments(spark, idx), load_term_stats(spark, idx)
+    bm25 = score_query_daat(
+        spark, segs, stats, Q_RANKED, m["stats"]["n_docs"],
+        m["stats"]["avgdl"], Scorer("bm25"), k=RRF_N, analyzer="naive",
+        ties="asc",
+    )
+    e = _emb(spark, sf_dir)
+    qv = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    cos = cosine_topk(e.where(F.col("vec_id") != 0), list(qv), RRF_N).select(
+        F.col("vec_id").alias("docId"), F.col("cosine").alias("score")
+    )
+    out = rrf_fuse([bm25, cos], k=TOPK, c=60)
+    return out.select(
+        F.col("docId").alias("doc_id"), F.round("rrf", 6).alias("rrf")
+    )
 
 
 def q_q3_and(spark, sf_dir):
@@ -1404,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_keyword_search": q_q2_keyword,
         "q2fl_field_search": q_q2fl_field_search,
         "q2r_regex_search": q_q2r_regex_search,
+        "q16_hybrid_rrf": q_q16_hybrid_rrf,
         "q8f_fielded_bm25": q_q8f_fielded_bm25,
         "q3_and_search": q_q3_and,
         "q4_or_search": q_q4_or,
@@ -1938,6 +1966,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id FROM postings
             WHERE term IN (SELECT term FROM expansion)
+        """,
+        "q16_hybrid_rrf": f"""
+            WITH {_TOKS},
+            {_bm25_scored_ctes(_qterm_values(Q_RANKED))},
+            bm_top AS (
+              SELECT doc_id, score FROM scored
+              ORDER BY score DESC, doc_id ASC LIMIT {RRF_N}
+            ),
+            bm_rank AS (
+              SELECT doc_id, row_number() OVER (
+                ORDER BY score DESC, doc_id ASC) AS rnk
+              FROM bm_top
+            ),
+            qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+            cos_top AS (
+              SELECT vec_id AS doc_id, {_cosine_sql("embedding", "qv.v")} AS score
+              FROM embeddings, qv WHERE vec_id <> 0
+              ORDER BY score DESC, doc_id ASC LIMIT {RRF_N}
+            ),
+            cos_rank AS (
+              SELECT doc_id, row_number() OVER (
+                ORDER BY score DESC, doc_id ASC) AS rnk
+              FROM cos_top
+            ),
+            fused AS (
+              SELECT doc_id, sum(1.0 / (60.0 + rnk)) AS rrf FROM (
+                SELECT * FROM bm_rank UNION ALL SELECT * FROM cos_rank
+              ) GROUP BY doc_id
+            )
+            SELECT doc_id, round(rrf, 6) AS rrf FROM fused
+            ORDER BY rrf DESC, doc_id ASC LIMIT {TOPK}
         """,
         "q2fl_field_search": f"""
             WITH {_TOKS}

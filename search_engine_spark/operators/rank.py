@@ -1532,3 +1532,58 @@ def score_query_fielded(
         .orderBy(F.desc("score"), F.asc("docId"))
     )
     return out.limit(k) if k is not None else out
+
+
+def rrf_fuse(
+    lists: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "docId",
+    score_col: str = "score",
+) -> DataFrame:
+    """Reciprocal-rank fusion of candidate lists (Cormack et al. 2009):
+    ``rrf(d) = Σ_lists 1 / (c + rank_list(d))`` — the standard fusion for
+    HYBRID retrieval (lexical BM25 top-N + vector cosine top-N), robust to
+    incomparable score scales because only ranks matter.
+
+    Each input is a (id, score) frame already TRUNCATED to its top-N with a
+    strict total order (score desc, id asc); ranks are 1-based within each
+    truncated list, absent docs contribute nothing (the standard RRF-on-
+    top-N convention).
+
+    Scale shape: RRF runs on serving-sized candidate lists (N ≈ 10²-10³ per
+    list — the retrieval stages already did the corpus-sized work), so the
+    windowless rank uses a bounded self-join count (strictly-before pairs;
+    O(N²) pairs on N-row inputs, broadcast NL join by design and bounded by
+    construction). Fusion is one union + one sum agg + TakeOrdered. A window
+    function would also be safe here for the same reason; the join form
+    keeps the no-window invariant uniform across the engine."""
+    parts = []
+    for df in lists:
+        a = df.alias("a")
+        b = df.alias("b")
+        before = (F.col(f"b.{score_col}") > F.col(f"a.{score_col}")) | (
+            (F.col(f"b.{score_col}") == F.col(f"a.{score_col}"))
+            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
+        )
+        ranked = (
+            a.join(b, before, "left")
+            .groupBy(F.col(f"a.{id_col}").alias(id_col))
+            .agg((F.count(F.col(f"b.{id_col}")) + 1).alias("_rank"))
+        )
+        parts.append(
+            ranked.select(
+                id_col, (1.0 / (F.lit(float(c)) + F.col("_rank"))).alias("_rrf")
+            )
+        )
+    if not parts:
+        raise ValueError("rrf_fuse needs at least one candidate list")
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return (
+        allp.groupBy(id_col)
+        .agg(F.sum("_rrf").alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(k)
+    )

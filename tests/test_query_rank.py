@@ -627,3 +627,30 @@ def test_score_query_fielded(spark, tmp_path):
     for d in (1, 2):
         if d in a:
             assert both[d] == pytest.approx(a[d], abs=1e-9)
+
+
+def test_rrf_fuse(spark):
+    """RRF laws on hand-computed lists: exact 1/(c+rank) sums, overlap
+    dominance, tie-break on id."""
+    from search_engine_spark.operators.rank import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 5.0), (11, 4.0), (12, 3.0)], "docId long, score double"
+    )
+    vec = spark.createDataFrame(
+        [(12, 0.9), (10, 0.8), (13, 0.7)], "docId long, score double"
+    )
+    got = {r.docId: r.rrf for r in rrf_fuse([lex, vec], k=10, c=60).collect()}
+    # ranks: lex 10->1, 11->2, 12->3 ; vec 12->1, 10->2, 13->3
+    assert got[10] == pytest.approx(1 / 61 + 1 / 62)
+    assert got[12] == pytest.approx(1 / 63 + 1 / 61)
+    assert got[11] == pytest.approx(1 / 62)
+    assert got[13] == pytest.approx(1 / 63)
+    # both-list docs beat single-list docs
+    assert min(got[10], got[12]) > max(got[11], got[13])
+    # score ties rank by id ascending: (20,1.0) before (21,1.0)
+    tied = spark.createDataFrame(
+        [(21, 1.0), (20, 1.0)], "docId long, score double"
+    )
+    t = {r.docId: r.rrf for r in rrf_fuse([tied], k=2).collect()}
+    assert t[20] == pytest.approx(1 / 61) and t[21] == pytest.approx(1 / 62)
