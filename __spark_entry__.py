@@ -44,6 +44,7 @@ Q_AND = ["spark", "join", "filter"]
 Q_PHRASE = ["table", "scan"]
 TOPK = 10
 RRF_N = 50
+BOOL_QUERY = "spark AND (join OR merge) AND NOT scan"
 ANN_K = 20
 MINHASHES, BANDS, ROWS_PER_BAND, SHINGLE_N = 12, 4, 3, 3
 SIMHASH_BITS = 16
@@ -322,6 +323,18 @@ def q_q16_hybrid_rrf(spark, sf_dir):
     out = rrf_fuse([bm25, cos], k=TOPK, c=60)
     return out.select(
         F.col("docId").alias("doc_id"), F.round("rrf", 6).alias("rrf")
+    )
+
+
+def q_q3b_bool_tree(spark, sf_dir):
+    """q3b: nested boolean query — spark AND (join OR merge) AND NOT scan
+    evaluated as ONE plan (leaf-term In-pushed scan -> per-doc matched-term
+    set -> codegen boolean expression), any nesting depth."""
+    from search_engine_spark.operators.query import parse_bool, search_bool
+
+    tree = parse_bool(BOOL_QUERY, "naive")
+    return search_bool(_postings(spark, sf_dir), tree).select(
+        F.col("docId").alias("doc_id")
     )
 
 
@@ -1432,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2fl_field_search": q_q2fl_field_search,
         "q2r_regex_search": q_q2r_regex_search,
         "q16_hybrid_rrf": q_q16_hybrid_rrf,
+        "q3b_bool_tree": q_q3b_bool_tree,
         "q8f_fielded_bm25": q_q8f_fielded_bm25,
         "q3_and_search": q_q3_and,
         "q4_or_search": q_q4_or,
@@ -1966,6 +1980,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id FROM postings
             WHERE term IN (SELECT term FROM expansion)
+        """,
+        "q3b_bool_tree": f"""
+            WITH {_TOKS}
+            SELECT doc_id FROM toks
+            WHERE list_contains(t, 'spark')
+              AND (list_contains(t, 'join') OR list_contains(t, 'merge'))
+              AND NOT list_contains(t, 'scan')
         """,
         "q16_hybrid_rrf": f"""
             WITH {_TOKS},

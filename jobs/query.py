@@ -10,6 +10,7 @@ Modes: bm25 (block-max DAAT), tfidf (reference-parity cosine), and/or/phrase
 near (--window positional proximity), not (--exclude anti-terms),
 fuzzy (--max-dist/--max-expansions typo-tolerant dictionary expansion),
 regex (RegexpQuery-style dictionary expansion, --max-expansions cap),
+bool (nested AND/OR/NOT with parentheses, one quoted expression),
 suggest (did-you-mean term corrections), mlt (--corpus more-like-this: the
 single positional arg is the seed docId). and/keyword accept repeatable
 --field col=value constraints against a fielded index
@@ -34,7 +35,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--mode", default="bm25",
                     choices=["bm25", "tfidf", "and", "or", "phrase", "keyword",
                              "not", "near", "prefix", "fuzzy", "suggest",
-                             "mlt", "regex"])
+                             "mlt", "regex", "bool"])
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--window", type=int, default=5,
                     help="near mode: max positions between the two terms")
@@ -164,6 +165,19 @@ def main(argv: list[str] | None = None) -> int:
         rows = [
             {"docId": r.docId}
             for r in search_or(dec, terms).limit(a.k).collect()
+        ]
+    elif a.mode == "bool":
+        from search_engine_spark.operators.query import (
+            bool_leaf_terms,
+            parse_bool,
+            search_bool,
+        )
+
+        tree = parse_bool(" ".join(a.terms), analyzer)
+        dec = live(decode_postings(segs, bool_leaf_terms(tree)), tomb)
+        rows = [
+            {"docId": r.docId}
+            for r in search_bool(dec, tree).limit(a.k).collect()
         ]
     elif a.mode == "regex":
         from search_engine_spark.operators.query import regex_terms

@@ -316,3 +316,48 @@ def test_regex_search(spark, tmp_path):
     # empty pattern and no-match pattern both yield empty
     assert regex_terms(stats, "").count() == 0
     assert search_regex(dec, stats, "^zzz$").count() == 0
+
+
+def test_bool_tree_query(spark, tmp_path):
+    """Nested boolean tree: parser precedence and evaluator semantics vs a
+    per-doc python oracle; purely negative trees rejected."""
+    import pytest as _pytest
+
+    from search_engine_spark.operators.query import (
+        _bool_eval_py,
+        bool_leaf_terms,
+        parse_bool,
+        search_bool,
+    )
+    from search_engine_spark.operators.build import build_postings
+    from tests.conftest import corpus_from_texts
+
+    texts = [
+        "spark join fast",          # 0
+        "spark merge slow",         # 1
+        "spark scan join",          # 2: excluded by NOT scan
+        "join merge only",          # 3: no spark
+        "spark alone here",         # 4: no join/merge
+    ]
+    corpus = corpus_from_texts(spark, texts)
+    postings = build_postings(corpus, "naive")
+    tree = parse_bool("spark AND (join OR merge) AND NOT scan", "naive")
+    got = sorted(r.docId for r in search_bool(postings, tree).collect())
+    exp = [
+        i for i, t in enumerate(texts) if _bool_eval_py(tree, set(t.split()))
+    ]
+    assert got == exp == [0, 1]
+    # OR at top level; AND binds tighter than OR
+    t2 = parse_bool("scan OR merge AND slow", "naive")
+    got2 = sorted(r.docId for r in search_bool(postings, t2).collect())
+    assert got2 == [1, 2]
+    # purely negative trees are rejected up front
+    with _pytest.raises(ValueError):
+        search_bool(postings, parse_bool("NOT spark", "naive"))
+    with _pytest.raises(ValueError):
+        search_bool(postings, parse_bool("scan OR NOT spark", "naive"))
+    # parser errors
+    for bad in ("spark AND", "(spark", "spark join", "AND spark"):
+        with _pytest.raises(ValueError):
+            parse_bool(bad, "naive")
+    assert bool_leaf_terms(tree) == ["join", "merge", "scan", "spark"]
