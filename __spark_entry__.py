@@ -338,6 +338,29 @@ def q_q3b_bool_tree(spark, sf_dir):
     )
 
 
+def q_q8flt_filtered_bm25(spark, sf_dir):
+    """q8flt: ranked search within a boolean filter — BM25 over Q_RANKED
+    restricted to docs matching a fielded boolean tree
+    (lang:en AND NOT repo:testdata/src3), all through the fielded index."""
+    from search_engine_spark.operators.rank import Scorer, score_query_filtered
+    from search_engine_spark.sources.segments import load_segments, load_term_stats
+
+    idx, m = _index_fielded(spark, sf_dir)
+    segs, stats = load_segments(spark, idx), load_term_stats(spark, idx)
+    tree = ("and", [
+        ("term", "lang:en"),
+        ("not", ("term", "repo:testdata/src3")),
+    ])
+    out = score_query_filtered(
+        spark, segs, stats, Q_RANKED, tree, m["stats"]["n_docs"],
+        m["stats"]["avgdl_by_field"][""], Scorer("bm25"), k=TOPK,
+        analyzer="naive",
+    )
+    return out.select(
+        F.col("docId").alias("doc_id"), F.round("score", 6).alias("score")
+    )
+
+
 def q_q3_and(spark, sf_dir):
     from search_engine_spark.operators.query import search_and
 
@@ -1446,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2r_regex_search": q_q2r_regex_search,
         "q16_hybrid_rrf": q_q16_hybrid_rrf,
         "q3b_bool_tree": q_q3b_bool_tree,
+        "q8flt_filtered_bm25": q_q8flt_filtered_bm25,
         "q8f_fielded_bm25": q_q8f_fielded_bm25,
         "q3_and_search": q_q3_and,
         "q4_or_search": q_q4_or,
@@ -1980,6 +2004,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id FROM postings
             WHERE term IN (SELECT term FROM expansion)
+        """,
+        "q8flt_filtered_bm25": f"""
+            WITH {_TOKS},
+            {_bm25_scored_ctes(_qterm_values(Q_RANKED))}
+            SELECT s.doc_id, round(s.score, 6) AS score
+            FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+            WHERE d.lang = 'en' AND d.source <> 'src3'
+            ORDER BY s.score DESC, s.doc_id ASC LIMIT {TOPK}
         """,
         "q3b_bool_tree": f"""
             WITH {_TOKS}

@@ -115,6 +115,39 @@ def japanese_tokenize(text: str) -> list[str]:
 
 _JAPANESE = None
 
+# CJK unified ideographs + hiragana/katakana — the script ranges the auto
+# router treats as Japanese-analyzed text
+_CJK_RE = re.compile(r"[぀-ヿ一-鿿]")
+_CJK_SPLIT_RE = re.compile(r"([぀-ヿ一-鿿]+)")
+
+
+def auto_tokenize(text: str) -> list[str]:
+    """Script-routing analyzer: documents containing CJK characters route to
+    the Japanese dictionary tokenizer (A8), everything else to the porter
+    chain (A3-A6) — the per-document analyzer dispatch a mixed-language
+    corpus needs (cf. Lucene's per-field analyzer wrappers; the reference
+    picks ONE analyzer per index). Routing is per-SPAN, not
+    per-document: each maximal CJK run segments via the dictionary DP
+    (falling back to CJK UNIGRAMS — the Lucene StandardAnalyzer convention —
+    when the fixture dict cannot break it) and each non-CJK span
+    porter-analyzes, so a CJK span tokenizes identically whether it arrives
+    alone (a query) or inside mixed text (a document) — build and query
+    sides agree by construction."""
+    if not _CJK_RE.search(text):
+        return porter_analyze(text)
+    out: list[str] = []
+    for span in _CJK_SPLIT_RE.split(text):
+        if not span:
+            continue
+        if _CJK_RE.match(span):
+            try:
+                out.extend(japanese_tokenize(span))
+            except ValueError:
+                out.extend(span)  # one token per CJK char
+        else:
+            out.extend(porter_analyze(span))
+    return out
+
 
 ANALYZERS: dict[str, Tokenizer] = {
     "naive": naive_tokenize,
@@ -124,6 +157,7 @@ ANALYZERS: dict[str, Tokenizer] = {
     "porter_code": lambda text: [porter_stem(t) for t in code_tokenize(text)],
     "wordbreak": wordbreak_selfdict,
     "japanese": japanese_tokenize,
+    "auto": auto_tokenize,
 }
 
 

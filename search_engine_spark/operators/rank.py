@@ -1587,3 +1587,49 @@ def rrf_fuse(
         .orderBy(F.desc("rrf"), F.asc(id_col))
         .limit(k)
     )
+
+
+def score_query_filtered(
+    spark: SparkSession,
+    segments: DataFrame,
+    term_stats,
+    keywords: list[str],
+    filter_tree,
+    n_docs: int,
+    avgdl: float,
+    scorer: Scorer = Scorer("bm25"),
+    k: int | None = 10,
+    analyzer: str = "porter",
+    deleted: np.ndarray | None = None,
+    docid_span: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Ranked search WITHIN a boolean filter: BM25 top-k over only the
+    documents matching ``filter_tree`` (a :func:`..query.search_bool` tree —
+    e.g. ``parse_bool("lang:en AND NOT draft")`` against fielded terms).
+
+    Composition: the filter evaluates through the index (leaf-term pushdown,
+    one collect_set agg), the query scores through the usual block-max DAAT,
+    and a semi-join keeps scored docs inside the filter before the top-k.
+    Both sides are candidate-sized (posting lists of their own terms), never
+    the corpus; the join key is docId so AQE broadcasts the smaller side.
+
+    Scale note: scoring runs over the UNFILTERED query candidates and the
+    filter prunes after — the right trade when the filter is a secondary
+    constraint. When a filter is highly selective and recurring (tenant,
+    language), index it as a FIELD and put it in the query instead
+    (``q2fl``/fielded terms shrink candidate generation itself)."""
+    from .query import bool_leaf_terms, search_bool
+    from ..sources.segments import decode_postings
+
+    scored = score_query_daat(
+        spark, segments, term_stats, keywords, n_docs, avgdl, scorer,
+        k=None, analyzer=analyzer, ties="asc", deleted=deleted,
+        docid_span=docid_span,
+    )
+    dec = decode_postings(segments, bool_leaf_terms(filter_tree))
+    allowed = search_bool(dec, filter_tree)
+    out = (
+        scored.join(allowed, "docId", "left_semi")
+        .orderBy(F.desc("score"), F.asc("docId"))
+    )
+    return out.limit(k) if k is not None else out

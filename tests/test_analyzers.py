@@ -401,3 +401,40 @@ def test_wordbreak_spark_udf_at_82k_dict(spark):
     got = {r.id: list(r.toks) for r in
            df.select("id", udf(F.col("content")).alias("toks")).collect()}
     assert got == exp
+
+
+def test_auto_analyzer_routing(spark, tmp_path):
+    """Script-routing analyzer: porter for latin, Japanese/CJK path for CJK
+    text (unigram fallback when the fixture dict can't segment), and a
+    build->query roundtrip where both sides use "auto"."""
+    from search_engine_spark.functions.analyzers import get_analyzer
+    from search_engine_spark.operators.query import analyze_query, search_keyword
+    from search_engine_spark.sources import segments as S
+    from tests.conftest import corpus_from_texts
+
+    auto = get_analyzer("auto")
+    assert auto("Running quickly") == ["run", "quickli"]
+    cjk = auto("これはテストです")
+    assert cjk and all(len(t) >= 1 for t in cjk)
+    mixed = auto("mixed 東京 tokyo running")
+    assert "mix" in mixed and "tokyo" in mixed and "run" in mixed
+    assert "東" in "".join(mixed)
+    assert auto("") == []
+
+    texts = ["searching files quickly", "東京 tokyo data", "plain words here"]
+    idx = str(tmp_path / "auto_idx")
+    S.build_index(
+        spark, corpus_from_texts(spark, texts), idx,
+        analyzer="auto", n_batches=1, num_segments=2,
+    )
+    segs = S.load_segments(spark, idx)
+    # porter side: "searching" stems identically at build and query time
+    terms = analyze_query(["searching"], "auto")
+    dec = S.decode_postings(segs, terms)
+    assert [r.docId for r in search_keyword(dec, terms[0]).collect()] == [0]
+    # CJK side: the unigram/dict tokens from doc 1 are findable
+    t_cjk = analyze_query(["東京"], "auto")
+    dec2 = S.decode_postings(segs, t_cjk)
+    assert sorted(
+        r.docId for r in search_keyword(dec2, t_cjk[0]).collect()
+    ) == [1]

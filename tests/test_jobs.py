@@ -316,7 +316,10 @@ def test_stats_job(built, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["finalized"] and out["stats"]["n_docs"] == 120
     assert out["config"]["analyzer"] == "porter"
-    assert len(out["batches"]) == 2
+    # the module-scoped index may have been compacted by an earlier test —
+    # batch count varies, committed doc total must not
+    assert len(out["batches"]) >= 1
+    assert sum(b["ndocs"] for b in out["batches"].values()) == 120
     assert out["dictionary"]["n_terms"] > 0
     assert len(out["dictionary"]["top_df"]) == 5
     dfs = [t["df"] for t in out["dictionary"]["top_df"]]
