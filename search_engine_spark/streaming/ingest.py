@@ -148,12 +148,17 @@ def trending_terms(
     of ``term_col`` in each (overlapping) window — the dashboard query of a
     streaming analytics surface. Ties break on term ascending.
 
-    Composition: watermarked sliding-window count (each event lands in
-    window/slide windows — Spark expands this without a self-join) followed
-    by the engine's windowless ``grouped_topk`` (bucketed two-stage
-    sort-trim), so no per-window global sort and no row_number window
-    function anywhere. State is bounded by the watermark in streaming mode;
-    in batch mode the same expression runs as-is."""
+    Composition: sliding-window count (each event lands in window/slide
+    windows — Spark expands this without a self-join) followed by the
+    engine's windowless ``grouped_topk`` (bucketed two-stage sort-trim), so
+    no per-window global sort and no row_number window function anywhere.
+
+    Batch mode runs the whole expression as-is (the contract/oracle path).
+    In STREAMING mode only the windowed count can run inside the query
+    (grouped_topk's buckets are not a time-window aggregation, which is
+    what Spark's chained-stateful-operator support requires) — run the
+    watermarked count as the stream and apply ``grouped_topk`` per
+    micro-batch in ``foreachBatch``, the same split as the serving sink."""
     from ..operators.sampling import grouped_topk
 
     src = events.withWatermark(time_col, watermark) if watermark else events
