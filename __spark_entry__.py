@@ -1366,6 +1366,19 @@ def q_st3_trending_terms(spark, sf_dir):
     return trending_terms(e, window="1 hour", slide="30 minutes", top_k=3)
 
 
+def q_t11_sequence_pack(spark, sf_dir):
+    """t11: sequence packing — docs (in doc_id order, BPE-proxy token
+    counts) assigned to fixed 2048-token training bins by exclusive running
+    total, via the bucketed two-phase distributed prefix sum."""
+    from search_engine_spark.operators.sampling import sequence_pack
+    from search_engine_spark.operators.textstats import bpe_token_count_expr
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", bpe_token_count_expr(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return sequence_pack(d, capacity=2048)
+
+
 def q_t2_quality(spark, sf_dir):
     from search_engine_spark.operators.textstats import quality_score
 
@@ -1526,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t10_pii_scrub": q_t10_pii_scrub,
         "st2_user_sessions": q_st2_user_sessions,
         "st3_trending_terms": q_st3_trending_terms,
+        "t11_sequence_pack": q_t11_sequence_pack,
         "m1_media_meta": q_m1_media_meta,
         "m2_media_features": q_m2_media_features,
     }
@@ -2304,6 +2318,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::int64 AS n_events,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "t11_sequence_pack": r"""
+            WITH tk AS (
+              SELECT doc_id,
+                len(regexp_extract_all(lower(text),
+                    '[a-z]+|[0-9]+|[^a-z0-9\s]'))::int64 AS n_tokens
+              FROM documents
+            ),
+            pre AS (
+              SELECT doc_id, n_tokens,
+                coalesce(sum(n_tokens) OVER (
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+              FROM tk
+            )
+            SELECT doc_id, n_tokens,
+              (p // 2048)::int64 AS bin,
+              (p % 2048)::int64 AS bin_offset
+            FROM pre
         """,
         "st3_trending_terms": """
             WITH wins AS (

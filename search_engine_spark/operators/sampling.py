@@ -200,3 +200,73 @@ def grouped_topk(
         F.col("_t._id").alias(id_col),
         F.col("_t._v").alias(value_col),
     )
+
+
+def sequence_pack(
+    df: DataFrame,
+    capacity: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Sequence packing for LLM pretraining batches: assign documents —
+    in deterministic ``id_col`` order — to fixed-capacity token bins by
+    greedy running total. ``bin = floor(pre_cum / capacity)`` where
+    ``pre_cum`` is the EXCLUSIVE prefix sum of ``token_col``; a doc whose
+    tokens straddle a boundary belongs to the bin where it starts
+    (``bin_offset`` tells the consumer where; splitting an overlong doc is
+    the consumer's choice, as in standard pack-then-chunk pipelines).
+
+    Scale posture — same two-phase distributed prefix sum as
+    ``token_budget_sample``, but ordered by id instead of ticket:
+    order-contiguous id-range buckets -> one small per-bucket sum agg ->
+    driver-side exclusive offsets over B rows, broadcast back -> bounded
+    within-bucket window (width ~n/B, never the corpus). Bins and offsets
+    are independent of B. ``n_buckets=None`` sizes B so no window partition
+    exceeds ~2M rows (one tiny count/span agg)."""
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    spark = df.sparkSession
+    import math
+
+    stats = df.agg(
+        F.min(id_col).alias("lo"),
+        F.max(id_col).alias("hi"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    if stats["n"] == 0:
+        return df.select(
+            F.col(id_col), F.col(token_col),
+            F.lit(0).cast("long").alias("bin"),
+            F.lit(0).cast("long").alias("bin_offset"),
+        ).limit(0)
+    lo, hi, n = int(stats["lo"]), int(stats["hi"]), int(stats["n"])
+    if n_buckets is None:
+        n_buckets = min(max(1, math.ceil(n / _WINDOW_DOC_CAP)), _B_CAP)
+    span = max(1, math.ceil((hi - lo + 1) / n_buckets))
+    t = df.withColumn("_bucket", ((F.col(id_col) - lo) / span).cast("int"))
+    sums = t.groupBy("_bucket").agg(F.sum(token_col).alias("_bsum")).collect()
+    acc, offsets = 0, []
+    for b, bs in sorted((int(r["_bucket"]), int(r["_bsum"] or 0)) for r in sums):
+        offsets.append((b, acc))
+        acc += bs
+    off = spark.createDataFrame(offsets, "_bucket int, _offset long")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = F.col("_offset") + F.coalesce(
+        F.sum(token_col).over(w), F.lit(0).cast("long")
+    )
+    return (
+        t.join(F.broadcast(off), "_bucket")
+        .select(
+            F.col(id_col),
+            F.col(token_col),
+            F.floor(pre / capacity).cast("long").alias("bin"),
+            (pre % capacity).cast("long").alias("bin_offset"),
+        )
+    )

@@ -817,3 +817,32 @@ def test_pii_scrub(spark):
     assert got[1].scrubbed == texts[1]
     assert (got[2].n_email, got[2].n_phone) == (2, 1)
     assert got[2].scrubbed == "two mails [EMAIL] [EMAIL] and dotted phone [PHONE] end"
+
+
+def test_sequence_pack(spark):
+    from search_engine_spark.operators.sampling import sequence_pack
+
+    rows = [(i, t) for i, t in enumerate([5, 3, 4, 10, 2, 6, 1])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r.doc_id: (r.bin, r.bin_offset)
+        for r in sequence_pack(df, capacity=8).collect()
+    }
+    # exclusive cumsums: 0,5,8,12,22,24,30 -> bins 0,0,1,1,2,3,3
+    exp_pre = [0, 5, 8, 12, 22, 24, 30]
+    for i, p in enumerate(exp_pre):
+        assert got[i] == (p // 8, p % 8), (i, got[i])
+    # bins independent of bucketing knob
+    got_b = {
+        r.doc_id: (r.bin, r.bin_offset)
+        for r in sequence_pack(df, capacity=8, n_buckets=3).collect()
+    }
+    assert got_b == got
+    # sparse/non-contiguous ids still pack in id order
+    sparse = spark.createDataFrame(
+        [(100, 4), (7, 4), (5000, 4)], "doc_id long, n_tokens long"
+    )
+    sp = {r.doc_id: r.bin for r in sequence_pack(sparse, capacity=8).collect()}
+    assert sp == {7: 0, 100: 0, 5000: 1}
+    with pytest.raises(ValueError):
+        sequence_pack(df, capacity=0)
