@@ -120,3 +120,55 @@ def test_isin_expr_matches_column_isin_under_both_parser_modes():
                 assert got == exp, (mode, vals)
         finally:
             spark.conf.unset("spark.sql.parser.escapedStringLiterals")
+
+
+# --- boolean-tree evaluator vs python ground truth -------------------------
+
+_VOCAB = ["aa", "bb", "cc", "dd"]
+
+
+def _tree_strategy():
+    leaf = st.sampled_from(_VOCAB).map(lambda t: ("term", t))
+    return st.recursive(
+        leaf,
+        lambda children: st.one_of(
+            children.map(lambda c: ("not", c)),
+            st.lists(children, min_size=2, max_size=3).map(lambda cs: ("and", cs)),
+            st.lists(children, min_size=2, max_size=3).map(lambda cs: ("or", cs)),
+        ),
+        max_leaves=6,
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    tree=_tree_strategy(),
+    docs=st.lists(
+        st.sets(st.sampled_from(_VOCAB)), min_size=1, max_size=8
+    ),
+)
+def test_search_bool_matches_python_oracle(spark, tree, docs):
+    """For any nested tree and any tiny corpus: search_bool == per-doc
+    python evaluation, restricted to docs containing >= 1 leaf term (the
+    index-candidate set); purely negative trees raise instead."""
+    from search_engine_spark.operators.build import build_postings
+    from search_engine_spark.operators.query import (
+        _bool_eval_py,
+        bool_leaf_terms,
+        search_bool,
+    )
+
+    rows = [(i, " ".join(sorted(d)) if d else "zz") for i, d in enumerate(docs)]
+    corpus = spark.createDataFrame(rows, "docId long, content string")
+    postings = build_postings(corpus, "naive")
+    if _bool_eval_py(tree, set()):
+        with pytest.raises(ValueError):
+            search_bool(postings, tree)
+        return
+    leaves = set(bool_leaf_terms(tree))
+    got = sorted(r.docId for r in search_bool(postings, tree).collect())
+    exp = [
+        i for i, d in enumerate(docs)
+        if (d & leaves) and _bool_eval_py(tree, d)
+    ]
+    assert got == exp
