@@ -138,7 +138,7 @@ def _write_porter_side_table(spark: SparkSession, sf_dir: str) -> None:
 
 def _index_fielded(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
     """Fielded variant of :func:`_index`: lang and repo columns indexed as
-    ``lang:<tok>`` / ``repo:<tok>`` terms next to the content terms."""
+    namespaced ``lang``/``repo`` field terms next to the content terms."""
     key = (sf_dir, "naive-fielded")
     if key not in _INDEX_CACHE:
         from search_engine_spark.sources.segments import build_index
@@ -347,9 +347,11 @@ def q_q8flt_filtered_bm25(spark, sf_dir):
 
     idx, m = _index_fielded(spark, sf_dir)
     segs, stats = load_segments(spark, idx), load_term_stats(spark, idx)
+    from search_engine_spark.operators.query import field_terms
+
     tree = ("and", [
-        ("term", "lang:en"),
-        ("not", ("term", "repo:testdata/src3")),
+        ("term", field_terms("lang", ["en"])[0]),
+        ("not", ("term", field_terms("repo", ["testdata/src3"])[0])),
     ])
     out = score_query_filtered(
         spark, segs, stats, Q_RANKED, tree, m["stats"]["n_docs"],
@@ -2619,17 +2621,24 @@ def oracle_sql() -> dict[str, str]:
                        THEN 'call ' || printf('555-%03d-%04d', doc_id % 1000, doc_id % 10000)
                        ELSE 'no phone' END) AS text
               FROM documents
+            ),
+            -- sequential semantics: phone counts on the email-redacted text,
+            -- original case preserved ((?i) matching), mirroring pii_scrub
+            st AS (
+              SELECT doc_id, text,
+                regexp_replace(text,
+                  '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+',
+                  '[EMAIL]', 'g') AS after_email
+              FROM aug
             )
             SELECT doc_id,
-              len(regexp_extract_all(lower(text),
-                  '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+'))::int AS n_email,
-              len(regexp_extract_all(lower(text),
+              len(regexp_extract_all(text,
+                  '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+'))::int AS n_email,
+              len(regexp_extract_all(after_email,
                   '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}'))::int AS n_phone,
-              md5(regexp_replace(
-                    regexp_replace(lower(text),
-                      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+', '[EMAIL]', 'g'),
-                    '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '[PHONE]', 'g')) AS scrubbed_md5
-            FROM aug
+              md5(regexp_replace(after_email,
+                  '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '[PHONE]', 'g')) AS scrubbed_md5
+            FROM st
         """,
         "st2_user_sessions": """
             WITH o AS (

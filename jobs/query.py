@@ -112,6 +112,11 @@ def main(argv: list[str] | None = None) -> int:
     lo, hi = m["stats"].get("docid_lo"), m["stats"].get("docid_hi")
     span = (lo, hi) if lo is not None and hi is not None else None
 
+    if a.field and a.mode not in ("and", "keyword"):
+        ap.error("--field applies to and/keyword modes")
+    if a.boost_field and a.mode != "bm25":
+        ap.error("--boost-field applies to bm25 mode")
+
     t0 = time.time()
     if a.mode == "bm25" and a.boost_field:
         from search_engine_spark.operators.rank import score_query_fielded
@@ -125,10 +130,21 @@ def main(argv: list[str] | None = None) -> int:
             col, _, val = col_val.partition("=")
             if not val or not w:
                 ap.error(f"--boost-field expects col=value:weight, got {spec!r}")
-            fq[col] = ([val], float(w))
+            if col not in by_field:
+                ap.error(
+                    f"--boost-field field {col!r} not in this index "
+                    f"(fields: {sorted(k for k in by_field if k)})"
+                )
+            try:
+                weight = float(w)
+            except ValueError:
+                ap.error(f"--boost-field weight {w!r} is not a number")
+            fq[col] = ([val], weight)
+        mfields = m.get("fields") or {}
         out = score_query_fielded(
             spark, segs, stats, fq, n_docs, by_field, Scorer("bm25"),
             k=a.k, analyzer=analyzer, deleted=deleted, docid_span=span,
+            field_analyzers=mfields if isinstance(mfields, dict) else None,
         )
         rows = [{"docId": r.docId, "score": round(r.score, 6)} for r in out.collect()]
     elif a.mode == "bm25":
@@ -218,13 +234,24 @@ def main(argv: list[str] | None = None) -> int:
         # --field col=value constraints AND in as fielded-index terms
         # (requires an index built with build_index(fields=…))
         fterms: list[str] = []
+        mfields = m.get("fields") or {}
         for spec in a.field:
             col, _, val = spec.partition("=")
             if not val:
                 ap.error(f"--field expects col=value, got {spec!r}")
-            fterms.extend(field_terms(col, [val], analyzer))
-        if fterms and a.mode not in ("and", "keyword"):
-            ap.error("--field applies to and/keyword modes")
+            if col not in mfields:
+                ap.error(
+                    f"--field field {col!r} not in this index "
+                    f"(fields: {sorted(mfields)})"
+                )
+            # analyze the value with the FIELD's build analyzer (recorded in
+            # the manifest), NOT the content analyzer — porter would stem a
+            # naive-indexed field value into a term that does not exist
+            fan = mfields[col] if isinstance(mfields, dict) else "naive"
+            fts = field_terms(col, [val], fan)
+            if not fts:
+                ap.error(f"--field value {val!r} analyzes to nothing ({fan})")
+            fterms.extend(fts)
         dec = live(
             decode_postings(
                 segs, sorted(set(terms + fterms)),

@@ -149,7 +149,16 @@ def auto_tokenize(text: str) -> list[str]:
     return out
 
 
+def identity_tokenize(text: str) -> list[str]:
+    """Pass-through for PRE-ANALYZED terms (fielded ``col\x1ftoken`` terms,
+    dictionary-expansion output): the input IS the term. Needed because
+    python ``str.split()`` treats the U+001F field separator as whitespace,
+    so even the naive analyzer would split a namespaced term apart."""
+    return [text] if text else []
+
+
 ANALYZERS: dict[str, Tokenizer] = {
+    "identity": identity_tokenize,
     "naive": naive_tokenize,
     "punctuation": punctuation_tokenize,
     "code": code_tokenize,

@@ -733,6 +733,14 @@ def _merge_encoder_impl(batches, restarts_per_block: bool):
     )
 
 
+# Fielded-term separator: a C0 control char NO analyzer can emit from real
+# text (':' is everywhere in source code — "std::vector", "key:value" — and
+# naive/porter tokenizers keep it inside tokens, which would make content
+# terms collide with field terms and corrupt per-field token accounting).
+# Content containing U+001F is out of contract.
+FIELD_SEP = "\x1f"
+
+
 def build_segments_combined(
     corpus: DataFrame,
     analyzer: str,
@@ -746,7 +754,7 @@ def build_segments_combined(
     vectorized merge into packed segments.
 
     ``fields`` maps extra corpus COLUMNS to ``(analyzer, heavy_terms)``:
-    each is tokenized independently and emitted as ``<col>:<token>`` terms
+    each is tokenized independently and emitted as ``<col><FIELD_SEP><token>`` terms
     (the Lucene fielded-index shape — ``path:util``, ``lang:python``). All
     field mini-blocks UNION BEFORE the single hash shuffle, so fielding adds
     zero extra shuffles; field dl is the FIELD's own token length, which is
@@ -763,7 +771,7 @@ def build_segments_combined(
             fheavy,
             n_salts,
             with_positions,
-            term_prefix=f"{col}:",
+            term_prefix=f"{col}{FIELD_SEP}",
         )
         mini = mini.unionByName(fmini)
     mini = mini.repartition(num_segments, "term", "salt")

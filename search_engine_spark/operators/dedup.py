@@ -31,18 +31,24 @@ def tokens_expr(col: Column) -> Column:
     return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != F.lit(""))
 
 
-def shingles_expr(toks: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a token array (sorted for
-    deterministic downstream hashing). Docs shorter than ``n`` tokens yield
-    an empty array — Spark's ``sequence(1, 0)`` counts DOWN (yielding
-    ``[1, 0]`` and an invalid ``slice(…, 0, n)``), so the short case is
-    guarded explicitly."""
+def ngrams_expr(toks: Column, n: int) -> Column:
+    """ALL word n-grams of a token array, duplicates kept (multiset — what
+    repetition measures need; :func:`shingles_expr` distincts for set
+    semantics). Docs shorter than ``n`` tokens yield an empty array —
+    Spark's ``sequence(1, 0)`` counts DOWN (yielding ``[1, 0]`` and an
+    invalid ``slice(…, 0, n)``), so the short case is guarded explicitly."""
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    sh = F.when(
+    return F.when(
         F.size(toks) >= n,
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
     ).otherwise(F.array().cast("array<string>"))
-    return F.array_sort(F.array_distinct(sh))
+
+
+def shingles_expr(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a token array (sorted for
+    deterministic downstream hashing) — the set view of
+    :func:`ngrams_expr`."""
+    return F.array_sort(F.array_distinct(ngrams_expr(toks, n)))
 
 
 def exact_dedup(df: DataFrame, text: str = "content", id_col: str = "docId") -> DataFrame:

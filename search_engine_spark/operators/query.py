@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.analyzers import get_analyzer, tokens_column
+from .build import FIELD_SEP
 from ..functions.predicates import isin_expr
 
 
@@ -40,12 +41,13 @@ def analyze_query(keywords: list[str], analyzer: str = "porter") -> list[str]:
 
 def field_terms(field: str, values: list[str], analyzer: str = "naive") -> list[str]:
     """Analyze field query values and namespace them into the fielded-index
-    term space (``lang:en``, ``path:util`` — see ``build_index(fields=…)``).
+    term space (``lang␟en``, ``path␟util`` with the U+001F separator — see
+    ``build_index(fields=…)``).
     The prefix is applied AFTER analysis, mirroring the build side, so the
-    analyzer never sees the ``:`` separator. The returned terms flow through
+    analyzer never sees the separator. The returned terms flow through
     every existing query operator (keyword/AND/OR/DAAT) unchanged — a field
     constraint is just another posting list."""
-    return [f"{field}:{t}" for t in analyze_query(values, analyzer)]
+    return [f"{field}{FIELD_SEP}{t}" for t in analyze_query(values, analyzer)]
 
 
 def postings_for(postings: DataFrame, terms: list[str]) -> DataFrame:

@@ -1480,6 +1480,7 @@ def score_query_fielded(
     analyzer: str = "porter",
     deleted: np.ndarray | None = None,
     docid_span: tuple[int, int] | None = None,
+    field_analyzers: dict[str, str] | None = None,
 ) -> DataFrame:
     """Per-field weighted BM25 over a fielded index (``build_index(fields=…)``):
     ``score(d) = Σ_f w_f · BM25_f(q_f, d)`` — the practical core of BM25F
@@ -1512,9 +1513,14 @@ def score_query_fielded(
         if field is None:
             kws, f_analyzer, avgdl_f = values, analyzer, avgdl_by_field[""]
         else:
-            # field terms are pre-namespaced; 'naive' keeps them intact
-            kws = field_terms(field, values, "naive")
-            f_analyzer, avgdl_f = "naive", avgdl_by_field[field]
+            # analyze field values with the FIELD's build analyzer (manifest
+            # "fields" records it); the namespaced terms themselves pass
+            # through the scorer's query analysis untouched via 'naive'
+            fan = (field_analyzers or {}).get(field, "naive")
+            kws = field_terms(field, values, fan)
+            # identity: the namespaced terms are final — python str.split
+            # would split on the U+001F separator (it counts as whitespace)
+            f_analyzer, avgdl_f = "identity", avgdl_by_field[field]
         scored = score_query_daat(
             spark, segments, term_stats, kws, n_docs, avgdl_f, scorer,
             k=None, analyzer=f_analyzer, ties="asc", deleted=deleted,

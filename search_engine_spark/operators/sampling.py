@@ -175,6 +175,9 @@ def grouped_topk(
     auto-B."""
     if k < 1:
         raise ValueError("k must be >= 1")
+    # NULL metrics never belong in a top-k: a null -value would sort FIRST
+    # in the ascending struct order and steal slots from real rows.
+    df = df.where(F.col(value_col).isNotNull())
     # struct sorts lexicographically ASCENDING: -value asc == value desc,
     # then id asc. Negating the (numeric) VALUE rather than the id keeps
     # string/date ids orderable (trending terms groups on a string term).

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import h64, shingles_expr, tokens_expr
+from .dedup import h64, ngrams_expr, shingles_expr, tokens_expr
 
 # Tiny deterministic marker-word lists (top function words per language).
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -145,18 +145,6 @@ def quality_score(df: DataFrame, text: str = "content", id_col: str = "docId") -
     )
 
 
-def ngrams_expr(toks: Column, n: int) -> Column:
-    """ALL word n-grams of a token array, duplicates kept (unlike
-    :func:`..dedup.shingles_expr`, which distincts for set semantics) —
-    repetition measures need the multiset. Short docs guard against
-    Spark's descending ``sequence(1, 0)`` like ``shingles_expr``."""
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
-    ).otherwise(F.array().cast("array<string>"))
-
-
 def repetition_stats(
     df: DataFrame,
     text: str = "content",
@@ -234,11 +222,12 @@ def fingerprint(
 
 
 # PII patterns restricted to constructs with identical semantics in Java
-# (Spark) and RE2 (DuckDB): character classes, bounded repetition, no
-# backrefs/lookaround. Email first — redacting it prevents the phone rule
-# from matching digit runs inside an address local part.
+# (Spark) and RE2 (DuckDB): character classes, bounded repetition, inline
+# (?i) case-insensitivity, no backrefs/lookaround. Email first — redacting
+# it prevents the phone rule from matching digit runs inside an address
+# local part.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
-    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+", "[EMAIL]"),
+    ("email", r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+", "[EMAIL]"),
     ("phone", r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}", "[PHONE]"),
 )
 
@@ -249,19 +238,24 @@ def pii_scrub(df: DataFrame, text: str = "content", id_col: str = "docId") -> Da
     C4 / RefinedWeb cleaning stages).
 
     Returns ``(id, n_email, n_phone, scrubbed)`` where ``scrubbed`` is the
-    text with each match replaced by its placeholder, applied in the fixed
-    :data:`PII_PATTERNS` order.
+    ORIGINAL text (case preserved — training text must not be case-folded
+    by a redaction pass) with each match replaced by its placeholder, in
+    the fixed :data:`PII_PATTERNS` order; matching is case-insensitive via
+    inline ``(?i)``. Each pattern's COUNT is taken on the text as it stands
+    when that pattern runs (i.e. after earlier redactions), so counts always
+    reconcile with the placeholders actually present in ``scrubbed`` — a
+    phone-shaped digit run inside an email address is redacted as part of
+    the email and NOT double-counted as a phone.
 
     Scale shape: pure per-row JVM regex expressions (``regexp_extract_all``
     for counts, chained ``regexp_replace`` for the rewrite) — whole-stage
     codegen, zero shuffle, zero Python; the oracle mirrors the same RE2-safe
     patterns verbatim."""
-    col = F.lower(F.col(text))
-    counts = [
-        F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0))).alias(f"n_{name}")
-        for name, pat, _ in PII_PATTERNS
-    ]
-    scrubbed = col
-    for _, pat, repl in PII_PATTERNS:
-        scrubbed = F.regexp_replace(scrubbed, pat, repl)
-    return df.select(F.col(id_col), *counts, scrubbed.alias("scrubbed"))
+    stage = F.col(text)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(stage, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        )
+        stage = F.regexp_replace(stage, pat, repl)
+    return df.select(F.col(id_col), *counts, stage.alias("scrubbed"))

@@ -167,10 +167,10 @@ def build_index(
     """Resumable batched index build. Returns the final manifest.
 
     ``fields`` maps extra corpus columns to their analyzers; each field's
-    tokens index as ``<col>:<token>`` terms next to the content terms
+    tokens index as ``<col><U+001F><token>`` terms next to the content terms
     (fielded search — see ``build_segments_combined``). Field skew is
     detected with the same sampled pass as content skew, because
-    low-cardinality field terms (``lang:en``) are the most skewed posting
+    low-cardinality field terms (``lang``=``en``) are the most skewed posting
     lists in the index.
 
     Each batch = reference ``flush`` unit: select corpus slice by
@@ -196,7 +196,7 @@ def build_index(
             "num_segments": num_segments,
             "n_salts": n_salts,
             "with_positions": with_positions,
-            "fields": sorted(fields) if fields else [],
+            "fields": dict(sorted(fields.items())) if fields else {},
             "lineage": m.get("lineage", [])
             or [{"input": "corpus-df", "created_at": time.time()}],
         }
@@ -363,12 +363,14 @@ def finalize_index(spark: SparkSession, index_dir: str) -> dict:
     # fielded index: per-field token sums (segment-level agg — no posting
     # decode) so per-field BM25 can use the FIELD's avgdl, not the global
     # mix. Content tokens = total − Σ field tokens.
-    fields = read_manifest(index_dir).get("fields") or []
+    fields = read_manifest(index_dir).get("fields") or {}
     field_tokens: dict[str, int] = {}
     if fields:
-        pref = F.split(F.col("term"), ":", 2).getItem(0)
+        from ..operators.build import FIELD_SEP
+
+        pref = F.split(F.col("term"), FIELD_SEP, 2).getItem(0)
         rows = (
-            segs.where(F.col("term").contains(":"))
+            segs.where(F.col("term").contains(FIELD_SEP))
             .groupBy(pref.alias("f"))
             .agg(F.sum("sum_tf").alias("tok"))
             .collect()

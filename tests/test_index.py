@@ -369,21 +369,24 @@ def test_fielded_index_build_and_query(spark, tmp_path):
         spark, corpus, idx, analyzer="naive", n_batches=1, num_segments=4,
         fields={"lang": "naive", "path": "naive"},
     )
+    lang_en = field_terms("lang", ["en"])[0]
+    lang_de = field_terms("lang", ["de"])[0]
+    path_d1 = field_terms("path", ["doc_1"])[0]
     segs = S.load_segments(spark, idx)
     dec = S.decode_postings(
-        segs, ["dog", "lang:en", "lang:de", "path:doc_1", "what"]
+        segs, ["dog", lang_en, lang_de, path_d1, "what"]
     )
-    # field-only query: lang:de == docs 2,3
+    # field-only query: lang=de == docs 2,3
     assert sorted(
-        r.docId for r in search_keyword(dec, "lang:de").collect()
+        r.docId for r in search_keyword(dec, lang_de).collect()
     ) == [2, 3]
-    # mixed content+field AND: dog AND lang:de == doc 3 only
+    # mixed content+field AND: dog AND lang=de == doc 3 only
     got = search_and(dec, ["dog"] + field_terms("lang", ["de"])).collect()
     assert [r.docId for r in got] == [3]
     # path field (unique per doc) behaves as a point lookup
-    assert [r.docId for r in search_keyword(dec, "path:doc_1").collect()] == [1]
+    assert [r.docId for r in search_keyword(dec, path_d1).collect()] == [1]
     # field dl is the FIELD length (1 token), not the content length
-    rows = dec.where(F.col("term") == "lang:en").collect()
+    rows = dec.where(F.col("term") == lang_en).collect()
     assert rows and all(r.dl == 1 for r in rows)
     # content postings are untouched by fielding
     assert sorted(r.docId for r in search_keyword(dec, "what").collect()) == [0, 1]
@@ -403,16 +406,21 @@ def test_fielded_index_survives_compaction(spark, tmp_path):
         fields={"lang": "naive"},
     )
 
+    from search_engine_spark.operators.query import field_terms
+
+    lang_en = field_terms("lang", ["en"])[0]
+    lang_de = field_terms("lang", ["de"])[0]
+
     def results(terms):
         segs = S.load_segments(spark, idx)
         dec = S.decode_postings(segs, terms)
         return sorted(r.docId for r in search_and(dec, terms).collect())
 
-    before = results(["dog", "lang:de"])
-    before_kw = results(["lang:en"])
+    before = results(["dog", lang_de])
+    before_kw = results([lang_en])
     m = S.compact(spark, idx, [0, 1])
     assert len([b for b in m["batches"].values() if b.get("committed")]) == 1
-    assert results(["dog", "lang:de"]) == before == [3]
-    assert results(["lang:en"]) == before_kw == [0, 1]
+    assert results(["dog", lang_de]) == before == [3]
+    assert results([lang_en]) == before_kw == [0, 1]
     # per-field avgdl survives re-finalization after compaction
     assert m["stats"]["avgdl_by_field"]["lang"] == pytest.approx(1.0)

@@ -819,6 +819,23 @@ def test_pii_scrub(spark):
     assert got[2].scrubbed == "two mails [EMAIL] [EMAIL] and dotted phone [PHONE] end"
 
 
+def test_pii_scrub_case_and_sequential_counts(spark):
+    from search_engine_spark.operators.textstats import pii_scrub
+
+    texts = [
+        "Reach John.Doe@Example.COM or Keep This CASE",
+        # phone-shaped digits inside the email are consumed by the email
+        # redaction and must NOT be double-counted as a phone
+        "ping a.555-123-4567@x.io now",
+    ]
+    df = corpus_from_texts(spark, texts)
+    got = {r.docId: r for r in pii_scrub(df, "content", "docId").collect()}
+    assert got[0].scrubbed == "Reach [EMAIL] or Keep This CASE"
+    assert (got[0].n_email, got[0].n_phone) == (1, 0)
+    assert got[1].scrubbed == "ping [EMAIL] now"
+    assert (got[1].n_email, got[1].n_phone) == (1, 0)
+
+
 def test_sequence_pack(spark):
     from search_engine_spark.operators.sampling import sequence_pack
 
