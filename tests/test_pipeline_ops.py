@@ -863,3 +863,17 @@ def test_sequence_pack(spark):
     assert sp == {7: 0, 100: 0, 5000: 1}
     with pytest.raises(ValueError):
         sequence_pack(df, capacity=0)
+
+
+def test_grouped_topk_ignores_null_metrics(spark):
+    from search_engine_spark.operators.sampling import grouped_topk
+
+    df = spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 2, None), ("a", 3, 7.0), ("b", 4, None)],
+        "g string, id long, v double",
+    )
+    got = {
+        (r.g, r.id): r.v for r in grouped_topk(df, ["g"], "v", "id", k=2).collect()
+    }
+    # null metrics never occupy top-k slots; all-null groups vanish
+    assert got == {("a", 3): 7.0, ("a", 1): 5.0}
