@@ -45,6 +45,7 @@ Q_PHRASE = ["table", "scan"]
 TOPK = 10
 RRF_N = 50
 BOOL_QUERY = "spark AND (join OR merge) AND NOT scan"
+Q_SLOPPY, Q_SLOP = ("table", "scan", "fast"), 3
 ANN_K = 20
 MINHASHES, BANDS, ROWS_PER_BAND, SHINGLE_N = 12, 4, 3, 3
 SIMHASH_BITS = 16
@@ -388,6 +389,19 @@ def q_q5_phrase(spark, sf_dir):
     idx, _ = _index(spark, sf_dir)
     dec = decode_postings(load_segments(spark, idx), Q_PHRASE, with_positions=True)
     return search_phrase(dec, Q_PHRASE).select(F.col("docId").alias("doc_id"))
+
+
+def q_q5s_sloppy_phrase(spark, sf_dir):
+    """q5s: ordered sloppy phrase — Q_SLOPPY terms in order, <= Q_SLOP extra
+    tokens between consecutive terms, over the positional segment index."""
+    from search_engine_spark.operators.query import search_sloppy_phrase
+    from search_engine_spark.sources.segments import decode_postings, load_segments
+
+    idx, _ = _index(spark, sf_dir)
+    dec = decode_postings(load_segments(spark, idx), list(Q_SLOPPY), with_positions=True)
+    return search_sloppy_phrase(dec, list(Q_SLOPPY), Q_SLOP).select(
+        F.col("docId").alias("doc_id")
+    )
 
 
 def q_q2p_prefix(spark, sf_dir):
@@ -1484,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2r_regex_search": q_q2r_regex_search,
         "q16_hybrid_rrf": q_q16_hybrid_rrf,
         "q3b_bool_tree": q_q3b_bool_tree,
+        "q5s_sloppy_phrase": q_q5s_sloppy_phrase,
         "q8flt_filtered_bm25": q_q8flt_filtered_bm25,
         "q8f_fielded_bm25": q_q8f_fielded_bm25,
         "q3_and_search": q_q3_and,
@@ -2028,6 +2043,15 @@ def oracle_sql() -> dict[str, str]:
             FROM scored s JOIN documents d ON s.doc_id = d.doc_id
             WHERE d.lang = 'en' AND d.source <> 'src3'
             ORDER BY s.score DESC, s.doc_id ASC LIMIT {TOPK}
+        """,
+        "q5s_sloppy_phrase": f"""
+            WITH {_TOKS}
+            SELECT DISTINCT a.doc_id FROM tok a
+            JOIN tok b ON b.doc_id = a.doc_id AND b.term = '{Q_SLOPPY[1]}'
+                       AND b.pos - a.pos BETWEEN 1 AND {Q_SLOP + 1}
+            JOIN tok c ON c.doc_id = a.doc_id AND c.term = '{Q_SLOPPY[2]}'
+                       AND c.pos - b.pos BETWEEN 1 AND {Q_SLOP + 1}
+            WHERE a.term = '{Q_SLOPPY[0]}'
         """,
         "q3b_bool_tree": f"""
             WITH {_TOKS}

@@ -11,6 +11,7 @@ near (--window positional proximity), not (--exclude anti-terms),
 fuzzy (--max-dist/--max-expansions typo-tolerant dictionary expansion),
 regex (RegexpQuery-style dictionary expansion, --max-expansions cap),
 bool (nested AND/OR/NOT with parentheses, one quoted expression),
+sloppy (ordered phrase with --slop extra tokens between terms),
 suggest (did-you-mean term corrections), mlt (--corpus more-like-this: the
 single positional arg is the seed docId). and/keyword accept repeatable
 --field col=value constraints against a fielded index
@@ -35,10 +36,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--mode", default="bm25",
                     choices=["bm25", "tfidf", "and", "or", "phrase", "keyword",
                              "not", "near", "prefix", "fuzzy", "suggest",
-                             "mlt", "regex", "bool"])
+                             "mlt", "regex", "bool", "sloppy"])
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--window", type=int, default=5,
                     help="near mode: max positions between the two terms")
+    ap.add_argument("--slop", type=int, default=0,
+                    help="sloppy mode: max extra tokens between consecutive terms")
     ap.add_argument("--exclude", nargs="*", default=[],
                     help="not mode: terms the document must NOT contain")
     ap.add_argument("--max-dist", type=int, default=1,
@@ -181,6 +184,17 @@ def main(argv: list[str] | None = None) -> int:
         rows = [
             {"docId": r.docId}
             for r in search_or(dec, terms).limit(a.k).collect()
+        ]
+    elif a.mode == "sloppy":
+        from search_engine_spark.operators.query import search_sloppy_phrase
+
+        terms = analyze_query(a.terms, analyzer)
+        dec = live(
+            decode_postings(segs, sorted(set(terms)), with_positions=True), tomb
+        )
+        rows = [
+            {"docId": r.docId}
+            for r in search_sloppy_phrase(dec, terms, a.slop).limit(a.k).collect()
         ]
     elif a.mode == "bool":
         from search_engine_spark.operators.query import (

@@ -611,3 +611,52 @@ def parse_bool(query: str, analyzer: str = "naive"):
     if pos != len(toks):
         raise ValueError(f"trailing input {toks[pos:]!r} in {query!r}")
     return tree
+
+
+def search_sloppy_phrase(
+    postings_pos: DataFrame, terms: list[str], slop: int = 0
+) -> DataFrame:
+    """Ordered sloppy phrase: docs where the terms occur IN ORDER with at
+    most ``slop`` extra tokens between consecutive terms (``slop=0`` is the
+    exact n-term phrase; 2 terms with ``slop=w-1`` is
+    :func:`search_proximity`) — the Lucene ordered-``PhraseQuery``-with-slop
+    / SpanNear(ordered) shape, generalized to n terms.
+
+    Fold over terms: carry the set of admissible END positions; at each
+    step keep the next term's positions reachable within ``1..slop+1`` of
+    some carried position. All JVM array expressions (``filter``/``exists``
+    over per-doc position sets — O(|A|·|B|) per doc, bounded by doc
+    length), per-docId equi-joins on query-term-filtered postings only, no
+    Python, no window function.
+
+    Repeated terms keep ALL their positions here (each fold step re-reads
+    the term's full position set), unlike Q5's reference last-offset quirk
+    — the two operators intentionally differ on that corner."""
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    if not terms:
+        return postings_pos.select("docId").limit(0)
+
+    def _positions(t: str, out: str) -> DataFrame:
+        return (
+            postings_pos.where(F.col("term") == t)
+            .groupBy("docId")
+            .agg(F.flatten(F.collect_list("positions")).alias(out))
+        )
+
+    base = _positions(terms[0], "_acc")
+    for i, term in enumerate(terms[1:], start=1):
+        nxt = _positions(term, "_pb")
+        step = F.filter(
+            F.col("_pb"),
+            lambda pb: F.exists(
+                F.col("_acc"),
+                lambda pa: (pb - pa >= F.lit(1)) & (pb - pa <= F.lit(slop + 1)),
+            ),
+        )
+        base = (
+            base.join(nxt, "docId")
+            .select("docId", step.alias("_acc"))
+            .where(F.size("_acc") > 0)
+        )
+    return base.select("docId")

@@ -361,3 +361,40 @@ def test_bool_tree_query(spark, tmp_path):
         with _pytest.raises(ValueError):
             parse_bool(bad, "naive")
     assert bool_leaf_terms(tree) == ["join", "merge", "scan", "spark"]
+
+
+def test_sloppy_phrase(spark):
+    """Ordered sloppy phrase laws on hand-built docs: slop=0 == consecutive,
+    widening slop only adds docs, order matters."""
+    from search_engine_spark.operators.build import build_postings
+    from search_engine_spark.operators.query import search_sloppy_phrase
+    from search_engine_spark.sources.segments import decode_postings
+    from tests.conftest import corpus_from_texts
+
+    texts = [
+        "alpha beta gamma",           # 0: exact
+        "alpha x beta y gamma",       # 1: gaps of 1
+        "alpha x y z beta gamma",     # 2: gap of 3 then 0
+        "gamma beta alpha",           # 3: wrong order
+        "alpha beta",                 # 4: missing gamma
+    ]
+    corpus = corpus_from_texts(spark, texts)
+    # row-level postings carry packed posbin; go through the segment codec
+    from search_engine_spark.sources import segments as S
+    import tempfile, shutil, os
+    idx = os.path.join(tempfile.mkdtemp(), "slop_idx")
+    S.build_index(spark, corpus, idx, analyzer="naive", n_batches=1, num_segments=2)
+    dec = S.decode_postings(
+        S.load_segments(spark, idx), ["alpha", "beta", "gamma"],
+        with_positions=True,
+    )
+    run = lambda slop: sorted(
+        r.docId
+        for r in search_sloppy_phrase(dec, ["alpha", "beta", "gamma"], slop).collect()
+    )
+    assert run(0) == [0]
+    assert run(1) == [0, 1]
+    assert run(3) == [0, 1, 2]
+    got = {s: run(s) for s in (0, 1, 3)}
+    assert got[0] <= got[1] <= got[3]  # widening only adds
+    shutil.rmtree(os.path.dirname(idx), ignore_errors=True)
