@@ -172,3 +172,49 @@ def test_search_bool_matches_python_oracle(spark, tree, docs):
         if (d & leaves) and _bool_eval_py(tree, d)
     ]
     assert got == exp
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["p", "q", "r", "x"]), min_size=1, max_size=10),
+        min_size=1,
+        max_size=6,
+    ),
+    slop=st.integers(min_value=0, max_value=3),
+)
+def test_sloppy_phrase_matches_bruteforce(spark, docs, slop):
+    """search_sloppy_phrase == brute-force ordered-window check for random
+    tiny corpora over the phrase (p, q, r)."""
+    from search_engine_spark.operators.query import search_sloppy_phrase
+
+    terms = ["p", "q", "r"]
+
+    def brute(toks):
+        def ok(start_positions, remaining):
+            if not remaining:
+                return True
+            t = remaining[0]
+            for i, tok in enumerate(toks):
+                if tok == t and any(
+                    1 <= i - p <= slop + 1 for p in start_positions
+                ):
+                    if ok([i], remaining[1:]):
+                        return True
+            return False
+
+        firsts = [i for i, tok in enumerate(toks) if tok == terms[0]]
+        return any(ok([i], terms[1:]) for i in firsts)
+
+    # positional postings built directly from the token lists (the segment
+    # codec path is covered by tests/test_query_ext.py::test_sloppy_phrase)
+    rows = []
+    for i, d in enumerate(docs):
+        for t in set(d):
+            rows.append((t, i, [j for j, tok in enumerate(d) if tok == t]))
+    dec = spark.createDataFrame(rows, "term string, docId long, positions array<int>")
+    got = sorted(
+        r.docId for r in search_sloppy_phrase(dec, terms, slop).collect()
+    )
+    exp = sorted(i for i, d in enumerate(docs) if brute(d))
+    assert got == exp
