@@ -46,6 +46,7 @@ TOPK = 10
 RRF_N = 50
 BOOL_QUERY = "spark AND (join OR merge) AND NOT scan"
 Q_SLOPPY, Q_SLOP = ("table", "scan", "fast"), 3
+MIX_TARGETS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 ANN_K = 20
 MINHASHES, BANDS, ROWS_PER_BAND, SHINGLE_N = 12, 4, 3, 3
 SIMHASH_BITS = 16
@@ -1395,6 +1396,18 @@ def q_t11_sequence_pack(spark, sf_dir):
     return sequence_pack(d, capacity=2048)
 
 
+def q_t12_domain_mix(spark, sf_dir):
+    """t12: domain mixing — deterministically down-sample sources toward
+    MIX_TARGETS proportions (rates derived from observed counts, then the
+    zero-shuffle ticket filter of t5)."""
+    from search_engine_spark.operators.sampling import mix_to_target
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mix_to_target(d, MIX_TARGETS, strata_col="source", id_col="doc_id").select(
+        "doc_id", "source"
+    )
+
+
 def q_t2_quality(spark, sf_dir):
     from search_engine_spark.operators.textstats import quality_score
 
@@ -1557,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st2_user_sessions": q_st2_user_sessions,
         "st3_trending_terms": q_st3_trending_terms,
         "t11_sequence_pack": q_t11_sequence_pack,
+        "t12_domain_mix": q_t12_domain_mix,
         "m1_media_meta": q_m1_media_meta,
         "m2_media_features": q_m2_media_features,
     }
@@ -2363,6 +2377,29 @@ def oracle_sql() -> dict[str, str]:
               (p // 2048)::int64 AS bin,
               (p % 2048)::int64 AS bin_offset
             FROM pre
+        """,
+        "t12_domain_mix": """
+            WITH c AS (
+              SELECT source, count(*)::double AS n,
+                     CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3 WHEN 'src2' THEN 0.2 END AS w
+              FROM documents
+              WHERE source IN ('src0', 'src1', 'src2')
+              GROUP BY source
+            ),
+            tot AS (SELECT sum(n) AS nt FROM c),
+            sc AS (
+              SELECT least(min(n / (w * nt)), 1.0) AS scale
+              FROM c, tot WHERE w > 0
+            ),
+            rates AS (
+              SELECT source,
+                     least(1.0, (w * nt * scale) / n) AS rate
+              FROM c, tot, sc
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN rates r USING (source)
+            WHERE ('0x' || substr(md5('v1:' || d.doc_id::varchar), 1, 15))::int64
+                    % 1000000 < floor(r.rate * 1000000)
         """,
         "st3_trending_terms": """
             WITH wins AS (

@@ -273,3 +273,56 @@ def sequence_pack(
             (pre % capacity).cast("long").alias("bin_offset"),
         )
     )
+
+
+def mix_to_target(
+    df: DataFrame,
+    targets: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "v1",
+) -> DataFrame:
+    """Domain mixing: down-sample strata so the KEPT corpus approaches the
+    target proportion per stratum (the data-mixture step of a pretraining
+    pipeline — Pile/Dolma-style source weighting, restricted to
+    down-sampling: Bernoulli keep rates are capped at 1, so a stratum below
+    its target keeps everything and the realized mix is the closest
+    achievable by deletion only).
+
+    Rates are derived deterministically from observed per-stratum counts:
+    the scale is chosen so the most over-target stratum is NOT the binding
+    constraint — ``scale = min_s count_s / (target_s · N)`` ≤ 1 sets kept_s
+    = min(count_s, target_s · N · scale), making every kept/target ratio
+    equal where down-sampling binds. Strata absent from ``targets`` drop.
+
+    Scale shape: one |strata|-row count agg to the driver, then the same
+    zero-shuffle deterministic ticket filter as :func:`stratified_sample`
+    (rates inline as a literal CASE). Same salt + corpus ⇒ same kept set.
+    """
+    if not targets:
+        return df.limit(0)
+    tot_t = sum(targets.values())
+    if tot_t <= 0:
+        raise ValueError("targets must sum to a positive weight")
+    norm = {s: w / tot_t for s, w in targets.items()}
+    counts = {
+        r[strata_col]: int(r["n"])
+        for r in df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
+        if r[strata_col] in norm
+    }
+    n_total = sum(counts.values())
+    if n_total == 0:
+        return df.limit(0)
+    scale = min(
+        (counts[s] / (norm[s] * n_total) for s in counts if norm[s] > 0),
+        default=1.0,
+    )
+    scale = min(scale, 1.0)
+    rates = {
+        s: min(1.0, (norm[s] * n_total * scale) / counts[s]) if counts[s] else 0.0
+        for s in counts
+    }
+    return stratified_sample(
+        df, rates, strata_col=strata_col, id_col=id_col, salt=salt,
+        default_rate=0.0,
+    )

@@ -877,3 +877,37 @@ def test_grouped_topk_ignores_null_metrics(spark):
     }
     # null metrics never occupy top-k slots; all-null groups vanish
     assert got == {("a", 3): 7.0, ("a", 1): 5.0}
+
+
+def test_mix_to_target(spark):
+    from search_engine_spark.operators.sampling import mix_to_target
+
+    rows = (
+        [(i, "a") for i in range(600)]
+        + [(i + 1000, "b") for i in range(300)]
+        + [(i + 2000, "c") for i in range(100)]
+        + [(i + 3000, "drop_me") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = mix_to_target(
+        df, {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3}, strata_col="source"
+    )
+    by = {r.source: r.n for r in kept.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    # 'c' (under target) keeps everything; a and b down-sample toward it
+    assert by.get("c") == 100
+    assert "drop_me" not in by  # absent from targets -> dropped
+    assert by["a"] < 600 and by["b"] < 300
+    # realized mix is as equal as deletion-only allows: each within noise
+    # of the binding stratum's count (Bernoulli at ~1/6 and ~1/3 of a/b)
+    for s in ("a", "b"):
+        assert abs(by[s] - 100) <= 40
+    # deterministic: second run keeps the identical set
+    ids1 = {r.doc_id for r in kept.collect()}
+    ids2 = {
+        r.doc_id
+        for r in mix_to_target(
+            df, {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3}, strata_col="source"
+        ).collect()
+    }
+    assert ids1 == ids2
