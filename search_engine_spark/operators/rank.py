@@ -774,10 +774,14 @@ def _daat_rows_batch(
 
 from pyspark.sql.types import BinaryType, IntegerType, StringType
 
-# per-bucket packed top-k results (little-endian i64/i64/f8 arrays): the
-# blob merge path of score_queries_daat_batch
+# per-(bucket, merge-shard) packed top-k results (little-endian i64/i64/f8
+# arrays): the blob merge path of score_queries_daat_batch. ``mkey`` shards
+# the merge by qid (qid % n_merge) so the final selection parallelizes —
+# every candidate of a given qid carries the same mkey, so a hash
+# repartition on it keeps per-qid top-k exact.
 PACKED_TOPK_SCHEMA = StructType(
     [
+        StructField("mkey", IntegerType(), True),
         StructField("qids", BinaryType(), True),
         StructField("docids", BinaryType(), True),
         StructField("scores", BinaryType(), True),
@@ -953,10 +957,19 @@ _WORK_PER_BUCKET = 1 << 19
 _AUTO_VECTORIZED_MIN_Q = 1
 
 # Packed-blob merge ceiling (entries = Q x k x buckets): below this, the
-# per-bucket top-k results ship as ONE binary row per bucket and merge in a
-# single vectorized task; above it, the distributed row merge takes over
-# (8M entries ~ 190 MB in the merge task).
+# per-bucket top-k results ship as packed binary rows and merge in a few
+# vectorized tasks; above it, the distributed row merge takes over
+# (8M entries ~ 190 MB through the blob shuffle).
 _BLOB_MERGE_CAP = 8_000_000
+
+# Entries per blob-merge task. One giant merge task was a measured serial
+# tail on big workloads (Q=16k, k=10, 32 buckets -> 5.2M candidate entries:
+# one task concatenates ~126 MB and lexsorts it while every other core
+# idles). Sharding the merge by qid (each bucket splits its packed arrays
+# by qid % n_merge) keeps the merge selection-exact per qid and lets the
+# tail scale with cores; ~0.5M entries/task keeps per-task overhead
+# amortized while small workloads still collapse to one task.
+_MERGE_ENTRIES_PER_TASK = 1 << 19
 
 
 # Above this fraction of the vocabulary, a query workload's candidate
@@ -1226,6 +1239,13 @@ def score_queries_daat_batch(
         and 0 < blob_ceiling <= _BLOB_MERGE_CAP
     )
     if use_blobs:
+        n_merge = max(
+            1,
+            min(
+                spark.sparkContext.defaultParallelism,
+                -(-blob_ceiling // _MERGE_ENTRIES_PER_TASK),
+            ),
+        )
 
         def kernel_blob(key, pdf):
             qmetas_b = qmetas_local if qmetas_ref is None else qmetas_ref.value
@@ -1240,15 +1260,25 @@ def score_queries_daat_batch(
             )
             if not len(qv):
                 return pd.DataFrame(
-                    {"qids": pd.Series(dtype=object),
+                    {"mkey": pd.Series(dtype="int32"),
+                     "qids": pd.Series(dtype=object),
                      "docids": pd.Series(dtype=object),
                      "scores": pd.Series(dtype=object)}
                 )
+            if n_merge == 1:
+                shards = [(0, np.arange(len(qv)))]
+            else:
+                mk = (qv % n_merge).astype(np.int64)
+                shards = [
+                    (r, np.nonzero(mk == r)[0]) for r in range(n_merge)
+                ]
+                shards = [(r, ix) for r, ix in shards if len(ix)]
             return pd.DataFrame(
                 {
-                    "qids": [qv.astype("<i8").tobytes()],
-                    "docids": [dv.astype("<i8").tobytes()],
-                    "scores": [sv.astype("<f8").tobytes()],
+                    "mkey": np.array([r for r, _ in shards], dtype="int32"),
+                    "qids": [qv[ix].astype("<i8").tobytes() for _, ix in shards],
+                    "docids": [dv[ix].astype("<i8").tobytes() for _, ix in shards],
+                    "scores": [sv[ix].astype("<f8").tobytes() for _, ix in shards],
                 }
             )
 
@@ -1273,7 +1303,12 @@ def score_queries_daat_batch(
         blobs = bucketed.groupBy("bucket").applyInPandas(
             kernel_blob, PACKED_TOPK_SCHEMA
         )
-        return blobs.repartition(1).mapInPandas(merge_blobs, BATCH_SCHEMA)
+        # hash-partition by merge shard: all candidates of a qid share one
+        # mkey, so each task's segmented top-k is exact; n_merge=1 keeps
+        # the old single-task merge for small workloads
+        return blobs.repartition(n_merge, "mkey").mapInPandas(
+            merge_blobs, BATCH_SCHEMA
+        )
 
     local = bucketed.groupBy("bucket").applyInPandas(kernel, BATCH_SCHEMA)
     if k is None:

@@ -359,6 +359,42 @@ def test_serving_fast_paths_identical(spark, tmp_path_factory):
     assert b0 == b1 and b0
 
 
+def test_sharded_blob_merge_matches_row_merge(spark, tmp_path_factory, monkeypatch):
+    """The packed-blob merge sharded across several tasks (qid % n_merge)
+    must equal both the single-task blob merge and the distributed row
+    merge. Shrink the per-task entry budget so a small workload forces
+    n_merge > 1."""
+    from search_engine_spark.sources.corpus import synthetic_corpus
+
+    p = str(tmp_path_factory.mktemp("shardmerge") / "idx")
+    corpus = synthetic_corpus(spark, n_docs=300, vocab_size=400, seed=23)
+    m = S.build_index(spark, corpus, p, analyzer="porter", n_batches=1)
+    segs, stats = S.load_segments(spark, p), S.load_term_stats(spark, p)
+    nd, avg = m["stats"]["n_docs"], m["stats"]["avgdl"]
+    queries = {
+        i: kw
+        for i, kw in enumerate(
+            [["def"], ["import", "tok1"], ["tok2", "tok3"], ["string"],
+             ["apple", "def"], ["tok1"], ["return"], ["class", "tok2"]]
+        )
+    }
+    sc = R.Scorer("bm25")
+
+    def rows(df):
+        return sorted((r.qid, r.docId, round(r.score, 9)) for r in df.collect())
+
+    monkeypatch.setattr(R, "_MERGE_ENTRIES_PER_TASK", 16)  # forces n_merge > 1
+    sharded = rows(R.score_queries_daat_batch(
+        spark, segs, stats, queries, nd, avg, sc, k=5, n_buckets=4))
+    monkeypatch.setattr(R, "_MERGE_ENTRIES_PER_TASK", 1 << 19)
+    single = rows(R.score_queries_daat_batch(
+        spark, segs, stats, queries, nd, avg, sc, k=5, n_buckets=4))
+    monkeypatch.setattr(R, "_BLOB_MERGE_CAP", 0)  # row merge path
+    rowm = rows(R.score_queries_daat_batch(
+        spark, segs, stats, queries, nd, avg, sc, k=5, n_buckets=4))
+    assert sharded == single == rowm and sharded
+
+
 def test_batch_topk_partial_prune_bounded(spark):
     """The mapInPandas partial top-k must re-prune its accumulator (state
     stays O(Q*k)) and still produce the exact per-qid top-k with ties."""
