@@ -157,6 +157,29 @@ def identity_tokenize(text: str) -> list[str]:
     return [text] if text else []
 
 
+# Joiner inside a shingle (bigram) term: U+001E record separator — like the
+# U+001F field separator, it is whitespace to python str.split and can never
+# be produced by any tokenizer, so "a\x1eb" cannot collide with a real token.
+SHINGLE_SEP = "\x1e"
+
+
+def make_shingle_analyzer(base: str) -> Tokenizer:
+    """Bigram (word-shingle) analyzer over a base tokenizer — the Lucene
+    ShingleFilter shape. Token i of the output is
+    ``base[i] + SHINGLE_SEP + base[i+1]`` at position i, so a phrase of L
+    base tokens is L-1 consecutive shingles: phrase search over a shingle
+    field seeks L-1 (usually far rarer) bigram posting lists instead of
+    decoding L unigram position lists, and a 2-token phrase needs no
+    position decode at all (see ``query.search_phrase_shingled``)."""
+    fn = get_analyzer(base)
+
+    def tok(text: str) -> list[str]:
+        t = fn(text)
+        return [t[i] + SHINGLE_SEP + t[i + 1] for i in range(len(t) - 1)]
+
+    return tok
+
+
 ANALYZERS: dict[str, Tokenizer] = {
     "identity": identity_tokenize,
     "naive": naive_tokenize,
@@ -171,6 +194,10 @@ ANALYZERS: dict[str, Tokenizer] = {
 
 
 def get_analyzer(name: str) -> Tokenizer:
+    if name.startswith("shingle:"):
+        # derived on demand (executors resolve by NAME, so the registry
+        # composes without shipping closures): "shingle:porter" etc.
+        return make_shingle_analyzer(name.split(":", 1)[1])
     try:
         return ANALYZERS[name]
     except KeyError:

@@ -109,6 +109,31 @@ def delete_by_keyword(
     return add_tombstones(spark, index_dir, ids)
 
 
+def delete_by_query(
+    spark: SparkSession, index_dir: str, query: str, analyzer: str = "porter"
+) -> dict:
+    """Delete-by-query (the Elasticsearch ``_delete_by_query`` /
+    Lucene ``IndexWriter.deleteDocuments(Query)`` shape): evaluate a
+    boolean AND/OR/NOT query string against the index and tombstone every
+    matching docId.
+
+    The match is :func:`..operators.query.search_bool` — leaf terms seek
+    via ``In`` pushdown, one collect_set agg, the tree as a codegen
+    expression — so deletion cost is query cost + O(|matches|) tombstone
+    write; segments are untouched until :func:`purge_deletes`. Purely
+    negative queries are rejected by ``parse_bool``'s Lucene MUST_NOT rule
+    (they would tombstone the whole corpus)."""
+    from .query import bool_leaf_terms, parse_bool, search_bool
+
+    tree = parse_bool(query, analyzer)
+    segs = load_segments(spark, index_dir)
+    # decode only the leaf terms' rows (In pushdown at the parquet scan);
+    # search_bool's own postings_for filter is then a no-op
+    decoded = decode_postings(segs, bool_leaf_terms(tree))
+    ids = search_bool(decoded, tree).select("docId").distinct()
+    return add_tombstones(spark, index_dir, ids)
+
+
 def load_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
     """Union of all live tombstone sets (distinct), or None if none."""
     sets = read_manifest(index_dir).get("tombstones") or []

@@ -128,6 +128,151 @@ def search_phrase(postings_pos: DataFrame, terms: list[str]) -> DataFrame:
     return base.where(F.size("_acc") > 0).select("docId")
 
 
+def search_phrase_shingled(
+    segments: DataFrame, tokens: list[str], field: str = "sh"
+) -> DataFrame:
+    """Q5 phrase search accelerated by a bigram (shingle) field — the
+    Lucene ShingleFilter / "common grams" index design.
+
+    Build the index with a shingle pseudo-field over content
+    (``corpus.withColumn("sh", col("content"))`` +
+    ``build_index(fields={"sh": "shingle:<analyzer>"})``); a phrase of L
+    analyzed tokens then matches docs where the L-1 consecutive bigram
+    terms appear at consecutive positions. Results are exactly
+    :func:`search_phrase` on the unigram positional index — same docIds —
+    but the seek touches the (much rarer) bigram posting lists:
+
+    - L = 2: pure membership — the docId-only decode path, ZERO position
+      bytes read (``decode_docids`` projects the single ``docids`` blob);
+    - L >= 3: the standard shifted-position intersection, but over L-1
+      bigram lists whose df is ≪ the unigram df (per-bucket candidate
+      volume shrinks by the bigram selectivity, typically orders of
+      magnitude for common unigrams).
+
+    Unlike the reference-parity :func:`search_phrase` (which mirrors the
+    TreeMap dedup quirk, IIM:966-977), a repeated bigram intersects at ALL
+    its offsets — bigrams make repeats unambiguous.
+
+    ``tokens`` are the ALREADY-ANALYZED phrase tokens (the same base
+    analyzer the shingle field was built with)."""
+    from ..functions.analyzers import SHINGLE_SEP
+    from ..sources.segments import decode_docids, decode_postings
+    from .build import FIELD_SEP
+
+    if len(tokens) < 2:
+        # a 1-token "phrase" is a keyword query on the unigram content terms
+        # that share the segment store
+        if not tokens:
+            return segments.select(F.lit(0).cast("long").alias("docId")).limit(0)
+        return decode_postings(segments, tokens).select("docId").distinct()
+    grams = [
+        f"{field}{FIELD_SEP}{tokens[i]}{SHINGLE_SEP}{tokens[i + 1]}"
+        for i in range(len(tokens) - 1)
+    ]
+    if len(set(grams)) == 1 and len(grams) == 1:
+        hits = segments.where(F.col("term") == grams[0])
+        return decode_docids(hits).distinct()
+    # (term, offset) pairs — duplicates collapse, repeated bigrams at
+    # DIFFERENT offsets each constrain the intersection
+    pairs = sorted({(g, i) for i, g in enumerate(grams)}, key=lambda p: (p[1], p[0]))
+    pos = decode_postings(
+        segments, sorted({g for g, _ in pairs}), with_positions=True
+    )
+    base = None
+    for term, off in pairs:
+        t = (
+            pos.where(F.col("term") == term)
+            .select(
+                "docId",
+                F.transform("positions", lambda x: x - F.lit(off)).alias("_shift"),
+            )
+            .groupBy("docId")
+            .agg(F.flatten(F.collect_list("_shift")).alias("_shift"))
+        )
+        if base is None:
+            base = t.withColumnRenamed("_shift", "_acc")
+        else:
+            base = (
+                base.join(t, "docId")
+                .select("docId", F.array_intersect("_acc", "_shift").alias("_acc"))
+                .where(F.size("_acc") > 0)
+            )
+    return base.where(F.size("_acc") > 0).select("docId")
+
+
+def search_synonyms(
+    postings: DataFrame, terms: list[str], synonyms: dict[str, list[str]]
+) -> DataFrame:
+    """Query-time synonym expansion (the Lucene SynonymGraph shape, query
+    side): each query term becomes an OR-group of itself plus its synonyms,
+    groups combine with AND — docs matching at least one member of EVERY
+    group.
+
+    Same scale shape as :func:`search_fuzzy_and` (expansion groups are the
+    general mechanism): the (term, gid) map is tiny and broadcast, the
+    posting scan prunes to the expanded term union in ONE ``In`` pushdown,
+    and group semantics are a count-matching aggregation over DISTINCT gid
+    — one shuffle, no per-group self-joins, index untouched at build time
+    (index-time synonym injection would be a ``fields``-style analyzer
+    instead)."""
+    gmap = []
+    for gid, t in enumerate(terms):
+        group = {t, *synonyms.get(t, [])}
+        gmap.extend((m, gid) for m in sorted(group))
+    if not gmap:
+        return postings.select("docId").limit(0)
+    n_groups = len(terms)
+    spark = postings.sparkSession
+    gdf = spark.createDataFrame(gmap, "term string, gid int")
+    hits = postings_for(postings, sorted({m for m, _ in gmap}))
+    return (
+        hits.join(F.broadcast(gdf), "term")
+        .groupBy("docId")
+        .agg(F.countDistinct("gid").alias("_g"))
+        .where(F.col("_g") == n_groups)
+        .select("docId")
+    )
+
+
+def range_facets(
+    result: DataFrame,
+    docs: DataFrame,
+    col: str,
+    edges: list[float],
+    id_col: str = "docId",
+) -> DataFrame:
+    """Numeric histogram facet over a result set: count of matching docs per
+    ``[edges[i], edges[i+1])`` bucket of ``col`` — the range-facet sidebar
+    (dates, sizes, scores) next to :func:`facet_counts`' categorical one.
+
+    Same scale shape: broadcast semi-join hydration (result ≪ corpus),
+    bucket assignment is a pure JVM projection over the literal edge array
+    (binary-search shape via ``width_bucket``-style filter count), one
+    partial+final count agg. Values below edges[0] or at/above edges[-1]
+    land in the open-ended buckets.
+
+    Output: ``(bucket int, lo double, hi double, n long)`` where bucket 0 is
+    the open ``v < edges[0]`` bucket (lo NULL), bucket i in 1..len-1 is
+    ``[edges[i-1], edges[i])``, and bucket len is ``v >= edges[-1]``
+    (hi NULL) — numeric bounds, not formatted labels, so oracle comparison
+    is float-exact."""
+    if len(edges) < 2 or sorted(edges) != list(edges):
+        raise ValueError("edges must be >= 2 ascending values")
+    hit = docs.join(F.broadcast(result), id_col, "left_semi")
+    e = F.array(*[F.lit(float(x)) for x in edges])
+    v = F.col(col).cast("double")
+    # bucket index = number of edges <= v  (0 => v < edges[0])
+    idx = F.size(F.filter(e, lambda x: x <= v))
+    n_edges = len(edges)
+    lo = F.when(idx > 0, F.element_at(e, F.greatest(idx, F.lit(1))))
+    hi = F.when(idx < n_edges, F.element_at(e, F.least(idx + 1, F.lit(n_edges))))
+    return (
+        hit.select(idx.alias("bucket"), lo.alias("lo"), hi.alias("hi"))
+        .groupBy("bucket", "lo", "hi")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
 def search_and_not(
     postings: DataFrame, terms: list[str], neg_terms: list[str]
 ) -> DataFrame:

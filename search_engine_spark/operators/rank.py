@@ -1096,6 +1096,125 @@ def _bucketize_segments(
     return bucketed.repartition(len(edges), "bucket")
 
 
+def _n_merge_tasks(spark: SparkSession, blob_ceiling: int) -> int:
+    """Merge-shard count for the packed-blob top-k: ~0.5M entries per task,
+    capped at the session's parallelism (1 for small workloads = the old
+    single-task merge)."""
+    return max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            -(-int(blob_ceiling) // _MERGE_ENTRIES_PER_TASK),
+        ),
+    )
+
+
+def _score_bucket_rows(
+    pdf: pd.DataFrame,
+    qmetas: dict[int, dict[str, tuple[float, int]]],
+    scorer: Scorer,
+    avgdl: float,
+    k: int | None,
+    ties: str,
+    deleted: np.ndarray | None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Score one bucket's packed rows for a whole workload — the shared core
+    of the in-plan blob kernel and the serving-cache kernel (operators/
+    serving.py). Bucket bounds come from the rows themselves."""
+    bounds = (int(pdf["lo_docid"].iat[0]), int(pdf["hi_docid"].iat[0]))
+    all_rows = list(pdf.itertuples(index=False))
+    rows_by_term_i: dict[str, list[int]] = {}
+    for i, r in enumerate(all_rows):
+        rows_by_term_i.setdefault(r.term, []).append(i)
+    return _daat_rows_batch(
+        all_rows, rows_by_term_i, qmetas, scorer, avgdl, k, ties, deleted,
+        bounds,
+    )
+
+
+def _packed_shards(
+    qv: np.ndarray, dv: np.ndarray, sv: np.ndarray, n_merge: int
+) -> pd.DataFrame:
+    """Pack per-bucket top-k arrays into PACKED_TOPK_SCHEMA rows, one per
+    merge shard (qid % n_merge) — all candidates of a qid share a shard, so
+    the sharded merge stays selection-exact per qid."""
+    if not len(qv):
+        return pd.DataFrame(
+            {"mkey": pd.Series(dtype="int32"),
+             "qids": pd.Series(dtype=object),
+             "docids": pd.Series(dtype=object),
+             "scores": pd.Series(dtype=object)}
+        )
+    if n_merge == 1:
+        shards = [(0, np.arange(len(qv)))]
+    else:
+        mk = (qv % n_merge).astype(np.int64)
+        shards = [(r, np.nonzero(mk == r)[0]) for r in range(n_merge)]
+        shards = [(r, ix) for r, ix in shards if len(ix)]
+    return pd.DataFrame(
+        {
+            "mkey": np.array([r for r, _ in shards], dtype="int32"),
+            "qids": [qv[ix].astype("<i8").tobytes() for _, ix in shards],
+            "docids": [dv[ix].astype("<i8").tobytes() for _, ix in shards],
+            "scores": [sv[ix].astype("<f8").tobytes() for _, ix in shards],
+        }
+    )
+
+
+def _merge_packed(batches, k: int, ties: str):
+    """Final vectorized per-qid top-k over packed shard rows (generator for
+    mapInPandas)."""
+    qs, ds, ss = [], [], []
+    for pdf in batches:
+        for r in pdf.itertuples(index=False):
+            qs.append(np.frombuffer(r.qids, "<i8"))
+            ds.append(np.frombuffer(r.docids, "<i8"))
+            ss.append(np.frombuffer(r.scores, "<f8"))
+    if not qs:
+        return
+    flat = pd.DataFrame(
+        {
+            "qid": np.concatenate(qs),
+            "docId": np.concatenate(ds),
+            "score": np.concatenate(ss),
+        }
+    )
+    yield _topk_pdf_for(flat, k, ties)
+
+
+def _prep_workload(
+    term_stats,
+    queries: dict[int, list[str]],
+    scorer: Scorer,
+    n_docs: int,
+    analyzer: str,
+) -> tuple[dict[int, dict[str, tuple[float, int]]], list[str], int]:
+    """Driver-side workload prep shared by the in-plan and cached batch
+    paths: analyze queries, look up dfs, build per-query (idf, qtf) metas.
+    Returns (qmetas, live_terms, est_work); empty qmetas => empty result."""
+    per_q: dict[int, dict[str, int]] = {}
+    for qid, kw in queries.items():
+        qtfs = query_tfs(kw, analyzer)
+        if qtfs:
+            per_q[int(qid)] = qtfs
+    union_terms = sorted({t for q in per_q.values() for t in q})
+    if not union_terms:
+        return {}, [], 0
+    df_map = _term_dfs(term_stats, union_terms)
+    idf_map = {
+        t: float(scorer.idf(float(n_docs), np.array([df]))[0])
+        for t, df in df_map.items()
+    }
+    qmetas: dict[int, dict[str, tuple[float, int]]] = {}
+    for qid, qtfs in per_q.items():
+        qm = {t: (idf_map[t], int(qtf)) for t, qtf in qtfs.items() if t in idf_map}
+        if qm:
+            qmetas[qid] = qm
+    live_terms = sorted({t for qm in qmetas.values() for t in qm})
+    est_work = sum(df_map[t] for qm in qmetas.values() for t in qm if t in df_map)
+    return qmetas, live_terms, est_work
+
+
 def score_queries_daat_batch(
     spark: SparkSession,
     segments: DataFrame,
@@ -1133,31 +1252,14 @@ def score_queries_daat_batch(
 
     With ``k=None`` every (qid, docId, score) row is returned unordered
     (each docId lives in exactly one bucket, so rows are already final)."""
-    per_q: dict[int, dict[str, int]] = {}
-    for qid, kw in queries.items():
-        qtfs = query_tfs(kw, analyzer)
-        if qtfs:
-            per_q[int(qid)] = qtfs
-    union_terms = sorted({t for q in per_q.values() for t in q})
-    if not union_terms:
-        return spark.createDataFrame([], BATCH_SCHEMA)
-    df_map = _term_dfs(term_stats, union_terms)
-    idf_map = {
-        t: float(scorer.idf(float(n_docs), np.array([df]))[0])
-        for t, df in df_map.items()
-    }
-    qmetas: dict[int, dict[str, tuple[float, int]]] = {}
-    for qid, qtfs in per_q.items():
-        qm = {t: (idf_map[t], int(qtf)) for t, qtf in qtfs.items() if t in idf_map}
-        if qm:
-            qmetas[qid] = qm
+    # workload work estimate (est_work): one posting-score evaluation per
+    # (query, term, posting) — drives bucket count and the kernel
+    # crossover, driver-local (df comes from term stats, no job)
+    qmetas, live_terms, est_work = _prep_workload(
+        term_stats, queries, scorer, n_docs, analyzer
+    )
     if not qmetas:
         return spark.createDataFrame([], BATCH_SCHEMA)
-    live_terms = sorted({t for qm in qmetas.values() for t in qm})
-    # workload work estimate: one posting-score evaluation per (query, term,
-    # posting) — drives bucket count and the kernel crossover, driver-local
-    # (df comes from term stats, no job)
-    est_work = sum(df_map[t] for qm in qmetas.values() for t in qm if t in df_map)
     if vectorized is None:
         vectorized = len(qmetas) >= _AUTO_VECTORIZED_MIN_Q
     if n_buckets is None:
@@ -1239,66 +1341,17 @@ def score_queries_daat_batch(
         and 0 < blob_ceiling <= _BLOB_MERGE_CAP
     )
     if use_blobs:
-        n_merge = max(
-            1,
-            min(
-                spark.sparkContext.defaultParallelism,
-                -(-blob_ceiling // _MERGE_ENTRIES_PER_TASK),
-            ),
-        )
+        n_merge = _n_merge_tasks(spark, blob_ceiling)
 
         def kernel_blob(key, pdf):
             qmetas_b = qmetas_local if qmetas_ref is None else qmetas_ref.value
-            bounds = (int(pdf["lo_docid"].iat[0]), int(pdf["hi_docid"].iat[0]))
-            all_rows = list(pdf.itertuples(index=False))
-            rows_by_term_i: dict[str, list[int]] = {}
-            for i, r in enumerate(all_rows):
-                rows_by_term_i.setdefault(r.term, []).append(i)
-            qv, dv, sv = _daat_rows_batch(
-                all_rows, rows_by_term_i, qmetas_b, scorer, avgdl, k, ties,
-                deleted, bounds,
+            qv, dv, sv = _score_bucket_rows(
+                pdf, qmetas_b, scorer, avgdl, k, ties, deleted
             )
-            if not len(qv):
-                return pd.DataFrame(
-                    {"mkey": pd.Series(dtype="int32"),
-                     "qids": pd.Series(dtype=object),
-                     "docids": pd.Series(dtype=object),
-                     "scores": pd.Series(dtype=object)}
-                )
-            if n_merge == 1:
-                shards = [(0, np.arange(len(qv)))]
-            else:
-                mk = (qv % n_merge).astype(np.int64)
-                shards = [
-                    (r, np.nonzero(mk == r)[0]) for r in range(n_merge)
-                ]
-                shards = [(r, ix) for r, ix in shards if len(ix)]
-            return pd.DataFrame(
-                {
-                    "mkey": np.array([r for r, _ in shards], dtype="int32"),
-                    "qids": [qv[ix].astype("<i8").tobytes() for _, ix in shards],
-                    "docids": [dv[ix].astype("<i8").tobytes() for _, ix in shards],
-                    "scores": [sv[ix].astype("<f8").tobytes() for _, ix in shards],
-                }
-            )
+            return _packed_shards(qv, dv, sv, n_merge)
 
         def merge_blobs(batches):
-            qs, ds, ss = [], [], []
-            for pdf in batches:
-                for r in pdf.itertuples(index=False):
-                    qs.append(np.frombuffer(r.qids, "<i8"))
-                    ds.append(np.frombuffer(r.docids, "<i8"))
-                    ss.append(np.frombuffer(r.scores, "<f8"))
-            if not qs:
-                return
-            flat = pd.DataFrame(
-                {
-                    "qid": np.concatenate(qs),
-                    "docId": np.concatenate(ds),
-                    "score": np.concatenate(ss),
-                }
-            )
-            yield _topk_pdf_for(flat, k, ties)
+            yield from _merge_packed(batches, k, ties)
 
         blobs = bucketed.groupBy("bucket").applyInPandas(
             kernel_blob, PACKED_TOPK_SCHEMA
@@ -1440,6 +1493,40 @@ def more_like_this(
         .orderBy(F.desc("score"), F.asc("docId"))
         .limit(k)
     )
+
+
+def collapse_results(
+    scored: DataFrame,
+    meta: DataFrame,
+    group_col: str,
+    id_col: str = "docId",
+    per_group: int = 1,
+    k: int | None = 10,
+) -> DataFrame:
+    """Field collapsing over a scored result set: keep the best
+    ``per_group`` hits per ``group_col`` value (e.g. one result per repo —
+    the Lucene/Elasticsearch ``collapse`` feature), then the global top-k of
+    the survivors.
+
+    Scale shape: hydrate only (id, group) via an equi-join (AQE broadcasts
+    the result side when small), then the WINDOWLESS grouped top-k
+    (:func:`..operators.sampling.grouped_topk` — bucketed two-stage
+    sort-trim, no per-group window sort), and a final
+    TakeOrderedAndProject. Ties inside a group break by docId ASC
+    (grouped_topk's struct order); the global cut by (score desc, docId
+    asc) — deterministic end to end."""
+    from .sampling import grouped_topk
+
+    m = meta.select(F.col(id_col), F.col(group_col).alias("_grp"))
+    hydrated = scored.join(m, id_col, "inner")
+    best = grouped_topk(hydrated, ["_grp"], "score", id_col, per_group)
+    # grouped_topk output: (_grp, id_col, score); re-expose the group column
+    out = best.select(
+        F.col(id_col), F.col("_grp").alias(group_col), F.col("score")
+    )
+    if k is None:
+        return out
+    return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
 def score_with_boosts(

@@ -398,3 +398,166 @@ def test_sloppy_phrase(spark):
     got = {s: run(s) for s in (0, 1, 3)}
     assert got[0] <= got[1] <= got[3]  # widening only adds
     shutil.rmtree(os.path.dirname(idx), ignore_errors=True)
+
+
+# --- shingle (bigram) field: phrase acceleration --------------------------
+
+PHRASE_DOCS = [
+    "a b c a b",
+    "b c a",
+    "a b a b a b",
+    "c c c a b c",
+    "x y z",
+    "a",
+    "b a b c a b c b",
+]
+
+
+def _phrase_oracle(tokens: list[str]) -> list[int]:
+    out = []
+    for i, d in enumerate(PHRASE_DOCS):
+        t = _toks(d)
+        if any(
+            t[j : j + len(tokens)] == tokens
+            for j in range(len(t) - len(tokens) + 1)
+        ):
+            out.append(i)
+    return out
+
+
+@pytest.fixture(scope="module")
+def shingle_index(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("qsh") / "idx")
+    corpus = corpus_from_texts(spark, PHRASE_DOCS).withColumn(
+        "sh", F.col("content")
+    )
+    m = S.build_index(
+        spark, corpus, p, analyzer="naive", n_batches=2,
+        fields={"sh": "shingle:naive"},
+    )
+    return p, m
+
+
+def test_phrase_shingled_matches_oracle_and_unigram(spark, shingle_index):
+    p, _ = shingle_index
+    segs = S.load_segments(spark, p)
+    pos = S.decode_postings(segs, None, with_positions=True).where(
+        ~F.col("term").contains("\x1f")
+    )
+    cases = [
+        ["a", "b"],            # L=2: docId-only decode path
+        ["a", "b", "c"],       # L=3
+        ["a", "b", "a", "b"],  # repeated bigram at two offsets
+        ["c", "c"],            # self-bigram
+        ["z", "a"],            # no match
+        ["a"],                 # L=1 falls back to keyword membership
+    ]
+    for tokens in cases:
+        got = sorted(
+            r.docId for r in Q.search_phrase_shingled(segs, tokens).collect()
+        )
+        assert got == _phrase_oracle(tokens), tokens
+        if len(tokens) >= 2:
+            # the unigram positional path must agree (except the reference
+            # dedup quirk — avoid it by only comparing quirk-free phrases)
+            if len(set(tokens)) == len(tokens):
+                uni = sorted(
+                    r.docId for r in Q.search_phrase(pos, tokens).collect()
+                )
+                assert got == uni, tokens
+    assert Q.search_phrase_shingled(segs, []).collect() == []
+
+
+def test_search_synonyms(spark, ext_index):
+    _, _, corpus = ext_index
+    postings = build_postings(corpus, "naive")
+    syn = {"scan": ["seek"], "join": ["merge", "filter"]}
+    got = sorted(
+        r.docId
+        for r in Q.search_synonyms(postings, ["scan", "join"], syn).collect()
+    )
+    want = sorted(
+        i
+        for i, d in enumerate(DOCS)
+        if ({"scan", "seek"} & set(_toks(d))) and ({"join", "merge", "filter"} & set(_toks(d)))
+    )
+    assert got == want and got
+    # no synonyms: degenerates to plain AND
+    got2 = sorted(
+        r.docId for r in Q.search_synonyms(postings, ["table", "scan"], {}).collect()
+    )
+    want2 = sorted(r.docId for r in Q.search_and(postings, ["table", "scan"]).collect())
+    assert got2 == want2
+    assert Q.search_synonyms(postings, [], {}).collect() == []
+
+
+def test_range_facets(spark, ext_index):
+    _, _, corpus = ext_index
+    docs = corpus.withColumn("n_toks", F.size(F.split(F.col("content"), " ")))
+    result = docs.select("docId")  # every doc matches
+    edges = [2.0, 4.0, 7.0]
+    got = {
+        (r.bucket, r.lo, r.hi): r.n
+        for r in Q.range_facets(result, docs, "n_toks", edges).collect()
+    }
+    import collections
+
+    want: dict = collections.Counter()
+    for d in DOCS:
+        v = len(d.split(" "))
+        idx = sum(1 for e in edges if e <= v)
+        lo = edges[idx - 1] if idx > 0 else None
+        hi = edges[idx] if idx < len(edges) else None
+        want[(idx, lo, hi)] += 1
+    assert got == dict(want)
+    with pytest.raises(ValueError):
+        Q.range_facets(result, docs, "n_toks", [3.0])
+    with pytest.raises(ValueError):
+        Q.range_facets(result, docs, "n_toks", [4.0, 1.0])
+
+
+def test_collapse_results(spark, tmp_path_factory):
+    from search_engine_spark.operators.rank import collapse_results
+
+    # 6 docs in 3 groups with known scores
+    rows = [(i, float(s)) for i, s in enumerate([9.0, 7.0, 8.0, 8.0, 3.0, 5.0])]
+    scored = spark.createDataFrame(rows, "docId long, score double")
+    meta = spark.createDataFrame(
+        [(0, "g1"), (1, "g1"), (2, "g2"), (3, "g2"), (4, "g3"), (5, "g3")],
+        "docId long, repo string",
+    )
+    got = [
+        (r.docId, r.repo, r.score)
+        for r in collapse_results(scored, meta, "repo", k=10).collect()
+    ]
+    # per-group best: g1 -> doc0 (9.0); g2 tie 8.0 -> docId asc => doc2;
+    # g3 -> doc5 (5.0); global order score desc, docId asc
+    assert got == [(0, "g1", 9.0), (2, "g2", 8.0), (5, "g3", 5.0)]
+    got2 = [
+        (r.docId, r.score)
+        for r in collapse_results(scored, meta, "repo", per_group=2, k=4).collect()
+    ]
+    assert got2 == [(0, 9.0), (2, 8.0), (3, 8.0), (1, 7.0)]
+
+
+def test_delete_by_query(spark, tmp_path_factory):
+    from search_engine_spark.operators.delete import (
+        delete_by_query, live, load_tombstones)
+
+    p = str(tmp_path_factory.mktemp("dbq") / "idx")
+    corpus = corpus_from_texts(spark, DOCS)
+    S.build_index(spark, corpus, p, analyzer="naive", n_batches=1)
+    delete_by_query(spark, p, "scan AND NOT filter", analyzer="naive")
+    deleted = {
+        i
+        for i, d in enumerate(DOCS)
+        if "scan" in _toks(d) and "filter" not in _toks(d)
+    }
+    segs = S.load_segments(spark, p)
+    all_ids = S.decode_postings(segs).select("docId").distinct()
+    alive = sorted(
+        r.docId for r in live(all_ids, load_tombstones(spark, p)).collect()
+    )
+    assert alive == sorted(set(range(len(DOCS))) - deleted)
+    with pytest.raises(ValueError):
+        delete_by_query(spark, p, "NOT scan", analyzer="naive")
