@@ -65,6 +65,13 @@ REL_TERM, REL_K, REL_MIN_CODF = "spark", 10, 2
 BOOSTS = {"source": {"src3": 0.5, "src7": 0.25}, "lang": {"de": 0.1}}
 PAGE_K = 10
 Q_FUZZY_AND = ["spak", "joln"]
+Q_SHINGLE_PHRASE = ["table", "scan", "fast"]
+Q_SYN_TERMS = ["spark", "scan"]
+Q_SYNONYMS = {"spark": ["stream"], "scan": ["sort"]}
+RANGE_FACET_COL = "n_chars"
+RANGE_FACET_EDGES = [150.0, 300.0, 450.0]
+COLLAPSE_K = 5
+DBQ_QUERY = "table AND NOT filter"  # delete-by-query boolean tree
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -849,6 +856,183 @@ def q_b7_delete_search(spark, sf_dir):
     return out.select(F.col("docId").alias("doc_id"), F.round("score", 6).alias("score"))
 
 
+def _index_shingled(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
+    """Index with a bigram (shingle) pseudo-field over content next to the
+    unigram terms — the phrase-acceleration index design (Lucene
+    ShingleFilter / common-grams)."""
+    key = (sf_dir, "naive-shingled")
+    if key not in _INDEX_CACHE:
+        from search_engine_spark.sources.segments import build_index
+
+        idx = os.path.join(
+            tempfile.gettempdir(),
+            "se_idx_shingled_" + sf_dir.strip("/").replace("/", "_"),
+        )
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        corpus = _docs(spark, sf_dir).withColumn("sh", F.col("content"))
+        m = build_index(
+            spark, corpus, idx, analyzer="naive",
+            n_batches=2, num_segments=8, heavy_threshold=None, n_salts=4,
+            fields={"sh": "shingle:naive"},
+        )
+        _INDEX_CACHE[key] = (idx, m)
+    return _INDEX_CACHE[key]
+
+
+def q_q5sh_phrase_shingled(spark, sf_dir):
+    """q5sh: phrase search via the bigram shingle field — the L-1 (rarer)
+    bigram posting lists intersect on shifted positions instead of the L
+    unigram position lists (and a 2-token phrase would be a docId-only
+    decode, zero position bytes). Results must equal the unigram positional
+    phrase semantics — the oracle is the plain SQL consecutive-positions
+    join."""
+    from search_engine_spark.operators.query import search_phrase_shingled
+    from search_engine_spark.sources.segments import load_segments
+
+    idx, _ = _index_shingled(spark, sf_dir)
+    out = search_phrase_shingled(
+        load_segments(spark, idx), Q_SHINGLE_PHRASE, field="sh"
+    )
+    return out.select(F.col("docId").alias("doc_id"))
+
+
+def q_q2s_synonym_search(spark, sf_dir):
+    """q2s: query-time synonym expansion — each term becomes an OR-group
+    (term + synonyms), groups AND together via one count-matching agg over
+    a broadcast (term, gid) map (the search_fuzzy_and mechanism with a
+    user-supplied expansion)."""
+    from search_engine_spark.operators.query import search_synonyms
+
+    out = search_synonyms(_postings(spark, sf_dir), Q_SYN_TERMS, Q_SYNONYMS)
+    return out.select(F.col("docId").alias("doc_id"))
+
+
+def q_q14r_range_facets(spark, sf_dir):
+    """q14r: numeric histogram facet over the Q_KEYWORD result set —
+    open-ended edge buckets, numeric (bucket, lo, hi) identity so the
+    oracle compares float-exact."""
+    from search_engine_spark.operators.query import range_facets, search_keyword
+
+    hits = search_keyword(_postings(spark, sf_dir), Q_KEYWORD).select(
+        F.col("docId").alias("doc_id")
+    )
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return range_facets(
+        hits, d, RANGE_FACET_COL, RANGE_FACET_EDGES, id_col="doc_id"
+    )
+
+
+def q_q8c_collapse(spark, sf_dir):
+    """q8c: field collapsing — best BM25 hit per source (windowless
+    grouped_topk over the exhaustively scored result set), then the global
+    top-COLLAPSE_K. Per-group ties break docId asc; oracle = row_number()
+    per source over the identical scored CTE."""
+    from search_engine_spark.operators.rank import (
+        Scorer,
+        collapse_results,
+        score_query_daat,
+    )
+    from search_engine_spark.sources.segments import load_segments, load_term_stats
+
+    idx, m = _index(spark, sf_dir)
+    scored = score_query_daat(
+        spark, load_segments(spark, idx), load_term_stats(spark, idx),
+        Q_RANKED, m["stats"]["n_docs"], m["stats"]["avgdl"],
+        Scorer("bm25", BM25_K1, BM25_B), k=None, analyzer="naive", ties="asc",
+    )
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("docId"), "source"
+    )
+    out = collapse_results(scored, d, "source", per_group=1, k=COLLAPSE_K)
+    return out.select(
+        F.col("docId").alias("doc_id"),
+        "source",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _index_dbq(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
+    """Own index copy for delete-by-query (mutating: tombstones committed),
+    so the shared _index fixture's tombstone state stays b7's."""
+    key = (sf_dir, "naive-dbq")
+    if key not in _INDEX_CACHE:
+        from search_engine_spark.operators.delete import delete_by_query
+        from search_engine_spark.sources.segments import build_index, read_manifest
+
+        idx = os.path.join(
+            tempfile.gettempdir(),
+            "se_idx_dbq_" + sf_dir.strip("/").replace("/", "_"),
+        )
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        m = build_index(
+            spark, _docs(spark, sf_dir), idx, analyzer="naive",
+            n_batches=2, num_segments=8, heavy_threshold=None, n_salts=4,
+        )
+        if not read_manifest(idx).get("tombstones"):
+            delete_by_query(spark, idx, DBQ_QUERY, analyzer="naive")
+        _INDEX_CACHE[key] = (idx, m)
+    return _INDEX_CACHE[key]
+
+
+def q_b7q_delete_by_query(spark, sf_dir):
+    """b7q: delete-by-query — tombstone every doc matching the boolean tree
+    DBQ_QUERY (index-evaluated, leaf-term pushdown), then the q8 BM25
+    top-10 with the deleted mask. Lazy-deletion semantics as b7: scoring
+    stats stay as-built, deleted docs drop from the final ranking only."""
+    from search_engine_spark.operators import delete as D
+    from search_engine_spark.operators.rank import Scorer, score_query_daat
+    from search_engine_spark.sources.segments import load_segments, load_term_stats
+
+    idx, m = _index_dbq(spark, sf_dir)
+    out = score_query_daat(
+        spark, load_segments(spark, idx), load_term_stats(spark, idx),
+        Q_RANKED, m["stats"]["n_docs"], m["stats"]["avgdl"],
+        Scorer("bm25", BM25_K1, BM25_B), k=TOPK, analyzer="naive", ties="asc",
+        deleted=D.deleted_array(spark, idx),
+    )
+    return out.select(
+        F.col("docId").alias("doc_id"), F.round("score", 6).alias("score")
+    )
+
+
+def q_q8_bm25_batch_cached(spark, sf_dir):
+    """q8 batched through the SERVING CACHE (operators/serving.py): the
+    bucketized index is prepared once per generation as per-bucket Arrow
+    IPC shards; the workload runs as parallelize(bucket ids) -> mmap shard
+    -> accumulator kernel -> sharded packed merge. Same oracle SQL as
+    q8_bm25_batch — the steady-state serving path is value-checked end to
+    end."""
+    from pyspark.sql import Window
+
+    from search_engine_spark.operators.rank import Scorer
+    from search_engine_spark.operators.serving import (
+        prepare_serving_cache,
+        score_queries_cached,
+    )
+    from search_engine_spark.sources.segments import load_term_stats_pdf
+
+    idx, m = _index(spark, sf_dir)
+    cache = prepare_serving_cache(
+        spark, idx, idx + "_serving_cache", n_buckets=8
+    )
+    out = score_queries_cached(
+        spark, cache, load_term_stats_pdf(idx), BATCH_QUERIES,
+        m["stats"]["n_docs"], m["stats"]["avgdl"],
+        Scorer("bm25", BM25_K1, BM25_B), k=TOPK, analyzer="naive", ties="asc",
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docId"))
+    return out.select(
+        "qid",
+        F.col("docId").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        F.row_number().over(w).alias("rank"),
+    )
+
+
 GRAPH_ROOT = os.path.join(tempfile.gettempdir(), "se_graph_io")
 
 
@@ -1541,7 +1725,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_bm25_topk": q_q8_bm25_topk,
         "q8_bm25_batch": q_q8_bm25_batch,
         "q8_bm25_batch_daat": q_q8_bm25_batch_daat,
+        "q8_bm25_batch_cached": q_q8_bm25_batch_cached,
         "b7_delete_search": q_b7_delete_search,
+        "b7q_delete_by_query": q_b7q_delete_by_query,
+        "q5sh_phrase_shingles": q_q5sh_phrase_shingled,
+        "q2s_synonym_search": q_q2s_synonym_search,
+        "q14r_range_facets": q_q14r_range_facets,
+        "q8c_collapse_by_source": q_q8c_collapse,
         "q8_bm25_porter": q_q8_bm25_porter,
         "a7_wordbreak": q_a7_wordbreak,
         "a8_japanese": q_a8_japanese,
@@ -1734,6 +1924,86 @@ WITH {_TOKS},
 SELECT doc_id, round(score, 6) AS score FROM scored
 WHERE doc_id % {DELETE_MOD} <> 0
 ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
+"""
+
+# b7q delete-by-query: dead set = the DBQ_QUERY boolean tree
+# ("table AND NOT filter") evaluated over the same postings; lazy-deletion
+# scoring semantics identical to b7.
+_B7Q_DELETE_SQL = f"""
+WITH {_TOKS},
+{_bm25_scored_ctes(_qterm_values(Q_RANKED))},
+dead AS (
+  SELECT DISTINCT doc_id FROM postings WHERE term = 'table'
+  AND doc_id NOT IN (SELECT doc_id FROM postings WHERE term = 'filter')
+)
+SELECT doc_id, round(score, 6) AS score FROM scored
+WHERE doc_id NOT IN (SELECT doc_id FROM dead)
+ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
+"""
+
+# q5sh: the shingled phrase must equal plain consecutive-position phrase
+# semantics — the oracle knows nothing about bigrams.
+_SHINGLE_PHRASE_SQL = f"""
+WITH {_TOKS}
+SELECT DISTINCT a.doc_id FROM tok a
+JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          AND b.term = '{Q_SHINGLE_PHRASE[1]}'
+JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+          AND c.term = '{Q_SHINGLE_PHRASE[2]}'
+WHERE a.term = '{Q_SHINGLE_PHRASE[0]}'
+"""
+
+
+def _synonym_sql() -> str:
+    groups = []
+    for t in Q_SYN_TERMS:
+        members = sorted({t, *Q_SYNONYMS.get(t, [])})
+        groups.append("bool_or(term IN (%s))" % ", ".join(f"'{m}'" for m in members))
+    return f"""
+WITH {_TOKS}
+SELECT doc_id FROM postings GROUP BY doc_id
+HAVING {' AND '.join(groups)}
+"""
+
+
+def _range_facet_sql() -> str:
+    e = RANGE_FACET_EDGES
+    bucket_case = "CASE " + " ".join(
+        f"WHEN v >= {e[i]} THEN {i + 1}" for i in range(len(e) - 1, -1, -1)
+    ) + " ELSE 0 END"
+    lo_case = "CASE bucket " + " ".join(
+        f"WHEN {i + 1} THEN {e[i]}" for i in range(len(e))
+    ) + " END"
+    hi_case = "CASE bucket " + " ".join(
+        f"WHEN {i} THEN {e[i]}" for i in range(len(e))
+    ) + " END"
+    return f"""
+WITH {_TOKS},
+hits AS (SELECT DISTINCT doc_id FROM postings WHERE term = '{Q_KEYWORD}'),
+hd AS (
+  SELECT d.{RANGE_FACET_COL}::double AS v FROM documents d JOIN hits USING (doc_id)
+),
+b AS (SELECT ({bucket_case}) AS bucket FROM hd)
+SELECT bucket::int AS bucket,
+       ({lo_case})::double AS lo,
+       ({hi_case})::double AS hi,
+       count(*) AS n
+FROM b GROUP BY bucket
+"""
+
+
+_COLLAPSE_SQL = f"""
+WITH {_TOKS},
+{_bm25_scored_ctes(_qterm_values(Q_RANKED))},
+grp AS (
+  SELECT s.doc_id, d.source, s.score,
+         row_number() OVER (
+           PARTITION BY d.source ORDER BY s.score DESC, s.doc_id ASC
+         ) AS rn
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, source, round(score, 6) AS score FROM grp WHERE rn = 1
+ORDER BY score DESC, doc_id ASC LIMIT {COLLAPSE_K}
 """
 
 
@@ -2426,7 +2696,13 @@ def oracle_sql() -> dict[str, str]:
         "q8_bm25_topk": _BM25_SQL,
         "q8_bm25_batch": _BM25_BATCH_SQL,
         "q8_bm25_batch_daat": _BM25_BATCH_SQL,
+        "q8_bm25_batch_cached": _BM25_BATCH_SQL,
         "b7_delete_search": _B7_DELETE_SQL,
+        "b7q_delete_by_query": _B7Q_DELETE_SQL,
+        "q5sh_phrase_shingles": _SHINGLE_PHRASE_SQL,
+        "q2s_synonym_search": _synonym_sql(),
+        "q14r_range_facets": _range_facet_sql(),
+        "q8c_collapse_by_source": _COLLAPSE_SQL,
         "q8_bm25_porter": _bm25_porter_sql(),
         "a7_wordbreak": f"""
             SELECT r.doc_id, r.n_wb_tokens::int AS n_wb_tokens, r.tokens_md5
