@@ -149,6 +149,21 @@ def run_trial(spark, sf_dir: str, docs, n_docs_sf: int, syn, n_syn: int) -> dict
         ).count(),
     )
 
+    # steady-state serving: the same workload over a prepared bucketized
+    # cache (shards prepared once per index generation, untimed — the
+    # serving-process analog of the index build itself)
+    from search_engine_spark.operators.serving import (
+        prepare_serving_cache, score_queries_cached)
+
+    cache = prepare_serving_cache(spark, idx, idx + "_scache", n_buckets=8)
+    timed(
+        "bm25_batch32_cached",
+        lambda: score_queries_cached(
+            spark, cache, stats_pdf, q_batch, n_docs, avgdl,
+            Scorer("bm25"), k=10, analyzer="naive",
+        ).count(),
+    )
+
     dec = decode_postings(segs, list(set(q_and + q_phrase)), with_positions=True)
     timed("boolean_and", lambda: search_and(dec, q_and).count())
     timed("phrase", lambda: search_phrase(dec, q_phrase).count())
@@ -249,6 +264,7 @@ def main() -> None:
     thr = {
         "index_docs_per_sec": round(n_docs_sf / times["index_build"], 1),
         "batch_queries_per_sec": round(32 / times["bm25_batch32"], 1),
+        "cached_queries_per_sec": round(32 / times["bm25_batch32_cached"], 1),
         "synthetic_corpus_mb": syn_mb,
         "synthetic_index_docs_per_sec": round(n_syn / times["synthetic_build_40k"], 1),
         "trials": len(trials),
