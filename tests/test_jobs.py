@@ -377,3 +377,56 @@ def test_boost_field_query_job(spark, tmp_path_factory, capsys):
                 assert boosted[d] > s
             else:
                 assert boosted[d] == pytest.approx(s, abs=1e-6)
+
+
+def test_serve_job_cached(built, tmp_path_factory, capsys):
+    """jobs/serve.py: prepare the serving cache, serve a JSON workload, and
+    match jobs/query.py's bm25 output for the same query; a stale cache
+    auto-re-prepares."""
+    import os
+
+    from jobs.query import main as query_main
+    from jobs.serve import main as serve_main
+
+    from search_engine_spark.sources.segments import load_term_stats_pdf
+
+    src, idx = built
+    root = tmp_path_factory.mktemp("serve_job")
+    cdir = str(root / "cache")
+    qfile = str(root / "q.json")
+    stats = load_term_stats_pdf(idx).sort_values(["df", "term"])
+    terms = list(stats["term"].iloc[len(stats) // 2 : len(stats) // 2 + 3])
+    with open(qfile, "w") as f:
+        json.dump({"0": terms}, f)
+
+    rc = serve_main(["--index", idx, "--cache", cdir, "--prepare",
+                     "--n-buckets", "4", "--master", "local[4]"])
+    assert rc == 0
+    prep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert prep["prepared"] and prep["buckets"] >= 1
+
+    rc = serve_main(["--index", idx, "--cache", cdir, "--queries", qfile,
+                     "--k", "5", "--master", "local[4]"])
+    assert rc == 0
+    served = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert served and all(r["qid"] == 0 for r in served)
+
+    rc = query_main(["--index", idx, "--mode", "bm25", "--k", "5",
+                     "--master", "local[4]", *terms])
+    assert rc == 0
+    qout = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    qhits = [(r["docId"], round(r["score"], 6)) for r in qout["results"]]
+    # single-query tie order is the reference's: score desc, docId DESC
+    shits = sorted(((r["docId"], r["score"]) for r in served),
+                   key=lambda t: (-t[1], -t[0]))
+    assert [d for d, _ in shits] == [d for d, _ in qhits][: len(shits)]
+
+    # stale: bump the generation via a tombstone, serve again (re-prepares)
+    from search_engine_spark.operators.delete import delete_by_keyword
+    from search_engine_spark.session import get_spark
+
+    delete_by_keyword(get_spark(master="local[4]"), idx, "spark",
+                      analyzer="porter")
+    rc = serve_main(["--index", idx, "--cache", cdir, "--queries", qfile,
+                     "--k", "5", "--master", "local[4]"])
+    assert rc == 0

@@ -372,6 +372,46 @@ def test_stream_serving_equals_batch_scoring(spark, tmp_path):
     assert {int(r.qid) for r in got7} == {7} and len(got7) >= 1
 
 
+def test_stream_serving_cached_equals_uncached(spark, tmp_path):
+    """serving_sink(cache_dir=...) — micro-batches over the prepared
+    bucketized shards — must produce exactly the uncached stream results."""
+    import os
+
+    import pandas as pd
+
+    from search_engine_spark.streaming.serve import (
+        serving_sink,
+        stream_queries_from_files,
+    )
+
+    corpus = corpus_from_texts(spark, TEXTS)
+    idx = str(tmp_path / "cserve_idx")
+    build_index(spark, corpus, idx, analyzer="naive", n_batches=1)
+    qdir = str(tmp_path / "qstream")
+    os.makedirs(qdir, exist_ok=True)
+    queries = {0: ["apple"], 1: ["banana", "egg"], 2: ["fig", "grape"]}
+    pd.DataFrame(
+        {"qid": list(queries), "terms": [queries[q] for q in queries]}
+    ).to_parquet(f"{qdir}/q0.parquet")
+
+    out_a, out_b = str(tmp_path / "res_plain"), str(tmp_path / "res_cached")
+    serving_sink(
+        spark, stream_queries_from_files(spark, qdir), idx, out_a, k=5
+    ).awaitTermination(120)
+    serving_sink(
+        spark, stream_queries_from_files(spark, qdir), idx, out_b, k=5,
+        cache_dir=str(tmp_path / "scache"),
+    ).awaitTermination(120)
+
+    def rows(out):
+        return sorted(
+            (r.qid, r.docId, round(r.score, 12))
+            for r in spark.read.parquet(f"{out}/batch=0").collect()
+        )
+
+    assert rows(out_a) == rows(out_b) and rows(out_a)
+
+
 def test_user_sessions_batch_boundaries(spark):
     from search_engine_spark.streaming.ingest import user_sessions
 
