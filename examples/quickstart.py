@@ -108,6 +108,20 @@ def main() -> int:
     fused = R.rrf_fuse([lex, lex], k=5).collect()  # self-fusion demo
     print("rrf top-5:", [(r.docId, round(r.rrf, 4)) for r in fused])
 
+    # 5b. steady-state serving: prepare resident shards once, serve batches
+    from search_engine_spark.operators.serving import (
+        prepare_serving_cache,
+        score_queries_cached,
+    )
+    from search_engine_spark.sources.segments import load_term_stats_pdf
+
+    cache = prepare_serving_cache(spark, idx, idx + "_cache", n_buckets=4)
+    served = score_queries_cached(
+        spark, cache, load_term_stats_pdf(idx),
+        {0: ["rotten", "apple"], 1: ["banana"]}, k=3, analyzer="naive",
+    ).collect()
+    print("cached serving:", sorted((r.qid, r.docId) for r in served)[:6])
+
     # 6. training-data pipeline slice
     from search_engine_spark.operators.dedup import exact_dedup
     from search_engine_spark.operators.sampling import sequence_pack
