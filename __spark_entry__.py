@@ -1016,13 +1016,20 @@ def q_q8_bm25_batch_cached(spark, sf_dir):
     from search_engine_spark.sources.segments import load_term_stats_pdf
 
     idx, m = _index(spark, sf_dir)
-    cache = prepare_serving_cache(
-        spark, idx, idx + "_serving_cache", n_buckets=8
-    )
+    ckey = (sf_dir, "serving-cache")
+    if ckey not in _INDEX_CACHE:
+        _INDEX_CACHE[ckey] = (
+            idx,
+            prepare_serving_cache(spark, idx, idx + "_serving_cache", n_buckets=8),
+        )
+    cache = _INDEX_CACHE[ckey][1]
+    # check_generation=False: b7's tombstone commit bumps the shared index's
+    # generation without touching segments — the snapshot stays valid here
     out = score_queries_cached(
         spark, cache, load_term_stats_pdf(idx), BATCH_QUERIES,
         m["stats"]["n_docs"], m["stats"]["avgdl"],
         Scorer("bm25", BM25_K1, BM25_B), k=TOPK, analyzer="naive", ties="asc",
+        check_generation=False,
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docId"))
     return out.select(

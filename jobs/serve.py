@@ -33,7 +33,8 @@ def _load_queries(path: str) -> dict[int, list[str]]:
     try:
         obj = json.loads(text)
         return {int(k): list(v) for k, v in obj.items()}
-    except json.JSONDecodeError:
+    except (json.JSONDecodeError, AttributeError, TypeError, ValueError):
+        # not a {qid: [terms]} JSON object -> treat as one query per line
         return {
             i: line.split()
             for i, line in enumerate(text.splitlines())
@@ -109,9 +110,14 @@ def main(argv: list[str] | None = None) -> int:
         analyzer = m.get("analyzer", "porter")
 
         def run(c):
+            # lazy-deletion mask, same default as jobs/query.py: tombstoned
+            # docs never serve (the cache holds raw segments until purge)
+            from search_engine_spark.operators.delete import deleted_array
+
             return score_queries_cached(
                 spark, c, stats_pdf, queries, m["stats"]["n_docs"], avgdl,
                 Scorer(a.scorer), a.k, analyzer=analyzer,
+                deleted=deleted_array(spark, a.index),
             )
 
         try:

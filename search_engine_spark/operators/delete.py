@@ -130,7 +130,8 @@ def delete_by_query(
     # decode only the leaf terms' rows (In pushdown at the parquet scan);
     # search_bool's own postings_for filter is then a no-op
     decoded = decode_postings(segs, bool_leaf_terms(tree))
-    ids = search_bool(decoded, tree).select("docId").distinct()
+    # search_bool is already one row per docId; add_tombstones dedups again
+    ids = search_bool(decoded, tree).select("docId")
     return add_tombstones(spark, index_dir, ids)
 
 

@@ -169,7 +169,7 @@ def search_phrase_shingled(
         f"{field}{FIELD_SEP}{tokens[i]}{SHINGLE_SEP}{tokens[i + 1]}"
         for i in range(len(tokens) - 1)
     ]
-    if len(set(grams)) == 1 and len(grams) == 1:
+    if len(grams) == 1:  # 2-token phrase: membership only, no positions
         hits = segments.where(F.col("term") == grams[0])
         return decode_docids(hits).distinct()
     # (term, offset) pairs — duplicates collapse, repeated bigrams at
@@ -259,6 +259,9 @@ def range_facets(
     if len(edges) < 2 or sorted(edges) != list(edges):
         raise ValueError("edges must be >= 2 ascending values")
     hit = docs.join(F.broadcast(result), id_col, "left_semi")
+    # missing values are excluded, not binned (Lucene/ES range-facet rule) —
+    # a NULL would otherwise pass no edge test and land in bucket 0
+    hit = hit.where(F.col(col).isNotNull())
     e = F.array(*[F.lit(float(x)) for x in edges])
     v = F.col(col).cast("double")
     # bucket index = number of edges <= v  (0 => v < edges[0])

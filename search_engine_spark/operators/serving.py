@@ -106,7 +106,9 @@ def prepare_serving_cache(
         "n_buckets": int(n_buckets),
         "docid_span": list(docid_span) if docid_span else None,
         "n_docs": stats.get("n_docs"),
-        "avgdl": stats.get("avgdl"),
+        # content scoring uses the content field's own avgdl on a fielded
+        # index (the global stat mixes field tokens in — jobs/query.py rule)
+        "avgdl": (stats.get("avgdl_by_field") or {}).get("", stats.get("avgdl")),
         "buckets": sorted(
             [{"bucket": int(r.bucket), "rows": int(r.rows)} for r in rows],
             key=lambda d: d["bucket"],
@@ -159,7 +161,7 @@ def score_queries_cached(
     if k is None:
         raise ValueError("serving path is top-k only; use the in-plan batch "
                          "path for exhaustive k=None scoring")
-    qmetas, _live, _work = R._prep_workload(
+    qmetas, live_terms, _work = R._prep_workload(
         term_stats, queries, scorer, n_docs, analyzer
     )
     if not qmetas:
@@ -174,15 +176,31 @@ def score_queries_cached(
         spark.sparkContext.broadcast(qmetas) if len(qmetas) >= 256 else None
     )
     qmetas_local = None if qmetas_ref is not None else qmetas
+    live_ref = (
+        spark.sparkContext.broadcast(live_terms)
+        if len(live_terms) >= 256
+        else None
+    )
+    live_local = None if live_ref is not None else live_terms
 
     def kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         qm = qmetas_local if qmetas_ref is None else qmetas_ref.value
+        lv = live_local if live_ref is None else live_ref.value
+        live_arr = pa.array(lv, type=pa.string())
         for pdf in batches:
             for b in pdf["bucket"]:
                 path = os.path.join(cdir, f"bucket={int(b)}.feather")
-                bpdf = feather.read_table(path, memory_map=True).to_pandas()
-                if not len(bpdf):
+                tbl = feather.read_table(path, memory_map=True)
+                # prune to the workload's terms BEFORE materializing python
+                # bytes: a small workload then touches O(its candidates),
+                # not O(index) — the mmap'd non-matching blobs never copy
+                tbl = tbl.filter(pc.is_in(tbl["term"], value_set=live_arr))
+                if not tbl.num_rows:
                     continue
+                bpdf = tbl.to_pandas()
                 qv, dv, sv = R._score_bucket_rows(
                     bpdf, qm, scorer, avgdl, k, ties, deleted
                 )

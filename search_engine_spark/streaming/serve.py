@@ -89,9 +89,13 @@ def serving_sink(
             return
         queries = {int(r.qid): list(r.terms) for r in rows}
         if cache is not None:
+            # the prepared cache IS the stream's start-time snapshot, so a
+            # mid-stream index commit must not kill the query (the uncached
+            # path serves its start-time segments the same way); growth is
+            # picked up by restarting the stream, per the module contract
             out = score_queries_cached(
                 spark, cache, stats_pdf, queries, n_docs, avgdl, sc, k,
-                analyzer=analyzer,
+                analyzer=analyzer, check_generation=False,
             )
         else:
             out = score_queries_daat_batch(

@@ -421,12 +421,17 @@ def test_serve_job_cached(built, tmp_path_factory, capsys):
                    key=lambda t: (-t[1], -t[0]))
     assert [d for d, _ in shits] == [d for d, _ in qhits][: len(shits)]
 
-    # stale: bump the generation via a tombstone, serve again (re-prepares)
-    from search_engine_spark.operators.delete import delete_by_keyword
+    # stale: tombstone the served top hit, serve again — the job re-prepares
+    # AND excludes the deleted doc (jobs/query.py's default semantics)
+    from search_engine_spark.operators.delete import add_tombstones
     from search_engine_spark.session import get_spark
 
-    delete_by_keyword(get_spark(master="local[4]"), idx, "spark",
-                      analyzer="porter")
+    top_doc = shits[0][0]
+    sp = get_spark(master="local[4]")
+    add_tombstones(sp, idx, sp.createDataFrame([(top_doc,)], "docId long"))
     rc = serve_main(["--index", idx, "--cache", cdir, "--queries", qfile,
                      "--k", "5", "--master", "local[4]"])
     assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    served2 = [json.loads(l) for l in lines if '"docId"' in l]
+    assert served2 and all(r["docId"] != top_doc for r in served2)
