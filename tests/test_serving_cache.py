@@ -102,3 +102,30 @@ def test_stale_cache_refuses(spark, served, tmp_path_factory):
     got2 = _rows(score_queries_cached(
         spark, cache2, stats, {0: ["scan"]}, analyzer="naive"))
     assert got2
+
+
+def test_fielded_cache_meta_uses_content_avgdl(spark, tmp_path_factory):
+    """On a fielded index the cache meta's default avgdl must be the content
+    field's own (manifest avgdl_by_field['']), not the global mix — and
+    cached scoring with defaults must equal the in-plan path scored with the
+    content avgdl."""
+    root = tmp_path_factory.mktemp("fielded_cache")
+    idx = str(root / "idx")
+    corpus = corpus_from_texts(spark, DOCS)
+    m = S.build_index(
+        spark, corpus, idx, analyzer="naive", n_batches=1,
+        fields={"lang": "naive"},
+    )
+    content_avgdl = m["stats"]["avgdl_by_field"][""]
+    assert content_avgdl != m["stats"]["avgdl"]  # fields shift the global mix
+    cache = prepare_serving_cache(spark, idx, str(root / "cache"), n_buckets=2)
+    assert abs(cache["avgdl"] - content_avgdl) < 1e-12
+    segs, stats = S.load_segments(spark, idx), load_term_stats_pdf(idx)
+    queries = {0: ["scan", "table"]}
+    a = _rows(score_queries_cached(spark, cache, stats, queries, k=5,
+                                   analyzer="naive"))
+    b = _rows(R.score_queries_daat_batch(
+        spark, segs, stats, queries, m["stats"]["n_docs"], content_avgdl,
+        R.Scorer(), k=5, analyzer="naive",
+        docid_span=(m["stats"]["docid_lo"], m["stats"]["docid_hi"])))
+    assert a == b and a
