@@ -15,8 +15,12 @@ Usage::
 
 Without ``--out`` the top-k rows print as JSON lines. The cache refuses to
 serve across a manifest generation bump (new batch / compaction / purge /
-tombstone) — the job then re-prepares, which is the intended cadence: one
-prepare per index generation, any number of workloads after it.
+tombstone) — the job then REFRESHES incrementally
+(``refresh_serving_cache``): tombstone-only bumps are metadata-only, new
+batches bucketize just the delta into appended per-bucket shards, and only
+a compaction/purge (which rewrites segments anyway) triggers a full
+re-prepare. Intended cadence: one prepare per index lifetime, one cheap
+refresh per commit, any number of workloads in between.
 """
 
 from __future__ import annotations
@@ -67,6 +71,7 @@ def main(argv: list[str] | None = None) -> int:
         ServingCacheStale,
         load_serving_cache,
         prepare_serving_cache,
+        refresh_serving_cache,
         score_queries_cached,
     )
     from search_engine_spark.sources.segments import (
@@ -127,9 +132,10 @@ def main(argv: list[str] | None = None) -> int:
             if a.no_reprepare:
                 print(json.dumps({"error": "cache stale"}), file=sys.stderr)
                 return 2
-            cache = prepare_serving_cache(
-                spark, a.index, a.cache, n_buckets=a.n_buckets
-            )
+            # incremental: bucketize only the newly committed batches
+            # (tombstone-only bumps are metadata-only; compaction/purge
+            # falls back to a full prepare inside refresh)
+            cache = refresh_serving_cache(spark, a.index, a.cache)
             out = run(cache)
             rows = out.collect() if not a.out else None
         if a.out:

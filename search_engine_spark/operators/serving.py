@@ -25,9 +25,12 @@ is unchanged.
 Cache invalidation: the cache records the manifest ``generation`` at
 prepare time; scoring revalidates against the live manifest and raises
 :class:`ServingCacheStale` after any commit (new batch, compaction, purge,
-delete) so a stale shard can never serve. Tombstones added AFTER prepare
-bump the generation — re-prepare, or pass the tombstone array explicitly
-via ``deleted`` (the kernel masks it like the in-plan path).
+delete) so a stale shard can never serve. :func:`refresh_serving_cache`
+brings the cache current INCREMENTALLY — tombstone-only bumps update
+metadata only (pass the live tombstone array via ``deleted``, as
+jobs/serve.py does), newly committed batches bucketize just the delta into
+appended ``bucket=<b>.d<gen>.feather`` shards, and compaction/purge falls
+back to a full prepare (it rewrote the segments anyway).
 """
 
 from __future__ import annotations
@@ -48,6 +51,46 @@ META_FILE = "serving_cache.json"
 
 class ServingCacheStale(RuntimeError):
     """The index manifest moved past the cache's generation."""
+
+
+def _write_bucket_shards(bucketed, cdir: str, suffix: str):
+    """Write one Arrow IPC file per bucket (``bucket=<b><suffix>.feather``,
+    tmp + atomic rename) and return ``[(bucket, rows, filename), ...]``.
+    A crash mid-write leaves at most a ``.tmp`` orphan never referenced by
+    the meta; re-running the prepare/refresh overwrites it."""
+    if bucketed is None:
+        return []
+
+    def writer(key, pdf):
+        import pyarrow as pa
+        import pyarrow.feather as feather
+
+        b = int(key[0])
+        name = f"bucket={b}{suffix}.feather"
+        path = os.path.join(cdir, name)
+        tmp = path + ".tmp"
+        feather.write_feather(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            tmp,
+            compression="uncompressed",
+        )
+        os.replace(tmp, path)
+        return pd.DataFrame({"bucket": [b], "rows": [len(pdf)], "file": [name]})
+
+    out = bucketed.groupBy("bucket").applyInPandas(
+        writer, "bucket int, rows long, file string"
+    )
+    return [(int(r.bucket), int(r.rows), r.file) for r in out.collect()]
+
+
+def _write_meta(cdir: str, meta: dict) -> None:
+    """Atomic meta replace — the commit point of prepare/refresh: shard
+    files not yet referenced by the on-disk meta are invisible to readers."""
+    path = os.path.join(cdir, META_FILE)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, path)
 
 
 def prepare_serving_cache(
@@ -80,29 +123,18 @@ def prepare_serving_cache(
     shutil.rmtree(cache_dir, ignore_errors=True)
     os.makedirs(cache_dir)
     cdir = os.path.abspath(cache_dir)
-
-    def writer(key, pdf):
-        b = int(key[0])
-        path = os.path.join(cdir, f"bucket={b}.feather")
-        tmp = path + ".tmp"
-        feather.write_feather(
-            pa.Table.from_pandas(pdf, preserve_index=False),
-            tmp,
-            compression="uncompressed",
-        )
-        os.replace(tmp, path)
-        return pd.DataFrame({"bucket": [b], "rows": [len(pdf)]})
-
-    rows = (
-        (bucketed.groupBy("bucket").applyInPandas(writer, "bucket int, rows long"))
-        .collect()
-        if bucketed is not None
-        else []
-    )
+    rows = _write_bucket_shards(bucketed, cdir, "")
     meta = {
         "index_dir": os.path.abspath(index_dir),
         "cache_dir": cdir,
         "generation": gen,
+        # committed batch keys the shards cover — refresh_serving_cache
+        # diffs this against the live manifest to bucketize only the delta
+        "batches": sorted(
+            k for k, b in (m.get("batches") or {}).items() if b.get("committed")
+        ),
+        # per-bucket shard files, base first then deltas in commit order
+        "shards": {str(b): [f] for b, _, f in rows},
         "n_buckets": int(n_buckets),
         "docid_span": list(docid_span) if docid_span else None,
         "n_docs": stats.get("n_docs"),
@@ -110,12 +142,91 @@ def prepare_serving_cache(
         # index (the global stat mixes field tokens in — jobs/query.py rule)
         "avgdl": (stats.get("avgdl_by_field") or {}).get("", stats.get("avgdl")),
         "buckets": sorted(
-            [{"bucket": int(r.bucket), "rows": int(r.rows)} for r in rows],
+            [{"bucket": int(b), "rows": int(n)} for b, n, _ in rows],
             key=lambda d: d["bucket"],
         ),
     }
-    with open(os.path.join(cdir, META_FILE), "w") as f:
-        json.dump(meta, f)
+    _write_meta(cdir, meta)
+    return meta
+
+
+def refresh_serving_cache(
+    spark: SparkSession, index_dir: str, cache_dir: str
+) -> dict:
+    """Bring a prepared cache up to the live manifest generation by
+    bucketizing ONLY the delta — the incremental-refresh path a streaming
+    ingest needs (at 10^12 files, re-bucketizing the whole index after
+    every micro-batch commit is absurd; a Lucene node opens the new
+    segment, it does not rewrite its shards).
+
+    Three cases, cheapest first:
+
+    - **tombstone-only bump** (same committed batch set): metadata-only —
+      the shards are byte-identical; scoring applies the live ``deleted``
+      mask exactly as before the bump.
+    - **additive commits** (new batches only): read just the new batch
+      dirs, run the same splitter with the cache's ORIGINAL sizing span
+      and bucket count — edges are deterministic in (span, n_buckets), so
+      delta rows land in the same buckets with the same kernel bounds —
+      and append one ``bucket=<b>.d<gen>.feather`` shard per touched
+      bucket. Docs outside the original span clamp into the open-ended
+      edge buckets (``rank._bucket_bounds``), so a widening docId space
+      stays exact. Base shards are never rewritten.
+    - **non-additive commits** (compaction / purge rewrote batches away):
+      fall back to a full :func:`prepare_serving_cache` — compaction is
+      the natural re-prepare point (it rewrites the segments anyway).
+
+    Stats (``n_docs``/``avgdl``) refresh from the live manifest so cached
+    scoring defaults stay correct after ``finalize_index``. The meta
+    rewrite is the atomic commit point; a crash mid-refresh leaves
+    unreferenced delta files the next refresh overwrites.
+    """
+    meta = load_serving_cache(cache_dir)
+    m = read_manifest(index_dir)
+    live_gen = int(m.get("generation", 0))
+    if live_gen == int(meta["generation"]):
+        return meta
+    live_batches = sorted(
+        k for k, b in (m.get("batches") or {}).items() if b.get("committed")
+    )
+    old_batches = meta.get("batches")
+    if (
+        old_batches is None  # pre-refresh-era cache: no coverage record
+        or meta.get("docid_span") is None  # edges not reproducible
+        or not set(old_batches) <= set(live_batches)  # compaction/purge
+    ):
+        return prepare_serving_cache(
+            spark, index_dir, cache_dir, n_buckets=meta.get("n_buckets")
+        )
+    cdir = meta["cache_dir"]
+    delta = [k for k in live_batches if k not in set(old_batches)]
+    if delta:
+        from ..sources.segments import batch_path
+
+        seg = spark.read.parquet(*[batch_path(index_dir, k) for k in delta])
+        bucketed = R._bucketize_segments(
+            spark, seg, int(meta["n_buckets"]), tuple(meta["docid_span"])
+        )
+        new = _write_bucket_shards(bucketed, cdir, f".d{live_gen}")
+        shards = {str(k): list(v) for k, v in (meta.get("shards") or {}).items()}
+        rows_by_b = {d["bucket"]: int(d["rows"]) for d in meta["buckets"]}
+        for b, n, fname in new:
+            shards.setdefault(str(b), []).append(fname)
+            rows_by_b[b] = rows_by_b.get(b, 0) + n
+        meta["shards"] = shards
+        meta["buckets"] = sorted(
+            ({"bucket": int(b), "rows": int(n)} for b, n in rows_by_b.items()),
+            key=lambda d: d["bucket"],
+        )
+    stats = m.get("stats") or {}
+    if stats.get("n_docs") is not None:
+        meta["n_docs"] = stats["n_docs"]
+        meta["avgdl"] = (stats.get("avgdl_by_field") or {}).get(
+            "", stats.get("avgdl")
+        )
+    meta["generation"] = live_gen
+    meta["batches"] = live_batches
+    _write_meta(cdir, meta)
     return meta
 
 
@@ -170,6 +281,11 @@ def score_queries_cached(
     if not buckets:
         return spark.createDataFrame([], R.BATCH_SCHEMA)
     cdir = cache["cache_dir"]
+    # base shard first, then refresh deltas in commit order (meta order)
+    files_by_bucket = {
+        int(b): list(fs)
+        for b, fs in (cache.get("shards") or {}).items()
+    } or {int(b): [f"bucket={int(b)}.feather"] for b in buckets}
     blob_ceiling = len(qmetas) * k * len(buckets)
     n_merge = R._n_merge_tasks(spark, blob_ceiling)
     qmetas_ref = (
@@ -192,15 +308,27 @@ def score_queries_cached(
         live_arr = pa.array(lv, type=pa.string())
         for pdf in batches:
             for b in pdf["bucket"]:
-                path = os.path.join(cdir, f"bucket={int(b)}.feather")
-                tbl = feather.read_table(path, memory_map=True)
-                # prune to the workload's terms BEFORE materializing python
-                # bytes: a small workload then touches O(its candidates),
-                # not O(index) — the mmap'd non-matching blobs never copy
-                tbl = tbl.filter(pc.is_in(tbl["term"], value_set=live_arr))
-                if not tbl.num_rows:
+                parts = []
+                for name in files_by_bucket.get(int(b), ()):
+                    tbl = feather.read_table(
+                        os.path.join(cdir, name), memory_map=True
+                    )
+                    # prune to the workload's terms BEFORE materializing
+                    # python bytes: a small workload then touches O(its
+                    # candidates), not O(index) — the mmap'd non-matching
+                    # blobs never copy
+                    tbl = tbl.filter(
+                        pc.is_in(tbl["term"], value_set=live_arr)
+                    )
+                    if tbl.num_rows:
+                        parts.append(tbl.to_pandas())
+                if not parts:
                     continue
-                bpdf = tbl.to_pandas()
+                bpdf = (
+                    parts[0]
+                    if len(parts) == 1
+                    else pd.concat(parts, ignore_index=True)
+                )
                 qv, dv, sv = R._score_bucket_rows(
                     bpdf, qm, scorer, avgdl, k, ties, deleted
                 )

@@ -129,3 +129,109 @@ def test_fielded_cache_meta_uses_content_avgdl(spark, tmp_path_factory):
         R.Scorer(), k=5, analyzer="naive",
         docid_span=(m["stats"]["docid_lo"], m["stats"]["docid_hi"])))
     assert a == b and a
+
+
+def test_refresh_tombstone_only_is_metadata(spark, tmp_path_factory):
+    """A tombstone-only generation bump refreshes without touching shards;
+    cached scoring with the live deleted mask matches the in-plan path."""
+    import os
+
+    import numpy as np
+
+    from search_engine_spark.operators.delete import add_tombstones, deleted_array
+    from search_engine_spark.operators.serving import refresh_serving_cache
+
+    root = tmp_path_factory.mktemp("refresh_ts")
+    idx, cdir = str(root / "idx"), str(root / "cache")
+    corpus = corpus_from_texts(spark, DOCS)
+    m = S.build_index(spark, corpus, idx, analyzer="naive", n_batches=1)
+    cache = prepare_serving_cache(spark, idx, cdir, n_buckets=4)
+    shards_before = sorted(f for f in os.listdir(cdir) if f.endswith(".feather"))
+    add_tombstones(spark, idx, spark.createDataFrame([(0,)], "docId long"))
+    stats = load_term_stats_pdf(idx)
+    with pytest.raises(ServingCacheStale):
+        score_queries_cached(spark, cache, stats, {0: ["scan"]}, analyzer="naive")
+    cache2 = refresh_serving_cache(spark, idx, cdir)
+    assert sorted(
+        f for f in os.listdir(cdir) if f.endswith(".feather")
+    ) == shards_before  # metadata-only: no shard rewrites
+    dead = deleted_array(spark, idx)
+    got = _rows(score_queries_cached(
+        spark, cache2, stats, {0: ["scan"]}, analyzer="naive", deleted=dead))
+    assert got and all(d != 0 for _, d, _ in got)
+    segs = S.load_segments(spark, idx)
+    want = _rows(R.score_queries_daat_batch(
+        spark, segs, stats, {0: ["scan"]}, m["stats"]["n_docs"],
+        m["stats"]["avgdl"], R.Scorer(), k=10, analyzer="naive",
+        deleted=dead,
+        docid_span=(m["stats"]["docid_lo"], m["stats"]["docid_hi"])))
+    assert got == want
+
+
+def test_refresh_appends_delta_batch(spark, tmp_path_factory):
+    """New committed batches bucketize incrementally: base shards stay
+    byte-identical, delta shards appear, and refreshed scoring equals both
+    a full re-prepare and the in-plan path over the grown index — including
+    docIds OUTSIDE the original sizing span (edge-bucket clamp)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.serving import refresh_serving_cache
+
+    root = tmp_path_factory.mktemp("refresh_delta")
+    idx, cdir = str(root / "idx"), str(root / "cache")
+    corpus = corpus_from_texts(spark, DOCS)
+    S.build_index(spark, corpus, idx, analyzer="naive", n_batches=1)
+    prepare_serving_cache(spark, idx, cdir, n_buckets=4)
+    base_mtimes = {
+        f: os.path.getmtime(os.path.join(cdir, f))
+        for f in os.listdir(cdir)
+        if f.endswith(".feather")
+    }
+    # delta docs 100..102 — beyond the original docid span on purpose
+    extra = corpus_from_texts(
+        spark, ["scan the new table", "fresh apple pie", "scan scan scan"]
+    ).withColumn("docId", F.col("docId") + F.lit(100))
+    S.build_one_batch(spark, extra, idx, key="delta1", analyzer="naive",
+                      num_segments=4)
+    m = S.finalize_index(spark, idx)
+    assert m["stats"]["n_docs"] == len(DOCS) + 3
+    cache = refresh_serving_cache(spark, idx, cdir)
+    assert cache["generation"] == m["generation"]
+    assert cache["n_docs"] == len(DOCS) + 3
+    deltas = [f for f in os.listdir(cdir)
+              if f.endswith(".feather") and ".d" in f]
+    assert deltas  # incremental shards landed
+    for f, t in base_mtimes.items():  # base shards untouched
+        assert os.path.getmtime(os.path.join(cdir, f)) == t
+    stats = load_term_stats_pdf(idx)
+    queries = {0: ["scan", "table"], 1: ["apple"], 2: ["scan"]}
+    got = _rows(score_queries_cached(
+        spark, cache, stats, queries, k=10, analyzer="naive"))
+    assert any(d >= 100 for _, d, _ in got)  # new docs actually serve
+    full = prepare_serving_cache(
+        spark, idx, str(root / "cache_full"), n_buckets=4)
+    want_full = _rows(score_queries_cached(
+        spark, full, stats, queries, k=10, analyzer="naive"))
+    segs = S.load_segments(spark, idx)
+    want_plan = _rows(R.score_queries_daat_batch(
+        spark, segs, stats, queries, m["stats"]["n_docs"],
+        m["stats"]["avgdl"], R.Scorer(), k=10, analyzer="naive",
+        docid_span=(m["stats"]["docid_lo"], m["stats"]["docid_hi"])))
+    assert got == want_full == want_plan
+
+    # a compaction rewrites the batch set away -> refresh must fall back
+    # to a full prepare and keep serving correctly
+    m2 = S.merge_all_batches(spark, idx)
+    with pytest.raises(ServingCacheStale):
+        score_queries_cached(spark, cache, stats, {0: ["scan"]},
+                             analyzer="naive")
+    cache3 = refresh_serving_cache(spark, idx, cdir)
+    assert cache3["generation"] == m2["generation"]
+    assert not any(
+        ".d" in f for fs in cache3["shards"].values() for f in fs
+    )  # full prepare: single base shard per bucket again
+    got3 = _rows(score_queries_cached(
+        spark, cache3, stats, queries, k=10, analyzer="naive"))
+    assert got3 == want_plan
