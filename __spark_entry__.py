@@ -1040,6 +1040,69 @@ def q_q8_bm25_batch_cached(spark, sf_dir):
     )
 
 
+def q_q8_bm25_batch_refreshed(spark, sf_dir):
+    """q8 batched through an INCREMENTALLY REFRESHED serving cache: the
+    index is grown in two commits (even docIds, then odd docIds), the
+    cache is prepared after the first and brought current with
+    ``refresh_serving_cache`` after the second — so the workload scores
+    base shards + appended delta shards together. Same oracle SQL as
+    q8_bm25_batch over the FULL corpus: the incremental-ingest serving
+    path (the 10^12-file micro-batch cadence) is value-checked end to
+    end, stats (n_docs/avgdl/df) included."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from search_engine_spark.operators.rank import Scorer
+    from search_engine_spark.operators.serving import (
+        prepare_serving_cache,
+        refresh_serving_cache,
+        score_queries_cached,
+    )
+    from search_engine_spark.sources.segments import (
+        build_one_batch,
+        finalize_index,
+        load_term_stats_pdf,
+    )
+
+    ckey = (sf_dir, "serving-cache-refreshed")
+    if ckey not in _INDEX_CACHE:
+        idx = os.path.join(
+            tempfile.gettempdir(),
+            "se_idx_refresh_" + sf_dir.strip("/").replace("/", "_"),
+        )
+        shutil.rmtree(idx, ignore_errors=True)
+        shutil.rmtree(idx + "_cache", ignore_errors=True)
+        docs = _docs(spark, sf_dir)
+        kw = dict(analyzer="naive", num_segments=8, heavy_threshold=None,
+                  n_salts=4)
+        build_one_batch(spark, docs.where(F.col("docId") % 2 == 0), idx,
+                        key="0", **kw)
+        finalize_index(spark, idx)
+        prepare_serving_cache(spark, idx, idx + "_cache", n_buckets=8)
+        build_one_batch(spark, docs.where(F.col("docId") % 2 == 1), idx,
+                        key="1", **kw)
+        finalize_index(spark, idx)
+        cache = refresh_serving_cache(spark, idx, idx + "_cache")
+        assert any(
+            len(fs) > 1 for fs in cache["shards"].values()
+        ), "refresh produced no delta shards — the row would not exercise it"
+        _INDEX_CACHE[ckey] = (idx, cache)
+    idx, cache = _INDEX_CACHE[ckey]
+    out = score_queries_cached(
+        spark, cache, load_term_stats_pdf(idx), BATCH_QUERIES,
+        scorer=Scorer("bm25", BM25_K1, BM25_B), k=TOPK, analyzer="naive",
+        ties="asc",
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docId"))
+    return out.select(
+        "qid",
+        F.col("docId").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        F.row_number().over(w).alias("rank"),
+    )
+
+
 GRAPH_ROOT = os.path.join(tempfile.gettempdir(), "se_graph_io")
 
 
@@ -1733,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_bm25_batch": q_q8_bm25_batch,
         "q8_bm25_batch_daat": q_q8_bm25_batch_daat,
         "q8_bm25_batch_cached": q_q8_bm25_batch_cached,
+        "q8_bm25_batch_refreshed": q_q8_bm25_batch_refreshed,
         "b7_delete_search": q_b7_delete_search,
         "b7q_delete_by_query": q_b7q_delete_by_query,
         "q5sh_phrase_shingles": q_q5sh_phrase_shingled,
@@ -2704,6 +2768,7 @@ def oracle_sql() -> dict[str, str]:
         "q8_bm25_batch": _BM25_BATCH_SQL,
         "q8_bm25_batch_daat": _BM25_BATCH_SQL,
         "q8_bm25_batch_cached": _BM25_BATCH_SQL,
+        "q8_bm25_batch_refreshed": _BM25_BATCH_SQL,
         "b7_delete_search": _B7_DELETE_SQL,
         "b7q_delete_by_query": _B7Q_DELETE_SQL,
         "q5sh_phrase_shingles": _SHINGLE_PHRASE_SQL,

@@ -150,8 +150,51 @@ def prepare_serving_cache(
     return meta
 
 
+def _fold_buckets(
+    spark: SparkSession, cdir: str, fold: dict[int, list[str]], tag: str
+) -> dict[int, str]:
+    """Concatenate each bucket's shard files into ONE new file (base-first
+    order — the exact order the kernel read them, so scoring is unchanged).
+    One Spark task per bucket; returns {bucket: new_filename}. Old files
+    are NOT touched here — the caller unlinks them after its meta commit."""
+    items = sorted(fold.items())
+
+    def worker(batches):
+        import pyarrow as pa
+        import pyarrow.feather as feather
+
+        for pdf in batches:
+            for b in pdf["bucket"]:
+                names = fold[int(b)]
+                tbl = pa.concat_tables(
+                    [
+                        feather.read_table(
+                            os.path.join(cdir, n), memory_map=True
+                        )
+                        for n in names
+                    ]
+                )
+                name = f"bucket={int(b)}.{tag}.feather"
+                path = os.path.join(cdir, name)
+                feather.write_feather(
+                    tbl, path + ".tmp", compression="uncompressed"
+                )
+                os.replace(path + ".tmp", path)
+                yield pd.DataFrame({"bucket": [int(b)], "file": [name]})
+
+    rdd = spark.sparkContext.parallelize(
+        [(b,) for b, _ in items], max(len(items), 1)
+    )
+    ids = spark.createDataFrame(rdd, "bucket int")
+    out = ids.mapInPandas(worker, "bucket int, file string").collect()
+    return {int(r.bucket): r.file for r in out}
+
+
 def refresh_serving_cache(
-    spark: SparkSession, index_dir: str, cache_dir: str
+    spark: SparkSession,
+    index_dir: str,
+    cache_dir: str,
+    fold_threshold: int = 8,
 ) -> dict:
     """Bring a prepared cache up to the live manifest generation by
     bucketizing ONLY the delta — the incremental-refresh path a streaming
@@ -180,6 +223,15 @@ def refresh_serving_cache(
     scoring defaults stay correct after ``finalize_index``. The meta
     rewrite is the atomic commit point; a crash mid-refresh leaves
     unreferenced delta files the next refresh overwrites.
+
+    **Shard folding**: a bucket whose file count reaches ``fold_threshold``
+    is folded into one file (base-first concat — the exact read order of
+    the kernel, so results are unchanged), bounding per-bucket read
+    amplification at O(fold_threshold) across ANY number of refreshes.
+    Replaced files are unlinked only AFTER the meta commit; that is safe
+    for every gated reader because a pre-refresh meta fails the generation
+    check the moment the manifest moved (``check_generation=False`` holders
+    must reload after a refresh — documented trade).
     """
     meta = load_serving_cache(cache_dir)
     m = read_manifest(index_dir)
@@ -218,6 +270,20 @@ def refresh_serving_cache(
             ({"bucket": int(b), "rows": int(n)} for b, n in rows_by_b.items()),
             key=lambda d: d["bucket"],
         )
+    # fold any bucket that accumulated too many shard files
+    replaced: list[str] = []
+    shards = meta.get("shards") or {}
+    fold = {
+        int(b): list(fs)
+        for b, fs in shards.items()
+        if len(fs) >= int(fold_threshold)
+    }
+    if fold:
+        folded = _fold_buckets(spark, cdir, fold, f"f{live_gen}")
+        for b, fname in folded.items():
+            replaced.extend(shards[str(b)])
+            shards[str(b)] = [fname]
+        meta["shards"] = shards
     stats = m.get("stats") or {}
     if stats.get("n_docs") is not None:
         meta["n_docs"] = stats["n_docs"]
@@ -227,6 +293,13 @@ def refresh_serving_cache(
     meta["generation"] = live_gen
     meta["batches"] = live_batches
     _write_meta(cdir, meta)
+    # gc folded-away files AFTER the commit point (crash here = harmless
+    # orphans; gated readers can no longer hold the old meta — see above)
+    for name in replaced:
+        try:
+            os.unlink(os.path.join(cdir, name))
+        except FileNotFoundError:
+            pass
     return meta
 
 

@@ -235,3 +235,42 @@ def test_refresh_appends_delta_batch(spark, tmp_path_factory):
     got3 = _rows(score_queries_cached(
         spark, cache3, stats, queries, k=10, analyzer="naive"))
     assert got3 == want_plan
+
+
+def test_refresh_folds_delta_shards(spark, tmp_path_factory):
+    """Repeated refreshes must not grow per-bucket read amplification
+    unboundedly: at fold_threshold the bucket's files concat into one (in
+    kernel read order), replaced files are unlinked after the meta commit,
+    and scoring stays equal to a full re-prepare."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.serving import refresh_serving_cache
+
+    root = tmp_path_factory.mktemp("refresh_fold")
+    idx, cdir = str(root / "idx"), str(root / "cache")
+    S.build_index(spark, corpus_from_texts(spark, DOCS), idx,
+                  analyzer="naive", n_batches=1)
+    prepare_serving_cache(spark, idx, cdir, n_buckets=2)
+    for i in range(3):  # three commits -> three incremental refreshes
+        extra = corpus_from_texts(
+            spark, [f"scan wave{i} table", f"apple wave{i}"]
+        ).withColumn("docId", F.col("docId") + F.lit(100 * (i + 1)))
+        S.build_one_batch(spark, extra, idx, key=f"w{i}", analyzer="naive",
+                          num_segments=4)
+        S.finalize_index(spark, idx)
+        cache = refresh_serving_cache(spark, idx, cdir, fold_threshold=2)
+    assert all(len(fs) <= 2 for fs in cache["shards"].values())
+    on_disk = {f for f in os.listdir(cdir) if f.endswith(".feather")}
+    referenced = {f for fs in cache["shards"].values() for f in fs}
+    assert on_disk == referenced  # folded-away files were gc'd
+    stats = load_term_stats_pdf(idx)
+    queries = {0: ["scan", "table"], 1: ["apple"]}
+    got = _rows(score_queries_cached(
+        spark, cache, stats, queries, k=20, analyzer="naive"))
+    full = prepare_serving_cache(spark, idx, str(root / "cache_full"),
+                                 n_buckets=2)
+    want = _rows(score_queries_cached(
+        spark, full, stats, queries, k=20, analyzer="naive"))
+    assert got == want and any(d >= 300 for _, d, _ in got)
