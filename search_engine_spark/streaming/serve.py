@@ -50,21 +50,34 @@ def serving_sink(
     trigger_available_now: bool = True,
     scorer=None,
     cache_dir: str | None = None,
+    refresh_on_growth: bool = False,
 ):
     """``writeStream.foreachBatch`` -> one batched job per micro-batch.
 
     ``cache_dir``: serve from a bucketized serving cache
     (``operators/serving.py``) prepared here at stream start — micro-batches
     then run kernel + merge only (no per-batch scan/split/shuffle), the
-    steady-state shape a query stream is by definition. The cache is tied
-    to the index generation at start, matching the existing restart-to-pick-
-    up-growth semantics; results are bit-identical to the uncached path.
+    steady-state shape a query stream is by definition. By default the
+    cache is tied to the index generation at start (restart-to-pick-up-
+    growth semantics); results are bit-identical to the uncached path.
+
+    ``refresh_on_growth``: follow the live index instead of the start-time
+    snapshot. An existing cache under ``cache_dir`` is REUSED and brought
+    current with ``refresh_serving_cache`` (delta-only bucketize) rather
+    than rebuilt, and each micro-batch re-syncs the same way when the
+    manifest generation moved — the concurrent ingest-stream + serve-stream
+    deployment, no restarts. Term stats and n_docs/avgdl reload on every
+    sync so scores track the grown corpus.
 
     Results parquet schema: ``batch_id, qid, docId, score`` under
     ``out_dir/batch=<id>/`` (self-overwriting on replay). Returns the
     started ``StreamingQuery``; callers ``awaitTermination()``."""
     from ..operators.rank import Scorer, score_queries_daat_batch
-    from ..operators.serving import prepare_serving_cache, score_queries_cached
+    from ..operators.serving import (
+        prepare_serving_cache,
+        refresh_serving_cache,
+        score_queries_cached,
+    )
     from ..sources.segments import docid_span, load_segments, load_term_stats_pdf, read_manifest
 
     m = read_manifest(index_dir)
@@ -77,22 +90,35 @@ def serving_sink(
     stats_pdf = load_term_stats_pdf(index_dir)
     segs = load_segments(spark, index_dir)
     sc = scorer if scorer is not None else Scorer("bm25")
-    cache = (
-        prepare_serving_cache(spark, index_dir, cache_dir)
-        if cache_dir is not None
-        else None
-    )
+    cache = None
+    if cache_dir is not None:
+        has_meta = os.path.exists(os.path.join(cache_dir, "serving_cache.json"))
+        cache = (
+            refresh_serving_cache(spark, index_dir, cache_dir)
+            if refresh_on_growth and has_meta
+            else prepare_serving_cache(spark, index_dir, cache_dir)
+        )
 
     def handle(batch_df: DataFrame, batch_id: int):
+        nonlocal cache, stats_pdf, n_docs, avgdl
         rows = batch_df.collect()  # queries are tiny (qid + a few terms)
         if not rows:
             return
         queries = {int(r.qid): list(r.terms) for r in rows}
         if cache is not None:
-            # the prepared cache IS the stream's start-time snapshot, so a
-            # mid-stream index commit must not kill the query (the uncached
-            # path serves its start-time segments the same way); growth is
-            # picked up by restarting the stream, per the module contract
+            if refresh_on_growth:
+                live_gen = int(read_manifest(index_dir).get("generation", 0))
+                if live_gen != int(cache["generation"]):
+                    cache = refresh_serving_cache(spark, index_dir, cache_dir)
+                    stats_pdf = load_term_stats_pdf(index_dir)
+                    n_docs, avgdl = cache["n_docs"], cache["avgdl"]
+            # without refresh_on_growth the prepared cache IS the stream's
+            # start-time snapshot, so a mid-stream index commit must not
+            # kill the query (the uncached path serves its start-time
+            # segments the same way); growth arrives on restart. With it,
+            # the sync above already matched the live generation (a commit
+            # racing this exact micro-batch serves next batch — same
+            # semantics as a shard swap in any search cluster).
             out = score_queries_cached(
                 spark, cache, stats_pdf, queries, n_docs, avgdl, sc, k,
                 analyzer=analyzer, check_generation=False,

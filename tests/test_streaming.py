@@ -412,6 +412,67 @@ def test_stream_serving_cached_equals_uncached(spark, tmp_path):
     assert rows(out_a) == rows(out_b) and rows(out_a)
 
 
+def test_stream_serving_refresh_on_growth(spark, tmp_path):
+    """serving_sink(refresh_on_growth=True) reuses a pre-existing cache and
+    brings it current with DELTA shards (not a rebuild): docs committed
+    after the cache was prepared serve without a stream restart, and the
+    results match an uncached stream over the grown index."""
+    import os
+
+    import pandas as pd
+
+    from search_engine_spark.operators.serving import prepare_serving_cache
+    from search_engine_spark.sources.segments import (
+        build_one_batch,
+        finalize_index,
+    )
+    from search_engine_spark.streaming.serve import (
+        serving_sink,
+        stream_queries_from_files,
+    )
+
+    corpus = corpus_from_texts(spark, TEXTS)
+    idx = str(tmp_path / "gserve_idx")
+    build_index(spark, corpus, idx, analyzer="naive", n_batches=1)
+    scache = str(tmp_path / "gcache")
+    prepare_serving_cache(spark, idx, scache, n_buckets=4)
+    # index grows AFTER the cache was prepared
+    extra = corpus_from_texts(
+        spark, ["apple kumquat", "kumquat kumquat fig"]
+    ).withColumn("docId", F.col("docId") + F.lit(100))
+    build_one_batch(spark, extra, idx, key="grow", analyzer="naive",
+                    num_segments=4)
+    finalize_index(spark, idx)
+
+    qdir = str(tmp_path / "qstream")
+    os.makedirs(qdir, exist_ok=True)
+    queries = {0: ["apple"], 1: ["kumquat"]}
+    pd.DataFrame(
+        {"qid": list(queries), "terms": [queries[q] for q in queries]}
+    ).to_parquet(f"{qdir}/q0.parquet")
+
+    out_a, out_b = str(tmp_path / "res_plain"), str(tmp_path / "res_grown")
+    serving_sink(
+        spark, stream_queries_from_files(spark, qdir), idx, out_b, k=5,
+        cache_dir=scache, refresh_on_growth=True,
+    ).awaitTermination(120)
+    assert any(".d" in f for f in os.listdir(scache)), \
+        "growth must arrive as delta shards, not a cache rebuild"
+    serving_sink(
+        spark, stream_queries_from_files(spark, qdir), idx, out_a, k=5
+    ).awaitTermination(120)
+
+    def rows(out):
+        return sorted(
+            (r.qid, r.docId, round(r.score, 12))
+            for r in spark.read.parquet(f"{out}/batch=0").collect()
+        )
+
+    got = rows(out_b)
+    assert got == rows(out_a)
+    assert {d for q, d, _ in got if q == 1} >= {100, 101}  # new docs serve
+
+
 def test_user_sessions_batch_boundaries(spark):
     from search_engine_spark.streaming.ingest import user_sessions
 
