@@ -232,6 +232,14 @@ def refresh_serving_cache(
     for every gated reader because a pre-refresh meta fails the generation
     check the moment the manifest moved (``check_generation=False`` holders
     must reload after a refresh — documented trade).
+
+    Concurrency: two serve processes refreshing one cache dir race
+    BENIGNLY — every artifact is a deterministic function of (cache state,
+    live manifest): delta shards carry generation-tagged names with
+    identical bytes, folds concat in the same order, and the meta each
+    writer commits is the same document (a straggler that read an older
+    meta recomputes a superset delta against the same live manifest). The
+    double-unlink in gc is tolerated explicitly.
     """
     meta = load_serving_cache(cache_dir)
     m = read_manifest(index_dir)
