@@ -30,14 +30,32 @@ _SEP = b"\x00\x00"  # row separator; windows touching it are masked out
 _FIXTURE = os.path.join(os.path.dirname(__file__), "data", "langid_train.tsv")
 
 
-def load_training_pairs(path: str = _FIXTURE) -> list[tuple[str, str]]:
+def _read_fixture_text() -> str:
+    """Training fixture bytes, readable from a plain checkout AND from the
+    ``--py-files`` zip (tools/package.py ships the tsv inside the archive;
+    a plain open() cannot reach zip members, importlib.resources can)."""
+    if os.path.exists(_FIXTURE):
+        return open(_FIXTURE, encoding="utf-8").read()
+    from importlib import resources
+
+    return (
+        resources.files(__package__)
+        .joinpath("data/langid_train.tsv")
+        .read_text(encoding="utf-8")
+    )
+
+
+def load_training_pairs(path: str | None = None) -> list[tuple[str, str]]:
+    text = (
+        open(path, encoding="utf-8").read()
+        if path is not None
+        else _read_fixture_text()
+    )
     out = []
-    with open(path, encoding="utf-8") as f:
-        for line in f:
-            line = line.rstrip("\n")
-            if line:
-                lang, text = line.split("\t", 1)
-                out.append((lang, text))
+    for line in text.splitlines():
+        if line:
+            lang, t = line.split("\t", 1)
+            out.append((lang, t))
     return out
 
 

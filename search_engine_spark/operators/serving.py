@@ -53,6 +53,16 @@ class ServingCacheStale(RuntimeError):
     """The index manifest moved past the cache's generation."""
 
 
+def _atomic_feather(tbl, path: str) -> None:
+    """THE shard write convention — uncompressed (mmap-fast) feather, tmp +
+    atomic rename — shared by prepare, refresh deltas, and folds so their
+    crash-safety and read-speed properties can never diverge."""
+    import pyarrow.feather as feather
+
+    feather.write_feather(tbl, path + ".tmp", compression="uncompressed")
+    os.replace(path + ".tmp", path)
+
+
 def _write_bucket_shards(bucketed, cdir: str, suffix: str):
     """Write one Arrow IPC file per bucket (``bucket=<b><suffix>.feather``,
     tmp + atomic rename) and return ``[(bucket, rows, filename), ...]``.
@@ -63,18 +73,13 @@ def _write_bucket_shards(bucketed, cdir: str, suffix: str):
 
     def writer(key, pdf):
         import pyarrow as pa
-        import pyarrow.feather as feather
 
         b = int(key[0])
         name = f"bucket={b}{suffix}.feather"
-        path = os.path.join(cdir, name)
-        tmp = path + ".tmp"
-        feather.write_feather(
+        _atomic_feather(
             pa.Table.from_pandas(pdf, preserve_index=False),
-            tmp,
-            compression="uncompressed",
+            os.path.join(cdir, name),
         )
-        os.replace(tmp, path)
         return pd.DataFrame({"bucket": [b], "rows": [len(pdf)], "file": [name]})
 
     out = bucketed.groupBy("bucket").applyInPandas(
@@ -133,6 +138,14 @@ def prepare_serving_cache(
         "batches": sorted(
             k for k, b in (m.get("batches") or {}).items() if b.get("committed")
         ),
+        # per-batch identity (commit timestamps): refresh validates these so
+        # a cache can never serve a DIFFERENT index that reuses the same
+        # path/keys/generation (e.g. rmtree + rebuild)
+        "batch_fingerprints": {
+            k: b.get("committed_at")
+            for k, b in (m.get("batches") or {}).items()
+            if b.get("committed")
+        },
         # per-bucket shard files, base first then deltas in commit order
         "shards": {str(b): [f] for b, _, f in rows},
         "n_buckets": int(n_buckets),
@@ -175,11 +188,7 @@ def _fold_buckets(
                     ]
                 )
                 name = f"bucket={int(b)}.{tag}.feather"
-                path = os.path.join(cdir, name)
-                feather.write_feather(
-                    tbl, path + ".tmp", compression="uncompressed"
-                )
-                os.replace(path + ".tmp", path)
+                _atomic_feather(tbl, os.path.join(cdir, name))
                 yield pd.DataFrame({"bucket": [int(b)], "file": [name]})
 
     rdd = spark.sparkContext.parallelize(
@@ -228,37 +237,65 @@ def refresh_serving_cache(
     is folded into one file (base-first concat — the exact read order of
     the kernel, so results are unchanged), bounding per-bucket read
     amplification at O(fold_threshold) across ANY number of refreshes.
-    Replaced files are unlinked only AFTER the meta commit; that is safe
-    for every gated reader because a pre-refresh meta fails the generation
-    check the moment the manifest moved (``check_generation=False`` holders
-    must reload after a refresh — documented trade).
+    Folded-away files are gc'd with a ONE-GENERATION delay: they move to
+    ``gc_pending`` at the fold's meta commit and are unlinked by the next
+    refresh — so an in-flight kernel, or a racing refresher that read the
+    pre-fold meta, still finds every file its meta references
+    (``check_generation=False`` holders must reload after a refresh —
+    documented trade).
 
     Concurrency: two serve processes refreshing one cache dir race
     BENIGNLY — every artifact is a deterministic function of (cache state,
     live manifest): delta shards carry generation-tagged names with
-    identical bytes, folds concat in the same order, and the meta each
-    writer commits is the same document (a straggler that read an older
-    meta recomputes a superset delta against the same live manifest). The
-    double-unlink in gc is tolerated explicitly.
+    identical bytes, folds concat in the same order (and their inputs
+    survive until the NEXT refresh — the deferred gc above), and the meta
+    each writer commits is the same document. The double-unlink in gc is
+    tolerated explicitly.
+
+    A cache whose identity does not match the live index — different
+    ``index_dir``, or same-keyed batches with different commit timestamps
+    (an index rebuilt at the same path) — always falls back to the full
+    prepare rather than mixing corpora.
     """
     meta = load_serving_cache(cache_dir)
     m = read_manifest(index_dir)
-    live_gen = int(m.get("generation", 0))
-    if live_gen == int(meta["generation"]):
-        return meta
-    live_batches = sorted(
-        k for k, b in (m.get("batches") or {}).items() if b.get("committed")
-    )
+    live = {
+        k: b for k, b in (m.get("batches") or {}).items() if b.get("committed")
+    }
+    live_batches = sorted(live)
     old_batches = meta.get("batches")
+    fps = meta.get("batch_fingerprints")
+    covered_intact = (
+        old_batches is not None
+        and fps is not None
+        and set(old_batches) <= set(live)  # nothing compacted/purged away
+        # the SAME batches, not same-keyed batches of a rebuilt index: a
+        # rmtree'd + rebuilt index reuses keys (and can reuse generations),
+        # so identity is the commit timestamps recorded at prepare time
+        and all(fps.get(k) == live[k].get("committed_at") for k in old_batches)
+    )
     if (
-        old_batches is None  # pre-refresh-era cache: no coverage record
+        meta.get("index_dir") != os.path.abspath(index_dir)  # different index
+        or not covered_intact
         or meta.get("docid_span") is None  # edges not reproducible
-        or not set(old_batches) <= set(live_batches)  # compaction/purge
     ):
         return prepare_serving_cache(
             spark, index_dir, cache_dir, n_buckets=meta.get("n_buckets")
         )
+    live_gen = int(m.get("generation", 0))
+    if live_gen == int(meta["generation"]):
+        return meta
     cdir = meta["cache_dir"]
+    # gc files folded away by a PREVIOUS refresh (deferred one generation:
+    # any reader or racing refresher that could still reference them held a
+    # meta at least one generation old, which the staleness gate retired
+    # before this commit landed)
+    for name in meta.get("gc_pending", ()):
+        try:
+            os.unlink(os.path.join(cdir, name))
+        except FileNotFoundError:
+            pass
+    meta["gc_pending"] = []
     delta = [k for k in live_batches if k not in set(old_batches)]
     if delta:
         from ..sources.segments import batch_path
@@ -300,14 +337,16 @@ def refresh_serving_cache(
         )
     meta["generation"] = live_gen
     meta["batches"] = live_batches
+    meta["batch_fingerprints"] = {
+        k: live[k].get("committed_at") for k in live_batches
+    }
+    # folded-away files are NOT unlinked now: a racing refresher that read
+    # the pre-commit meta may still be folding from them, and an in-flight
+    # kernel may still be reading them. They move to gc_pending and are
+    # unlinked by the NEXT refresh (see the gc loop above), by which point
+    # the generation gate has retired every meta that referenced them.
+    meta["gc_pending"] = sorted(set(replaced))
     _write_meta(cdir, meta)
-    # gc folded-away files AFTER the commit point (crash here = harmless
-    # orphans; gated readers can no longer hold the old meta — see above)
-    for name in replaced:
-        try:
-            os.unlink(os.path.join(cdir, name))
-        except FileNotFoundError:
-            pass
     return meta
 
 

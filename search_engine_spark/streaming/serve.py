@@ -66,8 +66,9 @@ def serving_sink(
     current with ``refresh_serving_cache`` (delta-only bucketize) rather
     than rebuilt, and each micro-batch re-syncs the same way when the
     manifest generation moved — the concurrent ingest-stream + serve-stream
-    deployment, no restarts. Term stats and n_docs/avgdl reload on every
-    sync so scores track the grown corpus.
+    deployment, no restarts. Term stats, n_docs/avgdl, and the tombstone
+    mask reload on every sync, so grown docs serve and deleted docs stop
+    serving without a restart.
 
     Results parquet schema: ``batch_id, qid, docId, score`` under
     ``out_dir/batch=<id>/`` (self-overwriting on replay). Returns the
@@ -90,6 +91,13 @@ def serving_sink(
     stats_pdf = load_term_stats_pdf(index_dir)
     segs = load_segments(spark, index_dir)
     sc = scorer if scorer is not None else Scorer("bm25")
+    # lazy-deletion mask, same default as jobs/serve.py: tombstoned docs
+    # never serve. Snapshot mode pins the start-time tombstones (consistent
+    # with the start-time segments); refresh_on_growth reloads on each sync
+    # so a delete commit takes effect without a restart.
+    from ..operators.delete import deleted_array
+
+    deleted = deleted_array(spark, index_dir)
     cache = None
     if cache_dir is not None:
         has_meta = os.path.exists(os.path.join(cache_dir, "serving_cache.json"))
@@ -100,7 +108,7 @@ def serving_sink(
         )
 
     def handle(batch_df: DataFrame, batch_id: int):
-        nonlocal cache, stats_pdf, n_docs, avgdl
+        nonlocal cache, stats_pdf, n_docs, avgdl, deleted
         rows = batch_df.collect()  # queries are tiny (qid + a few terms)
         if not rows:
             return
@@ -112,6 +120,7 @@ def serving_sink(
                     cache = refresh_serving_cache(spark, index_dir, cache_dir)
                     stats_pdf = load_term_stats_pdf(index_dir)
                     n_docs, avgdl = cache["n_docs"], cache["avgdl"]
+                    deleted = deleted_array(spark, index_dir)
             # without refresh_on_growth the prepared cache IS the stream's
             # start-time snapshot, so a mid-stream index commit must not
             # kill the query (the uncached path serves its start-time
@@ -121,12 +130,12 @@ def serving_sink(
             # semantics as a shard swap in any search cluster).
             out = score_queries_cached(
                 spark, cache, stats_pdf, queries, n_docs, avgdl, sc, k,
-                analyzer=analyzer, check_generation=False,
+                analyzer=analyzer, check_generation=False, deleted=deleted,
             )
         else:
             out = score_queries_daat_batch(
                 spark, segs, stats_pdf, queries, n_docs, avgdl, sc, k,
-                analyzer=analyzer, docid_span=span,
+                analyzer=analyzer, docid_span=span, deleted=deleted,
             )
         out = out.withColumn("batch_id", F.lit(int(batch_id)))
         out.select("batch_id", "qid", "docId", "score").write.mode(

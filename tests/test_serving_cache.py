@@ -264,7 +264,18 @@ def test_refresh_folds_delta_shards(spark, tmp_path_factory):
     assert all(len(fs) <= 2 for fs in cache["shards"].values())
     on_disk = {f for f in os.listdir(cdir) if f.endswith(".feather")}
     referenced = {f for fs in cache["shards"].values() for f in fs}
-    assert on_disk == referenced  # folded-away files were gc'd
+    # deferred gc: folded-away files survive THIS refresh (an in-flight
+    # reader or racing refresher may still hold them)...
+    assert set(cache["gc_pending"]) and on_disk == referenced | set(
+        cache["gc_pending"]
+    )
+    # ...and the NEXT refresh (any commit — a tombstone here) unlinks them
+    from search_engine_spark.operators.delete import add_tombstones
+
+    add_tombstones(spark, idx, spark.createDataFrame([(999999,)], "docId long"))
+    cache = refresh_serving_cache(spark, idx, cdir, fold_threshold=2)
+    on_disk = {f for f in os.listdir(cdir) if f.endswith(".feather")}
+    assert on_disk == {f for fs in cache["shards"].values() for f in fs}
     stats = load_term_stats_pdf(idx)
     queries = {0: ["scan", "table"], 1: ["apple"]}
     got = _rows(score_queries_cached(
@@ -274,3 +285,34 @@ def test_refresh_folds_delta_shards(spark, tmp_path_factory):
     want = _rows(score_queries_cached(
         spark, full, stats, queries, k=20, analyzer="naive"))
     assert got == want and any(d >= 300 for _, d, _ in got)
+
+
+def test_refresh_rejects_rebuilt_index(spark, tmp_path_factory):
+    """An index rmtree'd and rebuilt at the same path reuses batch keys (and
+    can reuse generations) — refresh must detect the identity change via the
+    recorded commit fingerprints and fall back to a FULL prepare, never mix
+    old shards with the new corpus."""
+    import os
+    import shutil
+
+    from search_engine_spark.operators.serving import refresh_serving_cache
+
+    root = tmp_path_factory.mktemp("refresh_rebuilt")
+    idx, cdir = str(root / "idx"), str(root / "cache")
+    S.build_index(spark, corpus_from_texts(spark, DOCS), idx,
+                  analyzer="naive", n_batches=1)
+    cache = prepare_serving_cache(spark, idx, cdir, n_buckets=2)
+    old_gen = cache["generation"]
+    # rebuild a DIFFERENT corpus at the same path, same keys
+    shutil.rmtree(idx)
+    m2 = S.build_index(
+        spark, corpus_from_texts(spark, ["walrus tusk", "walrus walrus"]),
+        idx, analyzer="naive", n_batches=1)
+    cache2 = refresh_serving_cache(spark, idx, cdir)
+    assert cache2["generation"] == m2["generation"]
+    assert not any(".d" in f for f in os.listdir(cdir))  # full prepare
+    stats = load_term_stats_pdf(idx)
+    got = _rows(score_queries_cached(
+        spark, cache2, stats, {0: ["walrus"], 1: ["scan"]}, analyzer="naive"))
+    assert got and all(q == 0 for q, _, _ in got)  # old corpus gone
+    del old_gen

@@ -443,6 +443,10 @@ def test_stream_serving_refresh_on_growth(spark, tmp_path):
     build_one_batch(spark, extra, idx, key="grow", analyzer="naive",
                     num_segments=4)
     finalize_index(spark, idx)
+    # and a delete: doc 0 ("apple banana cherry apple") must stop serving
+    from search_engine_spark.operators.delete import add_tombstones
+
+    add_tombstones(spark, idx, spark.createDataFrame([(0,)], "docId long"))
 
     qdir = str(tmp_path / "qstream")
     os.makedirs(qdir, exist_ok=True)
@@ -471,6 +475,7 @@ def test_stream_serving_refresh_on_growth(spark, tmp_path):
     got = rows(out_b)
     assert got == rows(out_a)
     assert {d for q, d, _ in got if q == 1} >= {100, 101}  # new docs serve
+    assert all(d != 0 for _, d, _ in got)  # tombstoned doc stopped serving
 
 
 def test_user_sessions_batch_boundaries(spark):

@@ -22,12 +22,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PKG = "search_engine_spark"
 
 
+DATA_EXT = (".py", ".tsv", ".txt", ".json")  # sources + runtime data files
+
+
 def build(out_path: str) -> list[str]:
     names: list[str] = []
     for root, dirs, files in os.walk(os.path.join(REPO, PKG)):
         dirs[:] = sorted(d for d in dirs if d != "__pycache__")
         for f in sorted(files):
-            if f.endswith(".py"):
+            if f.endswith(DATA_EXT):
                 full = os.path.join(root, f)
                 names.append(os.path.relpath(full, REPO))
     tmp = out_path + ".tmp"
@@ -48,7 +51,10 @@ def smoke(out_path: str) -> None:
         "import sys; sys.path.insert(0, sys.argv[1]); "
         f"import {PKG}.operators.rank, {PKG}.sources.segments, "
         f"{PKG}.functions.analyzers, {PKG}.operators.serving; "
-        f"print('zipimport ok:', {PKG}.__name__)"
+        # data files must be reachable through the zip (langid fixture)
+        f"from {PKG}.functions.langid import load_training_pairs; "
+        "pairs = load_training_pairs(); assert pairs, 'empty langid fixture'; "
+        f"print('zipimport ok:', {PKG}.__name__, len(pairs), 'train pairs')"
     )
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
     subprocess.run(
