@@ -1103,6 +1103,39 @@ def q_q8_bm25_batch_refreshed(spark, sf_dir):
     )
 
 
+def q_q8x_explain_score(spark, sf_dir):
+    """q8 explain (Lucene ``IndexSearcher.explain`` analog): one row per
+    (docId, matched query term) exposing qtf/tf/dl/df/idf and the BM25
+    contribution — SUM(contribution) GROUP BY docId reproduces the q8
+    score. Oracle recomputes every factor independently in SQL over the
+    same tokenization, so the whole factor decomposition is value-checked,
+    not just the final score."""
+    from search_engine_spark.operators.rank import Scorer, explain_score
+    from search_engine_spark.sources.segments import (
+        decode_postings,
+        load_segments,
+        load_term_stats,
+    )
+
+    idx, m = _index(spark, sf_dir)
+    out = explain_score(
+        spark, decode_postings(load_segments(spark, idx)),
+        load_term_stats(spark, idx), Q_RANKED,
+        m["stats"]["n_docs"], m["stats"]["avgdl"],
+        Scorer("bm25", BM25_K1, BM25_B), analyzer="naive",
+    )
+    return out.select(
+        F.col("docId").alias("doc_id"),
+        "term",
+        "qtf",
+        "tf",
+        "dl",
+        "df",
+        F.round("idf", 6).alias("idf"),
+        F.round("contribution", 6).alias("contribution"),
+    )
+
+
 GRAPH_ROOT = os.path.join(tempfile.gettempdir(), "se_graph_io")
 
 
@@ -1797,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_bm25_batch_daat": q_q8_bm25_batch_daat,
         "q8_bm25_batch_cached": q_q8_bm25_batch_cached,
         "q8_bm25_batch_refreshed": q_q8_bm25_batch_refreshed,
+        "q8x_explain_score": q_q8x_explain_score,
         "b7_delete_search": q_b7_delete_search,
         "b7q_delete_by_query": q_b7q_delete_by_query,
         "q5sh_phrase_shingles": q_q5sh_phrase_shingled,
@@ -2769,6 +2803,25 @@ def oracle_sql() -> dict[str, str]:
         "q8_bm25_batch_daat": _BM25_BATCH_SQL,
         "q8_bm25_batch_cached": _BM25_BATCH_SQL,
         "q8_bm25_batch_refreshed": _BM25_BATCH_SQL,
+        "q8x_explain_score": f"""
+WITH {_TOKS},
+qterms(qt, qtf) AS (VALUES {_qterm_values(Q_RANKED)}),
+ndocs AS (SELECT count(*)::double AS n FROM documents),
+dlsum AS (SELECT sum(tf)::double AS tot FROM postings),
+stats AS (SELECT ndocs.n AS n, dlsum.tot / ndocs.n AS avgdl FROM ndocs, dlsum),
+tstats AS (SELECT term, count(*)::double AS df FROM postings GROUP BY term)
+SELECT p.doc_id, p.term, q.qtf::int AS qtf, p.tf::bigint AS tf,
+  p.dl::bigint AS dl, t.df::bigint AS df,
+  round(ln((s.n - t.df + 0.5) / (t.df + 0.5) + 1.0), 6) AS idf,
+  round(q.qtf * ln((s.n - t.df + 0.5) / (t.df + 0.5) + 1.0)
+        * p.tf * ({BM25_K1} + 1.0)
+        / (p.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * p.dl / s.avgdl)),
+        6) AS contribution
+FROM postings p
+JOIN qterms q ON p.term = q.qt
+JOIN tstats t ON p.term = t.term
+CROSS JOIN stats s
+""",
         "b7_delete_search": _B7_DELETE_SQL,
         "b7q_delete_by_query": _B7Q_DELETE_SQL,
         "q5sh_phrase_shingles": _SHINGLE_PHRASE_SQL,

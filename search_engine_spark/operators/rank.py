@@ -40,7 +40,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from ..functions.codec import varbyte_decode, varbyte_encode
 from ..operators.build import BLOCK_SIZE, _byte_lens
@@ -151,6 +158,81 @@ def score_query(
     order = [F.desc("score"), F.desc("docId") if ties == "desc" else F.asc("docId")]
     scores = scores.orderBy(*order)
     return scores.limit(k) if k is not None else scores
+
+
+EXPLAIN_SCHEMA = StructType(
+    [
+        StructField("docId", LongType(), False),
+        StructField("term", StringType(), False),
+        StructField("qtf", IntegerType(), False),
+        StructField("tf", LongType(), False),
+        StructField("dl", LongType(), False),
+        StructField("df", LongType(), False),
+        StructField("idf", DoubleType(), False),
+        StructField("contribution", DoubleType(), False),
+    ]
+)
+
+
+def explain_score(
+    spark: SparkSession,
+    decoded: DataFrame,
+    term_stats,
+    keywords: list[str],
+    n_docs: int,
+    avgdl: float,
+    scorer: Scorer = Scorer(),
+    analyzer: str = "porter",
+    doc_ids: list[int] | None = None,
+) -> DataFrame:
+    """Q8 explain — the ``IndexSearcher.explain`` analog every search engine
+    ships: one row per (docId, matched query term) exposing every factor of
+    the BM25 contribution (qtf, tf, dl, df, idf) plus the contribution
+    itself, so ``SUM(contribution) GROUP BY docId`` reproduces
+    :func:`score_query`'s score exactly (asserted in tests).
+
+    Plan shape: pushdown term filter -> broadcast idf join -> one JVM
+    projection. No aggregation, no window, no python. ``doc_ids`` narrows
+    the explanation to specific documents (the interactive debug case) —
+    the filter lands next to the term pushdown.
+
+    BM25 only: a tf-idf cosine contribution is not per-term separable (the
+    document norm couples all matched terms), so explaining it row-wise
+    would lie. Raises on other scorers.
+    """
+    if scorer.kind != "bm25":
+        raise NotImplementedError(
+            "explain is BM25-only: tf-idf cosine couples terms through the "
+            "document norm, so per-term rows would not sum to the score"
+        )
+    qtfs = query_tfs(keywords, analyzer)
+    rows = _idf_rows(term_stats, qtfs, scorer, n_docs)
+    if not rows:
+        return spark.createDataFrame([], EXPLAIN_SCHEMA)
+    qdf = spark.createDataFrame(rows, "term string, df long, idf double, qtf int")
+    p = postings_for(decoded, [r[0] for r in rows])
+    if doc_ids is not None:
+        p = p.where(isin_expr("docId", [int(d) for d in doc_ids]))
+    p = p.join(F.broadcast(qdf), "term")
+    contrib = (
+        F.col("qtf")
+        * F.col("idf")
+        * (F.col("tf") * (scorer.k1 + 1.0))
+        / (
+            F.col("tf")
+            + scorer.k1 * (1.0 - scorer.b + scorer.b * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    return p.select(
+        F.col("docId"),
+        F.col("term"),
+        F.col("qtf").cast("int"),
+        F.col("tf").cast("long"),
+        F.col("dl").cast("long"),
+        F.col("df").cast("long"),
+        F.col("idf"),
+        contrib.alias("contribution"),
+    )
 
 
 BATCH_SCHEMA = StructType(

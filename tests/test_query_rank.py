@@ -690,3 +690,43 @@ def test_rrf_fuse(spark):
     )
     t = {r.docId: r.rrf for r in rrf_fuse([tied], k=2).collect()}
     assert t[20] == pytest.approx(1 / 61) and t[21] == pytest.approx(1 / 62)
+
+
+def test_explain_score_sums_to_score(spark, tfidf_index):
+    """Q8 explain: per-(doc, term) BM25 factor rows must sum (by doc) to the
+    exhaustive declarative score, factor columns must match hand-computed
+    values, and doc_ids must narrow without changing rows."""
+    import math
+
+    p, m, corpus = tfidf_index
+    segs, stats = S.load_segments(spark, p), S.load_term_stats(spark, p)
+    decoded = S.decode_postings(segs)
+    nd, avg = m["stats"]["n_docs"], m["stats"]["avgdl"]
+    q = ["apple", "apple", "rotten"]
+    ex = R.explain_score(spark, decoded, stats, q, nd, avg).collect()
+    assert ex
+    # factors: qtf from the analyzed query, idf from df, contribution formula
+    for r in ex:
+        idf = math.log((nd - r.df + 0.5) / (r.df + 0.5) + 1.0)
+        assert abs(r.idf - idf) < 1e-12
+        want = (r.qtf * r.idf * r.tf * (1.2 + 1.0)
+                / (r.tf + 1.2 * (1.0 - 0.75 + 0.75 * r.dl / avg)))
+        assert abs(r.contribution - want) < 1e-12
+    sums = {}
+    for r in ex:
+        sums[r.docId] = sums.get(r.docId, 0.0) + r.contribution
+    scored = R.score_query(
+        spark, S.decode_postings(segs), stats, q, nd, avg, k=None
+    ).collect()
+    assert {r.docId: r.score for r in scored}.keys() == sums.keys()
+    for r in scored:
+        assert abs(sums[r.docId] - r.score) < 1e-9
+    # narrowing to one doc keeps exactly that doc's rows
+    one = R.explain_score(spark, decoded, stats, q, nd, avg,
+                          doc_ids=[ex[0].docId]).collect()
+    assert {r.docId for r in one} == {ex[0].docId}
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        R.explain_score(spark, decoded, stats, q, nd, avg,
+                        scorer=R.Scorer("tfidf_cosine"))
