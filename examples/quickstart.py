@@ -122,6 +122,43 @@ def main() -> int:
     ).collect()
     print("cached serving:", sorted((r.qid, r.docId) for r in served)[:6])
 
+    # 5c. the index grows -> refresh bucketizes ONLY the new batch (the
+    # streaming-ingest cadence; a full re-prepare would be O(index))
+    from search_engine_spark.operators.serving import refresh_serving_cache
+    from search_engine_spark.sources.segments import (
+        build_one_batch,
+        finalize_index,
+    )
+
+    grown = corpus.select(
+        (F.col("docId") + F.lit(10_000)).alias("docId"),
+        F.concat(F.lit("fresh rotten "), F.col("content")).alias("content"),
+    )
+    build_one_batch(spark, grown.limit(50), idx, key="grow",
+                    analyzer="naive", num_segments=4)
+    finalize_index(spark, idx)
+    cache = refresh_serving_cache(spark, idx, idx + "_cache")
+    served2 = score_queries_cached(
+        spark, cache, load_term_stats_pdf(idx), {0: ["fresh"]}, k=3,
+        analyzer="naive",
+    ).collect()
+    # "fresh" exists ONLY in the grown batch, so any hit proves the delta
+    # shards serve (docIds are hashes — ranges mean nothing here)
+    assert served2
+    print("after refresh, 'fresh' hits:", [r.docId for r in served2])
+
+    # 5d. explain one ranked hit: per-term BM25 factor breakdown whose sum
+    # is the document's score (Lucene IndexSearcher.explain analog)
+    m2 = S.read_manifest(idx)["stats"]
+    ex = R.explain_score(
+        spark, S.decode_postings(S.load_segments(spark, idx)),
+        S.load_term_stats(spark, idx), ["rotten", "apple"],
+        m2["n_docs"], m2["avgdl"], analyzer="naive",
+        doc_ids=[served[0].docId],
+    ).collect()
+    print("explain:", [(r.term, r.tf, round(r.idf, 3),
+                        round(r.contribution, 3)) for r in ex])
+
     # 6. training-data pipeline slice
     from search_engine_spark.operators.dedup import exact_dedup
     from search_engine_spark.operators.sampling import sequence_pack
