@@ -3,9 +3,12 @@ serving cache (operators/serving.py — the steady-state deployment path).
 
 Usage::
 
-    # one-time per index generation: prepare the resident shards
+    # one-time per index lifetime: prepare the resident shards
     spark-submit --py-files search_engine_spark.zip jobs/serve.py \
         --index <index dir> --cache <cache dir> --prepare
+
+    # per-commit maintenance: delta-only refresh (prepare if missing)
+    spark-submit ... jobs/serve.py --index IDX --cache CDIR --refresh
 
     # serve a workload (JSON {"qid": ["term", ...], ...} or one query
     # per line of plain terms); re-prepares automatically when the cache
@@ -58,6 +61,10 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["bm25", "tfidf_cosine"])
     ap.add_argument("--prepare", action="store_true",
                     help="prepare the cache and exit")
+    ap.add_argument("--refresh", action="store_true",
+                    help="bring the cache to the live generation "
+                         "incrementally (delta-only bucketize) and exit — "
+                         "the per-commit maintenance entry point")
     ap.add_argument("--no-reprepare", action="store_true",
                     help="fail on a stale/missing cache instead of rebuilding")
     ap.add_argument("--out", default=None, help="results parquet path")
@@ -89,8 +96,14 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     try:
         meta_path = os.path.join(a.cache, "serving_cache.json")
-        if a.prepare or not os.path.exists(meta_path):
-            if a.no_reprepare and not a.prepare:
+        if a.refresh and os.path.exists(meta_path):
+            cache = refresh_serving_cache(spark, a.index, a.cache)
+            print(json.dumps({"refreshed": True,
+                              "generation": cache["generation"],
+                              "buckets": len(cache["buckets"])}))
+            return 0
+        if a.prepare or a.refresh or not os.path.exists(meta_path):
+            if a.no_reprepare and not (a.prepare or a.refresh):
                 print(json.dumps({"error": "cache missing"}), file=sys.stderr)
                 return 2
             cache = prepare_serving_cache(
@@ -99,7 +112,7 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"prepared": True,
                               "generation": cache["generation"],
                               "buckets": len(cache["buckets"])}))
-            if a.prepare:
+            if a.prepare or a.refresh:
                 return 0
         else:
             cache = load_serving_cache(a.cache)

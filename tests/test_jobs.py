@@ -435,3 +435,41 @@ def test_serve_job_cached(built, tmp_path_factory, capsys):
     lines = capsys.readouterr().out.strip().splitlines()
     served2 = [json.loads(l) for l in lines if '"docId"' in l]
     assert served2 and all(r["docId"] != top_doc for r in served2)
+
+
+def test_serve_job_refresh_flag(built, tmp_path_factory, capsys):
+    """jobs/serve.py --refresh: the per-commit maintenance entry — a no-op
+    at the current generation, an incremental refresh after a commit, and a
+    full prepare when the cache is missing."""
+    import json as _json
+    import os
+
+    from jobs.serve import main as serve_main
+
+    src, idx = built
+    root = tmp_path_factory.mktemp("serve_refresh")
+    cdir = str(root / "cache")
+    # missing cache -> --refresh falls back to a full prepare
+    rc = serve_main(["--index", idx, "--cache", cdir, "--refresh",
+                     "--n-buckets", "4", "--master", "local[4]"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out.get("prepared")
+    gen0 = out["generation"]
+    # current generation -> metadata no-op, still exits 0
+    rc = serve_main(["--index", idx, "--cache", cdir, "--refresh",
+                     "--master", "local[4]"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out.get("refreshed") and out["generation"] == gen0
+    # commit (tombstone) -> --refresh lands the new generation
+    from search_engine_spark.operators.delete import add_tombstones
+    from search_engine_spark.session import get_spark
+
+    sp = get_spark(master="local[4]")
+    add_tombstones(sp, idx, sp.createDataFrame([(123456789,)], "docId long"))
+    rc = serve_main(["--index", idx, "--cache", cdir, "--refresh",
+                     "--master", "local[4]"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out.get("refreshed") and out["generation"] > gen0
