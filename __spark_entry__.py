@@ -1118,8 +1118,10 @@ def q_q8x_explain_score(spark, sf_dir):
     )
 
     idx, m = _index(spark, sf_dir)
+    # term-pushdown decode: only the query terms' packed rows leave the
+    # scan (naive analysis is identity on these lowercase tokens)
     out = explain_score(
-        spark, decode_postings(load_segments(spark, idx)),
+        spark, decode_postings(load_segments(spark, idx), Q_RANKED),
         load_term_stats(spark, idx), Q_RANKED,
         m["stats"]["n_docs"], m["stats"]["avgdl"],
         Scorer("bm25", BM25_K1, BM25_B), analyzer="naive",

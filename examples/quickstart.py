@@ -148,12 +148,17 @@ def main() -> int:
     print("after refresh, 'fresh' hits:", [r.docId for r in served2])
 
     # 5d. explain one ranked hit: per-term BM25 factor breakdown whose sum
-    # is the document's score (Lucene IndexSearcher.explain analog)
+    # is the document's score (Lucene IndexSearcher.explain analog). On a
+    # fielded index content scoring uses the CONTENT field's avgdl (same
+    # rule as every scoring call above), and the decode pushes the query
+    # terms to the scan.
     m2 = S.read_manifest(idx)["stats"]
+    content_avgdl = m2.get("avgdl_by_field", {}).get("", m2["avgdl"])
     ex = R.explain_score(
-        spark, S.decode_postings(S.load_segments(spark, idx)),
+        spark, S.decode_postings(S.load_segments(spark, idx),
+                                 ["rotten", "apple"]),
         S.load_term_stats(spark, idx), ["rotten", "apple"],
-        m2["n_docs"], m2["avgdl"], analyzer="naive",
+        m2["n_docs"], content_avgdl, analyzer="naive",
         doc_ids=[served[0].docId],
     ).collect()
     print("explain:", [(r.term, r.tf, round(r.idf, 3),

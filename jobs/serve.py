@@ -63,8 +63,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="prepare the cache and exit")
     ap.add_argument("--refresh", action="store_true",
                     help="bring the cache to the live generation "
-                         "incrementally (delta-only bucketize) and exit — "
-                         "the per-commit maintenance entry point")
+                         "incrementally (delta-only bucketize; prepare if "
+                         "missing) — the per-commit maintenance entry "
+                         "point. Exits after refreshing unless --queries "
+                         "is also given (refresh-then-serve)")
     ap.add_argument("--no-reprepare", action="store_true",
                     help="fail on a stale/missing cache instead of rebuilding")
     ap.add_argument("--out", default=None, help="results parquet path")
@@ -96,14 +98,31 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     try:
         meta_path = os.path.join(a.cache, "serving_cache.json")
-        if a.refresh and os.path.exists(meta_path):
-            cache = refresh_serving_cache(spark, a.index, a.cache)
-            print(json.dumps({"refreshed": True,
-                              "generation": cache["generation"],
-                              "buckets": len(cache["buckets"])}))
-            return 0
-        if a.prepare or a.refresh or not os.path.exists(meta_path):
-            if a.no_reprepare and not (a.prepare or a.refresh):
+        if a.refresh:
+            if os.path.exists(meta_path):
+                if a.n_buckets is not None:
+                    print(json.dumps({"warning": "--n-buckets is ignored "
+                                      "on refresh; the cache keeps its "
+                                      "bucket count (re-run --prepare to "
+                                      "resize)"}), file=sys.stderr)
+                cache = refresh_serving_cache(spark, a.index, a.cache)
+                # mode tells monitoring whether this commit cost O(delta)
+                # or fell back to the O(index) full prepare
+                print(json.dumps({"refreshed": True,
+                                  "mode": cache.get("refresh_mode", "delta"),
+                                  "generation": cache["generation"],
+                                  "buckets": len(cache["buckets"])}))
+            else:
+                cache = prepare_serving_cache(
+                    spark, a.index, a.cache, n_buckets=a.n_buckets
+                )
+                print(json.dumps({"prepared": True,
+                                  "generation": cache["generation"],
+                                  "buckets": len(cache["buckets"])}))
+            if not a.queries:  # refresh-then-serve when a workload is given
+                return 0
+        elif a.prepare or not os.path.exists(meta_path):
+            if a.no_reprepare and not a.prepare:
                 print(json.dumps({"error": "cache missing"}), file=sys.stderr)
                 return 2
             cache = prepare_serving_cache(
@@ -112,7 +131,7 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"prepared": True,
                               "generation": cache["generation"],
                               "buckets": len(cache["buckets"])}))
-            if a.prepare or a.refresh:
+            if a.prepare:
                 return 0
         else:
             cache = load_serving_cache(a.cache)

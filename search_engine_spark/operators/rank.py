@@ -108,6 +108,22 @@ def _idf_rows(term_stats, qtfs: dict[str, int], scorer: Scorer, n_docs: int):
     return out
 
 
+def _bm25_contrib(scorer: Scorer, avgdl: float):
+    """THE per-(doc, term) BM25 contribution expression, over columns
+    (qtf, idf, tf, dl) — shared by :func:`score_query` (summed) and
+    :func:`explain_score` (exposed row-wise), so explain's factor rows can
+    never drift from the score they claim to decompose."""
+    return (
+        F.col("qtf")
+        * F.col("idf")
+        * (F.col("tf") * (scorer.k1 + 1.0))
+        / (
+            F.col("tf")
+            + scorer.k1 * (1.0 - scorer.b + scorer.b * F.col("dl") / F.lit(avgdl))
+        )
+    )
+
+
 def score_query(
     spark: SparkSession,
     decoded: DataFrame,
@@ -133,16 +149,9 @@ def score_query(
     qdf = spark.createDataFrame(rows, "term string, df long, idf double, qtf int")
     p = postings_for(decoded, [r[0] for r in rows]).join(F.broadcast(qdf), "term")
     if scorer.kind == "bm25":
-        contrib = (
-            F.col("qtf")
-            * F.col("idf")
-            * (F.col("tf") * (scorer.k1 + 1.0))
-            / (
-                F.col("tf")
-                + scorer.k1 * (1.0 - scorer.b + scorer.b * F.col("dl") / F.lit(avgdl))
-            )
+        scores = p.groupBy("docId").agg(
+            F.sum(_bm25_contrib(scorer, avgdl)).alias("score")
         )
-        scores = p.groupBy("docId").agg(F.sum(contrib).alias("score"))
     else:
         wd = F.col("tf") * F.col("idf")
         scores = p.groupBy("docId").agg(
@@ -214,15 +223,7 @@ def explain_score(
     if doc_ids is not None:
         p = p.where(isin_expr("docId", [int(d) for d in doc_ids]))
     p = p.join(F.broadcast(qdf), "term")
-    contrib = (
-        F.col("qtf")
-        * F.col("idf")
-        * (F.col("tf") * (scorer.k1 + 1.0))
-        / (
-            F.col("tf")
-            + scorer.k1 * (1.0 - scorer.b + scorer.b * F.col("dl") / F.lit(avgdl))
-        )
-    )
+    contrib = _bm25_contrib(scorer, avgdl)
     return p.select(
         F.col("docId"),
         F.col("term"),

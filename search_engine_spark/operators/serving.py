@@ -256,6 +256,12 @@ def refresh_serving_cache(
     ``index_dir``, or same-keyed batches with different commit timestamps
     (an index rebuilt at the same path) — always falls back to the full
     prepare rather than mixing corpora.
+
+    The returned dict carries ``refresh_mode`` (``noop`` | ``delta`` |
+    ``metadata_only`` | ``full_prepare``) as a PER-CALL diagnostic — set
+    after the meta write, never persisted — so maintenance jobs can tell a
+    cheap delta from an expensive fallback (jobs/serve.py --refresh prints
+    it).
     """
     meta = load_serving_cache(cache_dir)
     m = read_manifest(index_dir)
@@ -279,11 +285,14 @@ def refresh_serving_cache(
         or not covered_intact
         or meta.get("docid_span") is None  # edges not reproducible
     ):
-        return prepare_serving_cache(
+        fresh = prepare_serving_cache(
             spark, index_dir, cache_dir, n_buckets=meta.get("n_buckets")
         )
+        fresh["refresh_mode"] = "full_prepare"
+        return fresh
     live_gen = int(m.get("generation", 0))
     if live_gen == int(meta["generation"]):
+        meta["refresh_mode"] = "noop"
         return meta
     cdir = meta["cache_dir"]
     # gc files folded away by a PREVIOUS refresh (deferred one generation:
@@ -347,6 +356,7 @@ def refresh_serving_cache(
     # the generation gate has retired every meta that referenced them.
     meta["gc_pending"] = sorted(set(replaced))
     _write_meta(cdir, meta)
+    meta["refresh_mode"] = "delta" if delta else "metadata_only"
     return meta
 
 

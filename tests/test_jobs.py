@@ -462,14 +462,27 @@ def test_serve_job_refresh_flag(built, tmp_path_factory, capsys):
     assert rc == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out.get("refreshed") and out["generation"] == gen0
-    # commit (tombstone) -> --refresh lands the new generation
+    assert out["mode"] == "noop"
+    # commit (tombstone) -> --refresh lands the new generation, and with
+    # --queries it serves in the same invocation (refresh-then-serve)
     from search_engine_spark.operators.delete import add_tombstones
     from search_engine_spark.session import get_spark
 
     sp = get_spark(master="local[4]")
     add_tombstones(sp, idx, sp.createDataFrame([(123456789,)], "docId long"))
+    from search_engine_spark.sources.segments import load_term_stats_pdf
+
+    stats = load_term_stats_pdf(idx).sort_values(["df", "term"])
+    qfile = str(root / "q.json")
+    with open(qfile, "w") as f:
+        _json.dump({"0": [stats["term"].iloc[len(stats) // 2]]}, f)
     rc = serve_main(["--index", idx, "--cache", cdir, "--refresh",
+                     "--queries", qfile, "--k", "3",
                      "--master", "local[4]"])
     assert rc == 0
-    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    lines = capsys.readouterr().out.strip().splitlines()
+    out = _json.loads(lines[0])
     assert out.get("refreshed") and out["generation"] > gen0
+    assert out["mode"] == "metadata_only"  # tombstone-only commit
+    served = [_json.loads(l) for l in lines[1:] if '"docId"' in l]
+    assert served and all(r["qid"] == 0 for r in served)
