@@ -745,6 +745,45 @@ def q_q8_bm25_topk(spark, sf_dir):
     return out.select(F.col("docId").alias("doc_id"), F.round("score", 6).alias("score"))
 
 
+_SHARDED_CACHE: dict = {}
+
+
+def q_q8s_sharded_bm25(spark, sf_dir):
+    """BM25 top-10 over a FEDERATED 3-shard index (operators/federation.py,
+    scatter mode): corpus hash-partitioned by docId into three independent
+    indexes, each scored by its own block-max DAAT job using GLOBAL stats
+    (df summed across shards, global n_docs/avgdl), per-shard top-k merged.
+    Rank-identical to the single-index q8 path by construction — so the
+    oracle is the SAME global BM25 SQL as q8_bm25_topk. This is the
+    deployment shape at 10^12 files: shards built/refreshed independently,
+    queries fan out and merge S·k rows."""
+    from search_engine_spark.operators.federation import (
+        build_sharded_index,
+        federated_search,
+    )
+    from search_engine_spark.operators.rank import Scorer
+
+    if sf_dir not in _SHARDED_CACHE:
+        import shutil
+
+        root = os.path.join(
+            tempfile.gettempdir(),
+            "se_fed_naive_" + sf_dir.strip("/").replace("/", "_"),
+        )
+        shutil.rmtree(root, ignore_errors=True)  # never resume a stale corpus
+        build_sharded_index(
+            spark, _docs(spark, sf_dir), root, n_shards=3,
+            analyzer="naive", n_batches=1, num_segments=4, n_salts=4,
+        )
+        _SHARDED_CACHE[sf_dir] = root
+    out = federated_search(
+        spark, _SHARDED_CACHE[sf_dir], Q_RANKED, k=TOPK,
+        scorer=Scorer("bm25", BM25_K1, BM25_B), analyzer="naive",
+        ties="asc", mode="scatter",
+    )
+    return out.select(F.col("docId").alias("doc_id"), F.round("score", 6).alias("score"))
+
+
 def q_q8_bm25_batch(spark, sf_dir):
     """Batch BM25: score the whole BATCH_QUERIES workload in ONE Spark job
     (one ``term IN`` postings scan for the union of query terms, one
@@ -1828,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_combined_pagerank": q_q11_combined,
         "q8_tfidf_scores": q_q8_tfidf,
         "q8_bm25_topk": q_q8_bm25_topk,
+        "q8s_sharded_bm25": q_q8s_sharded_bm25,
         "q8_bm25_batch": q_q8_bm25_batch,
         "q8_bm25_batch_daat": q_q8_bm25_batch_daat,
         "q8_bm25_batch_cached": q_q8_bm25_batch_cached,
@@ -2801,6 +2841,7 @@ def oracle_sql() -> dict[str, str]:
         "q11_combined_pagerank": _q11_sql(),
         "q8_tfidf_scores": _TFIDF_SQL,
         "q8_bm25_topk": _BM25_SQL,
+        "q8s_sharded_bm25": _BM25_SQL,
         "q8_bm25_batch": _BM25_BATCH_SQL,
         "q8_bm25_batch_daat": _BM25_BATCH_SQL,
         "q8_bm25_batch_cached": _BM25_BATCH_SQL,
