@@ -1226,6 +1226,7 @@ def q_s3_url_map(spark, sf_dir):
 
 WORDBREAK_ROOT = os.path.join(tempfile.gettempdir(), "se_wordbreak_ref")
 LANGID_ROOT = os.path.join(tempfile.gettempdir(), "se_langid_ref")
+CODESUB_ROOT = os.path.join(tempfile.gettempdir(), "se_codesub_ref")
 JAPANESE_ROOT = os.path.join(tempfile.gettempdir(), "se_japanese_ref")
 # Bound on the driver-side single-node reference runs (a7/a8 oracle side
 # tables): they deliberately re-run the pytest-golden Python tokenizer on the
@@ -1277,6 +1278,54 @@ def q_a7_wordbreak(spark, sf_dir):
     return d.withColumn("_t", toks).select(
         "doc_id",
         F.size("_t").alias("n_wb_tokens"),
+        F.md5(F.concat_ws(" ", "_t")).alias("tokens_md5"),
+    )
+
+
+def q_a10_code_subtokens(spark, sf_dir):
+    """A10 (code payload): camel/snake sub-identifier analysis through the
+    distributed Arrow analyzer path (functions/analyzers.py
+    ``code_subtoken_tokenize`` — whole identifier + hump/underscore
+    subtokens, no stop-wording; the Zoekt/OpenGrok-style indexing unit for
+    source code). Oracle construction (a7-style): a single-node run of the
+    SAME pure-Python tokenizer is written to a side parquet keyed by
+    (doc_id, md5(text)); the check proves the distributed UDF path
+    reproduces the single-node token stream exactly."""
+    import hashlib
+
+    import pandas as pd
+
+    from search_engine_spark.functions.analyzers import (
+        code_subtoken_tokenize,
+        tokens_column,
+    )
+
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < SIDE_DOC_CAP)
+        .toPandas()
+    )
+    toks = [code_subtoken_tokenize(t) for t in pdf["text"]]
+    ref = pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "content_md5": [hashlib.md5(t.encode()).hexdigest() for t in pdf["text"]],
+            "n_sub_tokens": [len(t) for t in toks],
+            "tokens_md5": [hashlib.md5(" ".join(t).encode()).hexdigest() for t in toks],
+        }
+    )
+    out = os.path.join(CODESUB_ROOT, os.path.basename(sf_dir.rstrip("/")))
+    os.makedirs(out, exist_ok=True)
+    ref.to_parquet(os.path.join(out, "ref.parquet"), index=False)
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < SIDE_DOC_CAP
+    )
+    toks_col = tokens_column(F.col("text"), "code_sub")
+    return d.withColumn("_t", toks_col).select(
+        "doc_id",
+        F.size("_t").alias("n_sub_tokens"),
         F.md5(F.concat_ws(" ", "_t")).alias("tokens_md5"),
     )
 
@@ -1881,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8c_collapse_by_source": q_q8c_collapse,
         "q8_bm25_porter": q_q8_bm25_porter,
         "a7_wordbreak": q_a7_wordbreak,
+        "a10_code_subtokens": q_a10_code_subtokens,
         "a8_japanese": q_a8_japanese,
         "b8_dense_docids": q_b8_dense_docids,
         "q9_pagerank": q_q9_pagerank,
@@ -2877,6 +2927,15 @@ CROSS JOIN stats s
             FROM (
               SELECT DISTINCT doc_id, content_md5, n_wb_tokens, tokens_md5
               FROM read_parquet('{WORDBREAK_ROOT}/*/*.parquet')
+            ) r
+            JOIN documents d ON d.doc_id = r.doc_id AND md5(d.text) = r.content_md5
+            WHERE r.doc_id < {SIDE_DOC_CAP}
+        """,
+        "a10_code_subtokens": f"""
+            SELECT r.doc_id, r.n_sub_tokens::int AS n_sub_tokens, r.tokens_md5
+            FROM (
+              SELECT DISTINCT doc_id, content_md5, n_sub_tokens, tokens_md5
+              FROM read_parquet('{CODESUB_ROOT}/*/*.parquet')
             ) r
             JOIN documents d ON d.doc_id = r.doc_id AND md5(d.text) = r.content_md5
             WHERE r.doc_id < {SIDE_DOC_CAP}

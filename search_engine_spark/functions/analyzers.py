@@ -83,6 +83,44 @@ def code_tokenize(text: str) -> list[str]:
     return [t for t in _WORD_RE.findall(text.lower()) if t not in STOP_WORDS]
 
 
+# Camel-hump splitter (the standard public pattern): ALLCAPS acronym runs
+# that precede a capitalized word ("HTTPServer" -> HTTP, Server), capitalized
+# or lowercase words, trailing acronyms, digit runs.
+_HUMP_RE = re.compile(r"[A-Z]+(?=[A-Z][a-z0-9])|[A-Z]?[a-z]+|[A-Z]+|[0-9]+")
+_IDENT_RE = re.compile(r"[A-Za-z0-9_]+")
+
+
+def subtoken_split(ident: str) -> list[str]:
+    """Split one identifier into lowercase subtokens: ``_``/digit boundaries
+    and camel humps. ``parseJSONFile`` -> [parse, json, file];
+    ``snake_case_2`` -> [snake, case, 2]; ``HTTPServer`` -> [http, server]."""
+    out: list[str] = []
+    for part in ident.split("_"):
+        out.extend(m.group(0).lower() for m in _HUMP_RE.finditer(part))
+    return out
+
+
+def code_subtoken_tokenize(text: str) -> list[str]:
+    """Code-search tokenizer for the source-code payload: every identifier
+    emits its lowercased whole form, followed by its camel/snake subtokens
+    when it actually splits — so ``parseJsonFile(x)`` is findable as
+    ``parsejsonfile`` AND as ``parse``/``json``/``file`` (the Zoekt /
+    OpenGrok-style sub-identifier indexing code search needs; exact-form
+    queries still rank the exact definition above hump matches because the
+    whole form is its own term). Case must survive until the split, so this
+    tokenizes the ORIGINAL text, unlike :func:`code_tokenize`. No stop-word
+    removal: in code, ``if``/``in``/``is`` are semantics, not noise."""
+    out: list[str] = []
+    for m in _IDENT_RE.finditer(text):
+        ident = m.group(0)
+        subs = subtoken_split(ident)
+        whole = ident.lower()
+        out.append(whole)
+        if subs != [whole]:  # "__init__" still emits "init"
+            out.extend(subs)
+    return out
+
+
 def porter_analyze(text: str, tokenize: Tokenizer = punctuation_tokenize) -> list[str]:
     """A6 ComposableAnalyzer(PunctuationTokenizer, PorterStemmer)."""
     return [porter_stem(t) for t in tokenize(text)]
@@ -185,6 +223,7 @@ ANALYZERS: dict[str, Tokenizer] = {
     "naive": naive_tokenize,
     "punctuation": punctuation_tokenize,
     "code": code_tokenize,
+    "code_sub": code_subtoken_tokenize,
     "porter": porter_analyze,
     "porter_code": lambda text: [porter_stem(t) for t in code_tokenize(text)],
     "wordbreak": wordbreak_selfdict,

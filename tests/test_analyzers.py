@@ -438,3 +438,55 @@ def test_auto_analyzer_routing(spark, tmp_path):
     assert sorted(
         r.docId for r in search_keyword(dec2, t_cjk[0]).collect()
     ) == [1]
+
+
+# ---------------------------------------------------------------------------
+# code_sub: camel/snake sub-identifier analyzer (source-code payload)
+
+
+def test_code_subtoken_goldens():
+    from search_engine_spark.functions.analyzers import (
+        code_subtoken_tokenize as tok,
+        subtoken_split,
+    )
+
+    assert subtoken_split("parseJSONFile") == ["parse", "json", "file"]
+    assert subtoken_split("HTTPServer") == ["http", "server"]
+    assert subtoken_split("snake_case_2") == ["snake", "case", "2"]
+    assert tok("def parseJsonFile(file_path): return HTTP_OK") == [
+        "def", "parsejsonfile", "parse", "json", "file",
+        "file_path", "file", "path", "return", "http_ok", "http", "ok",
+    ]
+    # whole form always present; unsplittable identifiers emit once
+    assert tok("plain word") == ["plain", "word"]
+    # dunder still findable by its stem
+    assert tok("__init__") == ["__init__", "init"]
+    # keywords are NOT stop-worded in code
+    assert "if" in tok("if x in y: pass")
+
+
+def test_code_subtoken_search_end_to_end(spark, tmp_index):
+    """Index code with code_sub; a hump query matches, and the exact whole
+    identifier ranks its definition above a subtoken-only mention."""
+    from search_engine_spark.operators.rank import Scorer, score_query_daat
+    from search_engine_spark.sources import segments as S
+    from tests.conftest import corpus_from_texts
+
+    texts = [
+        "def parseJsonFile(path): return read(path)",   # doc 0: defines it
+        "x = parse(json_file)",                          # doc 1: subtokens only
+        "unrelated tokens here",
+    ]
+    m = S.build_index(spark, corpus_from_texts(spark, texts), tmp_index,
+                      analyzer="code_sub", n_batches=1, num_segments=2)
+    segs, ts = S.load_segments(spark, tmp_index), S.load_term_stats(spark, tmp_index)
+    nd, avg = m["stats"]["n_docs"], m["stats"]["avgdl"]
+
+    def ids(kw):
+        rows = score_query_daat(spark, segs, ts, kw, nd, avg, Scorer("bm25"),
+                                k=10, analyzer="code_sub").collect()
+        return [r["docId"] for r in rows]
+
+    assert set(ids(["parse"])) == {0, 1}          # hump match reaches doc 0
+    assert ids(["parseJsonFile"])[0] == 0          # exact whole form
+    assert 0 in ids(["json"]) and 1 in ids(["json"])

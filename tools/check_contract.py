@@ -29,12 +29,14 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
-def main(sf_dir: str):
+def main(sf_dir: str, only: list[str] | None = None):
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     qs, osql = E.queries(), E.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     print(f"{len(qs)} queries, {len(osql)} oracles; rows-only: {sorted(set(qs) - set(osql))}")
     fails = []
     for name, fn in qs.items():
@@ -70,13 +72,19 @@ def main(sf_dir: str):
             continue
         print(f"OK    {name}: {len(g)} rows")
     # entry smoke
-    ent = E.entry(spark)
-    n = ent.count()
-    print(f"entry(): {n} rows, schema {ent.schema.simpleString()}")
+    if not only:
+        ent = E.entry(spark)
+        n = ent.count()
+        print(f"entry(): {n} rows, schema {ent.schema.simpleString()}")
     print("RESULT:", "FAIL " + str(fails) if fails else "ALL OK")
     spark.stop()
     return 1 if fails else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    argv = sys.argv[1:]
+    sf = argv[0] if argv and not argv[0].startswith("--") else "/root/testdata/sf0.01"
+    names = None
+    if "--only" in argv:
+        names = argv[argv.index("--only") + 1 :]
+    sys.exit(main(sf, only=names))
