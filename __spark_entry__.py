@@ -88,7 +88,8 @@ _INDEX_CACHE: dict[tuple[str, str], tuple[str, dict]] = {}
 
 
 def _index(
-    spark: SparkSession, sf_dir: str, analyzer: str = "naive"
+    spark: SparkSession, sf_dir: str, analyzer: str = "naive",
+    with_positions: bool = True,
 ) -> tuple[str, dict]:
     """Build (once per (sf_dir, analyzer)) a real on-disk segment index over
     the documents table."""
@@ -116,6 +117,7 @@ def _index(
             num_segments=8,
             heavy_threshold=None,
             n_salts=4,
+            with_positions=with_positions,
         )
         _INDEX_CACHE[key] = (idx, m)
     return _INDEX_CACHE[key]
@@ -1330,6 +1332,82 @@ def q_a10_code_subtokens(spark, sf_dir):
     )
 
 
+SUBSTRING_NEEDLE = "merge batch"  # crosses a token boundary: not a term
+REGEX_PATTERN = "merge [a-z]+ scan"
+GREP_DELIM = "table "  # stand-in line delimiter (testdata docs are single-line)
+SYMBOL_PATTERNS = {"fast": "fast ([a-z]+)", "slow": "slow ([a-z]+)"}
+
+
+def _index_trigram(spark, sf_dir):
+    """Trigram (substring) index over documents — positions are meaningless
+    for membership trigrams, so the build skips them."""
+    return _index(spark, sf_dir, analyzer="trigram", with_positions=False)
+
+
+def q_q2t_substring(spark, sf_dir):
+    """q2t: byte-exact substring search through the trigram index
+    (operators/codesearch.py — Zoekt/Google-Code-Search shape: rarest-K
+    trigram intersection prunes, JVM contains() verifies). The needle spans
+    a token boundary, so no analyzed-term query could answer it — this is
+    the capability the trigram index exists for."""
+    from search_engine_spark.operators.codesearch import search_substring
+    from search_engine_spark.sources.segments import load_segments, load_term_stats
+
+    idx, _ = _index_trigram(spark, sf_dir)
+    segs, ts = load_segments(spark, idx), load_term_stats(spark, idx)
+    corpus = _docs(spark, sf_dir)
+    return search_substring(segs, corpus, SUBSTRING_NEEDLE, ts).select(
+        F.col("docId").alias("doc_id")
+    )
+
+
+def q_q2rx_regex_content(spark, sf_dir):
+    """q2rx: regex search over raw content — required-literal trigrams
+    prune via the index, rlike verifies (codesearch.required_trigrams is
+    conservative: it would full-scan rather than over-prune)."""
+    from search_engine_spark.operators.codesearch import search_regex_content
+    from search_engine_spark.sources.segments import load_segments, load_term_stats
+
+    idx, _ = _index_trigram(spark, sf_dir)
+    segs, ts = load_segments(spark, idx), load_term_stats(spark, idx)
+    corpus = _docs(spark, sf_dir)
+    return search_regex_content(segs, corpus, REGEX_PATTERN, ts).select(
+        F.col("docId").alias("doc_id")
+    )
+
+
+def q_q17_grep_lines(spark, sf_dir):
+    """q17: grep serving shape — per matched doc, 1-based line number +
+    line text containing the needle; hits come from the trigram substring
+    path. The testdata docs are single-line, so the delimiter parameter
+    stands in to exercise real multi-line splitting."""
+    from search_engine_spark.operators.codesearch import (
+        grep_lines,
+        search_substring,
+    )
+    from search_engine_spark.sources.segments import load_segments, load_term_stats
+
+    idx, _ = _index_trigram(spark, sf_dir)
+    segs, ts = load_segments(spark, idx), load_term_stats(spark, idx)
+    corpus = _docs(spark, sf_dir)
+    hits = search_substring(segs, corpus, SUBSTRING_NEEDLE, ts)
+    return grep_lines(corpus, hits, SUBSTRING_NEEDLE, delimiter=GREP_DELIM).select(
+        F.col("docId").alias("doc_id"), "line_no", "line"
+    )
+
+
+def q_sym1_symbols(spark, sf_dir):
+    """sym1: ctags-lite definition-site extraction (codesearch.
+    extract_symbols) — per-kind regexp_extract_all, stack-unpivot, explode;
+    pure codegen projections. Kinds are configurable patterns; the testdata
+    corpus has no def/class keywords, so keyword-shaped bigrams stand in."""
+    from search_engine_spark.operators.codesearch import extract_symbols
+
+    return extract_symbols(_docs(spark, sf_dir), SYMBOL_PATTERNS).select(
+        F.col("docId").alias("doc_id"), "kind", "symbol"
+    )
+
+
 def q_b8_dense_docids(spark, sf_dir):
     """Dense docId assignment (corpus.dense_doc_ids): ids are exactly
     0..n-1 in global (repo, path, commit) order — the 10^12-file-scale
@@ -1931,6 +2009,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_bm25_porter": q_q8_bm25_porter,
         "a7_wordbreak": q_a7_wordbreak,
         "a10_code_subtokens": q_a10_code_subtokens,
+        "q2t_substring_search": q_q2t_substring,
+        "q2rx_regex_search": q_q2rx_regex_content,
+        "q17_grep_lines": q_q17_grep_lines,
+        "sym1_symbols": q_sym1_symbols,
         "a8_japanese": q_a8_japanese,
         "b8_dense_docids": q_b8_dense_docids,
         "q9_pagerank": q_q9_pagerank,
@@ -2930,6 +3012,34 @@ CROSS JOIN stats s
             ) r
             JOIN documents d ON d.doc_id = r.doc_id AND md5(d.text) = r.content_md5
             WHERE r.doc_id < {SIDE_DOC_CAP}
+        """,
+        "q2t_substring_search": f"""
+            SELECT doc_id FROM documents
+            WHERE contains(text, '{SUBSTRING_NEEDLE}')
+        """,
+        "q2rx_regex_search": f"""
+            SELECT doc_id FROM documents
+            WHERE regexp_matches(text, '{REGEX_PATTERN}')
+        """,
+        "q17_grep_lines": f"""
+            SELECT d.doc_id, gs.i::int AS line_no, d.parts[gs.i] AS line
+            FROM (SELECT doc_id, string_split(text, '{GREP_DELIM}') AS parts
+                  FROM documents
+                  WHERE contains(text, '{SUBSTRING_NEEDLE}')) d,
+                 LATERAL (SELECT unnest(generate_series(1, len(d.parts))) AS i) gs
+            WHERE contains(d.parts[gs.i], '{SUBSTRING_NEEDLE}')
+        """,
+        "sym1_symbols": f"""
+            SELECT doc_id, kind, sym AS symbol
+            FROM (
+              SELECT doc_id, 'fast' AS kind,
+                     unnest(regexp_extract_all(text, '{SYMBOL_PATTERNS["fast"]}', 1)) AS sym
+              FROM documents
+              UNION ALL
+              SELECT doc_id, 'slow' AS kind,
+                     unnest(regexp_extract_all(text, '{SYMBOL_PATTERNS["slow"]}', 1)) AS sym
+              FROM documents
+            )
         """,
         "a10_code_subtokens": f"""
             SELECT r.doc_id, r.n_sub_tokens::int AS n_sub_tokens, r.tokens_md5

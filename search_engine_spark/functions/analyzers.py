@@ -121,6 +121,30 @@ def code_subtoken_tokenize(text: str) -> list[str]:
     return out
 
 
+def trigram_tokenize(text: str) -> list[str]:
+    """Char-trigram tokenizer for byte-level substring/regex search over raw
+    code content — the Google Code Search / Zoekt index unit (Cox, "Regular
+    Expression Matching with a Trigram Index"). Emits the DISTINCT (sorted)
+    3-char substrings of the ORIGINAL text: case, punctuation and whitespace
+    all survive, because a substring query must match them exactly. tf is 1
+    by construction (membership is the only signal substring search needs),
+    which also keeps build postings at one per (trigram, doc) regardless of
+    how often a trigram repeats. Trigram posting lists are the heaviest in
+    any index (df approaches n_docs for common trigrams) — the build's
+    sampled heavy-term salting is what makes this analyzer viable at scale.
+    Case-insensitive variant: :func:`trigram_fold_tokenize`."""
+    if text is None or len(text) < 3:
+        return []
+    return sorted({text[i : i + 3] for i in range(len(text) - 2)})
+
+
+def trigram_fold_tokenize(text: str) -> list[str]:
+    """Case-folded trigrams (index side of case-insensitive substring
+    search; the query side folds the needle and verifies with a folded
+    ``contains``)."""
+    return trigram_tokenize(text.lower() if text is not None else None)
+
+
 def porter_analyze(text: str, tokenize: Tokenizer = punctuation_tokenize) -> list[str]:
     """A6 ComposableAnalyzer(PunctuationTokenizer, PorterStemmer)."""
     return [porter_stem(t) for t in tokenize(text)]
@@ -224,6 +248,8 @@ ANALYZERS: dict[str, Tokenizer] = {
     "punctuation": punctuation_tokenize,
     "code": code_tokenize,
     "code_sub": code_subtoken_tokenize,
+    "trigram": trigram_tokenize,
+    "trigram_fold": trigram_fold_tokenize,
     "porter": porter_analyze,
     "porter_code": lambda text: [porter_stem(t) for t in code_tokenize(text)],
     "wordbreak": wordbreak_selfdict,

@@ -1,0 +1,371 @@
+"""Trigram-indexed substring and regex search over raw code content.
+
+The Google Code Search / Zoekt structure (Cox, "Regular Expression Matching
+with a Trigram Index" — public design), re-expressed on this repo's segment
+store: char trigrams are just terms, so the existing build machinery (packed
+mini-blocks, one hash shuffle, sampled heavy-term salting, manifest commits)
+and query machinery (``In``-pushed term seek, count-matching AND) serve
+byte-exact substring search with no new storage format. The reference engine
+(zerowei/Search-Engine) has no substring/grep path at all — its queries stop
+at analyzed-token granularity — but a SOURCE-CODE corpus (the north-rule
+input) is queried substring-first (``memcpy(``, ``#include <``, error
+strings), so this is the capability a user of the reference switching to a
+code corpus needs next.
+
+Query planning follows the public trigram-index recipe:
+
+1. the needle's trigrams are ALL required, so ANY subset's posting-list
+   intersection is a candidate superset — we probe only the ``max_probe``
+   RAREST trigrams (df from the index's term_stats), which caps the
+   count-matching shuffle at the few smallest lists instead of
+   sum(df(all trigrams)) — on a 100 TB corpus the difference between
+   touching ~0.1% and ~50% of the index;
+2. candidates hydrate via the broadcast semi-join (S4 shape) and a JVM
+   ``contains``/``rlike`` verify removes false positives — results are
+   byte-exact regardless of which subset was probed.
+
+Regex search extracts the literal runs a match MUST contain
+(:func:`required_trigrams`, conservative: bails to a documented full-scan
+fallback on alternation/lookaround rather than ever over-pruning), probes
+their trigrams, and verifies with ``rlike``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.analyzers import trigram_tokenize
+from ..sources.segments import decode_term_docids
+
+__all__ = [
+    "needle_trigrams",
+    "probe_trigrams",
+    "search_substring",
+    "literal_runs",
+    "required_trigrams",
+    "search_regex_content",
+    "grep_lines",
+    "extract_symbols",
+    "DEFAULT_SYMBOL_PATTERNS",
+]
+
+
+def needle_trigrams(needle: str) -> list[str]:
+    """Distinct trigrams of the query needle (every one is REQUIRED in any
+    matching document, because the needle appears verbatim)."""
+    return trigram_tokenize(needle)
+
+
+def probe_trigrams(trigrams: list[str], term_stats, max_probe: int = 8) -> list[str]:
+    """Choose the ``max_probe`` rarest trigrams to intersect.
+
+    ``term_stats`` is either the index's term_stats DataFrame (one tiny
+    filtered collect — bounded by len(trigrams) rows) or a driver-local
+    pandas frame from ``load_term_stats_pdf`` (serving mode: zero jobs).
+    Trigrams absent from the stats have df=0 — the needle cannot match any
+    indexed doc, and the caller short-circuits to an empty result.
+    """
+    if not trigrams:
+        return []
+    if isinstance(term_stats, DataFrame):
+        from ..functions.predicates import isin_expr
+
+        rows = (
+            term_stats.where(isin_expr("term", trigrams))
+            .select("term", "df")
+            .collect()
+        )
+        dfs = {r["term"]: r["df"] for r in rows}
+    else:  # pandas frame
+        sub = term_stats[term_stats["term"].isin(trigrams)]
+        dfs = dict(zip(sub["term"], sub["df"]))
+    if len(dfs) < len(set(trigrams)):
+        return []  # some required trigram unseen in the corpus: no match
+    ranked = sorted(set(trigrams), key=lambda t: (dfs[t], t))
+    return ranked[:max_probe]
+
+
+def _candidates_and(segments: DataFrame, probes: list[str]) -> DataFrame:
+    """Count-matching intersection over the probe trigrams' posting lists,
+    through the membership-only decode (term + docids columns; tf/dl blobs
+    never leave disk)."""
+    p = decode_term_docids(segments, probes)
+    return (
+        p.groupBy("docId")
+        .agg(F.count_distinct("term").alias("m"))
+        .where(F.col("m") == len(set(probes)))
+        .select("docId")
+    )
+
+
+def search_substring(
+    segments: DataFrame,
+    corpus: DataFrame,
+    needle: str,
+    term_stats=None,
+    max_probe: int = 8,
+    fold_case: bool = False,
+) -> DataFrame:
+    """Byte-exact substring search: docIds whose content contains ``needle``.
+
+    ``segments`` must come from a ``analyzer="trigram"`` build (or
+    ``"trigram_fold"`` with ``fold_case=True``; the needle is folded and the
+    verify compares folded text). Needles shorter than 3 chars have no
+    trigram to seek — they fall back to the full corpus scan, exactly like
+    Zoekt's short-query path (documented, not hidden: the scan IS the right
+    plan when the index can't prune).
+
+    The verify step makes results exact whatever ``max_probe`` pruned, so
+    the only tuning tradeoff is candidates-verified vs posting-bytes-read.
+    """
+    content = F.lower(F.col("content")) if fold_case else F.col("content")
+    nd = needle.lower() if fold_case else needle
+    if len(nd) < 3:
+        return (
+            corpus.where(content.contains(F.lit(nd)))
+            .select("docId")
+        )
+    tris = needle_trigrams(nd)
+    if term_stats is not None:
+        probes = probe_trigrams(tris, term_stats, max_probe)
+        if not probes:
+            return corpus.select("docId").limit(0)
+    else:
+        probes = tris[: max_probe]
+    cands = _candidates_and(segments, probes)
+    return (
+        corpus.join(F.broadcast(cands), "docId", "left_semi")
+        .where(content.contains(F.lit(nd)))
+        .select("docId")
+    )
+
+
+# --- regex planning -------------------------------------------------------
+
+# Characters that terminate a literal run when unescaped.
+_META = set(".^$*+?{}[]()|\\")
+# Escapes that stand for a single literal char (Java regex + RE2 common set).
+_LITERAL_ESCAPES = {c: c for c in ".^$*+?{}[]()|\\-/ "}
+_LITERAL_ESCAPES.update({"n": "\n", "t": "\t", "r": "\r"})
+
+
+def literal_runs(pattern: str) -> list[str] | None:
+    """Literal character runs that MUST appear in any match of ``pattern``,
+    or ``None`` when the analysis cannot be conservative (alternation,
+    lookaround, backreference, inline flags) — the caller then full-scans.
+
+    Correctness rule: a run is only emitted if every char in it is required
+    exactly as written. Quantifiers that make the preceding atom optional
+    (``*``, ``?``, ``{0,``) drop that char; ``+``/``{n>=1`` keep the char
+    but split the run (the repetition may insert material after it). Groups
+    track a stack so ``(abc)?`` discards the group's runs. Anything this
+    parser is unsure about makes it bail, never over-claim.
+    """
+    runs: list[str] = []
+    cur: list[str] = []
+    # stack entry: index into `runs` at group open + chars of `cur` at open
+    stack: list[tuple[int, int]] = []
+    i, n = 0, len(pattern)
+
+    def flush():
+        if cur:
+            runs.append("".join(cur))
+            cur.clear()
+
+    while i < n:
+        c = pattern[i]
+        nxt = pattern[i + 1] if i + 1 < n else ""
+        if c == "|":
+            return None  # any top- or group-level alternation: bail
+        if c == "\\":
+            if nxt in _LITERAL_ESCAPES:
+                cur.append(_LITERAL_ESCAPES[nxt])
+                i += 2
+                continue
+            if nxt.isdigit():
+                return None  # backreference
+            # class escape (\d \w \s \b ...): consumes one position, breaks run
+            flush()
+            i += 2
+            continue
+        if c == "[":
+            # char class: skip to unescaped ']' (leading ']' is literal)
+            flush()
+            j = i + 1
+            if j < n and pattern[j] == "^":
+                j += 1
+            if j < n and pattern[j] == "]":
+                j += 1
+            while j < n and pattern[j] != "]":
+                j += 2 if pattern[j] == "\\" else 1
+            if j >= n:
+                return None  # unterminated class: bail
+            i = j + 1
+            continue
+        if c == "(":
+            if nxt == "?":
+                if pattern[i + 1 : i + 3] == "?:":
+                    flush()
+                    stack.append((len(runs), 0))
+                    i += 3
+                    continue
+                return None  # lookaround / inline flag / named group: bail
+            flush()
+            stack.append((len(runs), 0))
+            i += 1
+            continue
+        if c == ")":
+            flush()
+            if not stack:
+                return None
+            mark, _ = stack.pop()
+            # quantifier after the group?
+            if nxt in "*?" or (nxt == "{" and pattern[i + 2 : i + 3] == "0"):
+                del runs[mark:]  # group optional: nothing inside is required
+                i += 2 if nxt in "*?" else 1
+                continue
+            i += 1
+            continue
+        if c in "*?":
+            if cur:
+                cur.pop()  # preceding char now optional
+            flush()
+            i += 1
+            continue
+        if c == "{":
+            j = pattern.find("}", i)
+            if j < 0:
+                return None
+            body = pattern[i + 1 : j]
+            head = body.split(",")[0]
+            if not head.isdigit():
+                return None
+            if int(head) == 0:
+                if cur:
+                    cur.pop()
+            else:
+                flush()  # char required once, but repetition splits the run
+            flush()
+            i = j + 1
+            continue
+        if c == "+":
+            flush()  # char required, run cannot extend across the repeat
+            i += 1
+            continue
+        if c in "^$.":
+            flush()
+            i += 1
+            continue
+        cur.append(c)
+        i += 1
+    if stack:
+        return None
+    flush()
+    return runs
+
+
+def required_trigrams(pattern: str) -> list[str] | None:
+    """Trigrams every match of ``pattern`` must contain, or ``None`` when
+    the pattern resists conservative analysis (caller full-scans). An empty
+    list means the analysis succeeded but no literal run reaches 3 chars —
+    also a full-scan."""
+    runs = literal_runs(pattern)
+    if runs is None:
+        return None
+    out: set[str] = set()
+    for r in runs:
+        out.update(trigram_tokenize(r))
+    return sorted(out)
+
+
+def search_regex_content(
+    segments: DataFrame,
+    corpus: DataFrame,
+    pattern: str,
+    term_stats=None,
+    max_probe: int = 8,
+) -> DataFrame:
+    """Regex search over raw content: docIds where ``rlike(content,
+    pattern)``. Mandatory-literal trigrams prune via the index when the
+    pattern yields any (same probe/verify shape as substring search);
+    otherwise the documented fallback is the full ``rlike`` scan — still a
+    single predicate inside whole-stage codegen, just unpruned."""
+    req = required_trigrams(pattern)
+    if not req:
+        return corpus.where(F.col("content").rlike(pattern)).select("docId")
+    if term_stats is not None:
+        probes = probe_trigrams(req, term_stats, max_probe)
+        if not probes:
+            return corpus.select("docId").limit(0)
+    else:
+        probes = req[:max_probe]
+    cands = _candidates_and(segments, probes)
+    return (
+        corpus.join(F.broadcast(cands), "docId", "left_semi")
+        .where(F.col("content").rlike(pattern))
+        .select("docId")
+    )
+
+
+def grep_lines(
+    corpus: DataFrame,
+    hits: DataFrame,
+    needle: str,
+    delimiter: str = "\n",
+) -> DataFrame:
+    """The grep serving shape: per matched doc, the 1-based line numbers and
+    line text containing ``needle`` — (docId, line_no, line). ``hits`` is a
+    docId frame (typically :func:`search_substring` output) broadcast into
+    the corpus scan; the split/filter is a pure projection (posexplode of a
+    codegen ``split``), so the only data movement is the matched lines
+    themselves. ``delimiter`` is a regex (Spark ``split`` semantics);
+    single-line corpora degenerate to line_no=1 rows, multi-line code gets
+    real grep output."""
+    lines = F.split(F.col("content"), delimiter)
+    return (
+        corpus.join(F.broadcast(hits), "docId", "left_semi")
+        .select("docId", F.posexplode(lines).alias("pos", "line"))
+        .where(F.col("line").contains(F.lit(needle)))
+        .select("docId", (F.col("pos") + 1).alias("line_no"), "line")
+    )
+
+
+# --- symbol extraction (ctags-lite) ---------------------------------------
+
+# Definition-site patterns per construct kind. Java regex and RE2 agree on
+# this subset (character classes, +, \s); group 1 is the symbol name.
+DEFAULT_SYMBOL_PATTERNS: dict[str, str] = {
+    "function": r"def ([A-Za-z_][A-Za-z0-9_]*)",
+    "class": r"class ([A-Za-z_][A-Za-z0-9_]*)",
+    "func": r"func ([A-Za-z_][A-Za-z0-9_]*)",
+    "fn": r"fn ([A-Za-z_][A-Za-z0-9_]*)",
+}
+
+
+def extract_symbols(
+    corpus: DataFrame, patterns: dict[str, str] | None = None
+) -> DataFrame:
+    """ctags-lite: (docId, kind, symbol) rows for every definition-site
+    match of each pattern — regexp_extract_all per kind, one stack-unpivot,
+    one explode; all codegen projections, zero shuffles, zero UDFs. The
+    output feeds symbol-boosted ranking: add a ``symbols`` column
+    (``array_join`` of names) to the corpus, index it as a field
+    (``build_index(fields={'symbols': 'code'})``), and rank with
+    ``score_query_fielded`` — a definition match then outranks a mere
+    mention via the field weight."""
+    pats = patterns if patterns is not None else DEFAULT_SYMBOL_PATTERNS
+    kinds = sorted(pats)
+    # patterns ship as Column literals (F.lit), never spliced into SQL text,
+    # so regex backslashes survive any parser mode
+    cells: list = []
+    for k in kinds:
+        cells.append(F.lit(k))
+        cells.append(F.regexp_extract_all("content", F.lit(pats[k]), F.lit(1)))
+    return (
+        corpus.select(
+            "docId",
+            F.stack(F.lit(len(kinds)), *cells).alias("kind", "syms"),
+        )
+        .select("docId", "kind", F.explode("syms").alias("symbol"))
+    )

@@ -634,6 +634,28 @@ def decode_docids(segments: DataFrame) -> DataFrame:
     return segments.select("docids").mapInPandas(kernel, "docId long")
 
 
+def decode_term_docids(segments: DataFrame, terms: list[str]) -> DataFrame:
+    """(term, docId) membership decode for count-matching set queries
+    (boolean AND over heavy terms, trigram substring intersection): the
+    ``terms`` filter pushes to the term-sorted parquet scan like
+    :func:`decode_postings`, but the projection reads ONLY the ``term`` and
+    ``docids`` columns — tf/dl/position blobs stay on disk entirely. On a
+    trigram index (df ~ n_docs per term) this halves the bytes read per
+    probe term vs the full posting decode."""
+    df = segments.where(isin_expr("term", list(terms))).select("term", "docids")
+
+    def kernel(batches):
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                d = blockwise_delta_decode(r.docids)
+                outs.append(pd.DataFrame({"term": np.repeat(r.term, len(d)), "docId": d}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return df.mapInPandas(kernel, "term string, docId long")
+
+
 def segment_dict(spark: SparkSession, index_dir: str, positional: bool = False) -> dict:
     """Q13 test oracle (IIM:1402-1471): whole index -> python dicts."""
     rows = decode_postings(load_segments(spark, index_dir), None, positional).collect()

@@ -1,0 +1,236 @@
+"""Trigram substring/regex search + grep lines + symbol extraction.
+
+Correctness model: the trigram index is a PRUNING structure only — every
+query path ends in a byte-exact verify (``contains``/``rlike``), so each
+test compares the indexed path against the full-scan predicate it must
+equal, plus goldens for the conservative regex literal-run analysis (where
+an over-claimed literal would silently DROP matching docs)."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators import codesearch as C
+from search_engine_spark.sources import segments as S
+from search_engine_spark.sources.corpus import synthetic_corpus
+from tests.conftest import corpus_from_texts
+
+
+def _ids(df):
+    return sorted(r.docId for r in df.collect())
+
+
+# --- pure-python units -----------------------------------------------------
+
+
+def test_trigram_tokenize_goldens():
+    from search_engine_spark.functions.analyzers import (
+        trigram_fold_tokenize,
+        trigram_tokenize,
+    )
+
+    assert trigram_tokenize("abcd") == ["abc", "bcd"]
+    assert trigram_tokenize("aaaa") == ["aaa"]  # distinct
+    assert trigram_tokenize("ab") == []
+    assert trigram_tokenize(None) == []
+    # case/punct/space survive: substring match must be byte-exact
+    assert trigram_tokenize("a B!") == ["a B", " B!"] or set(
+        trigram_tokenize("a B!")
+    ) == {"a B", " B!"}
+    assert trigram_fold_tokenize("AbC!") == sorted({"abc", "bc!"})
+
+
+def test_literal_runs_goldens():
+    runs = C.literal_runs
+    assert runs(r"merge [a-z]+ scan") == ["merge ", " scan"]
+    assert runs(r"ab*c") == ["a", "c"]
+    assert runs(r"ab?c") == ["a", "c"]
+    assert runs(r"ab+c") == ["ab", "c"]
+    assert runs(r"(abc)?def") == ["def"]
+    assert runs(r"(abc)*def") == ["def"]
+    assert runs(r"(abc)+def") == ["abc", "def"]
+    assert runs(r"(abc){0,3}def") == ["def"]
+    assert runs(r"a{2}bcd") == ["a", "bcd"]
+    assert runs(r"a{0,2}bcd") == ["bcd"]
+    assert runs(r"foo\.bar") == ["foo.bar"]
+    assert runs(r"\d+spark") == ["spark"]
+    assert runs(r"(?:xy)zw") == ["xy", "zw"]
+    assert [r for r in runs(r"^table scan$") if r] == ["table scan"]
+    assert runs(r"x.y") == ["x", "y"]
+    # bails (must full-scan, never over-claim)
+    assert runs(r"a|b") is None
+    assert runs(r"(a|b)c") is None
+    assert runs(r"(?=x)abc") is None
+    assert runs(r"(?i)abc") is None
+    assert runs(r"(a)\1") is None
+    assert runs(r"[unterminated") is None
+
+
+def test_required_trigrams():
+    assert C.required_trigrams(r"ab|cd") is None
+    assert C.required_trigrams(r"a.b") == []  # no run reaches 3 chars
+    got = C.required_trigrams(r"memcpy\(")
+    assert "mem" in got and "py(" in got
+
+
+# --- indexed paths vs full-scan truth ---------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tri_index(spark, tmp_path_factory):
+    corpus = synthetic_corpus(spark, n_docs=300, vocab_size=600, seed=7)
+    idx = str(tmp_path_factory.mktemp("tri") / "index")
+    shutil.rmtree(idx, ignore_errors=True)
+    S.build_index(
+        spark,
+        corpus,
+        idx,
+        analyzer="trigram",
+        with_positions=False,
+        n_batches=2,
+        num_segments=4,
+        heavy_threshold=100,
+        n_salts=2,
+    )
+    return corpus, S.load_segments(spark, idx), S.load_term_stats(spark, idx)
+
+
+NEEDLES = [
+    "spark",
+    "le sc",        # crosses a word boundary (space inside the needle)
+    "merge batch",
+    "zzqx-never",   # no match (trigrams absent -> short-circuit empty)
+    "ab",           # < 3 chars: documented full-scan fallback
+]
+
+
+def test_substring_equals_full_scan(spark, tri_index):
+    corpus, segs, ts = tri_index
+    for needle in NEEDLES:
+        want = _ids(
+            corpus.where(F.col("content").contains(F.lit(needle))).select("docId")
+        )
+        got = _ids(C.search_substring(segs, corpus, needle, ts))
+        assert got == want, needle
+        # probe subset must not change results, only cost
+        got2 = _ids(C.search_substring(segs, corpus, needle, ts, max_probe=2))
+        assert got2 == want, needle
+
+
+def test_substring_quote_backslash_needles(spark):
+    """Trigram terms land in isin_expr — quotes/backslashes in the needle
+    exercise the parser-mode-safe escaping end to end."""
+    texts = ['say "hi" now', r"path\to\file plus", "plain text only"]
+    corpus = corpus_from_texts(spark, texts)
+    idx = "/tmp/idx_tri_quotes"
+    shutil.rmtree(idx, ignore_errors=True)
+    S.build_index(spark, corpus, idx, analyzer="trigram",
+                  with_positions=False, n_batches=1, num_segments=2)
+    segs, ts = S.load_segments(spark, idx), S.load_term_stats(spark, idx)
+    assert _ids(C.search_substring(segs, corpus, '"hi"', ts)) == [0]
+    assert _ids(C.search_substring(segs, corpus, r"path\to", ts)) == [1]
+    shutil.rmtree(idx, ignore_errors=True)
+
+
+PATTERNS = [
+    r"spark\w* str",          # literal prune + class verify
+    r"merge [a-z]+ scan",     # two runs
+    r"(table|scan) fast",     # alternation: full-scan fallback
+    r"rid\d+n\d+",            # runs too short -> full-scan fallback
+    r"windowxx+",             # prunable, no match
+]
+
+
+def test_regex_equals_full_scan(spark, tri_index):
+    corpus, segs, ts = tri_index
+    for pat in PATTERNS:
+        want = _ids(corpus.where(F.col("content").rlike(pat)).select("docId"))
+        got = _ids(C.search_regex_content(segs, corpus, pat, ts))
+        assert got == want, pat
+
+
+def test_fold_case_substring(spark):
+    texts = ["Alpha BETA gamma", "ALPHA only", "unrelated"]
+    corpus = corpus_from_texts(spark, texts)
+    idx = "/tmp/idx_tri_fold"
+    shutil.rmtree(idx, ignore_errors=True)
+    S.build_index(spark, corpus, idx, analyzer="trigram_fold",
+                  with_positions=False, n_batches=1, num_segments=2)
+    segs, ts = S.load_segments(spark, idx), S.load_term_stats(spark, idx)
+    assert _ids(C.search_substring(segs, corpus, "alpha BETA", ts, fold_case=True)) == [0]
+    assert _ids(C.search_substring(segs, corpus, "Alpha O", ts, fold_case=True)) == [1]
+    assert _ids(C.search_substring(segs, corpus, "ALPHA", ts, fold_case=True)) == [0, 1]
+    shutil.rmtree(idx, ignore_errors=True)
+
+
+# --- grep lines + symbols ----------------------------------------------------
+
+
+CODE_TEXTS = [
+    "def parseJsonFile(path):\n    return read(path)\nclass FileReader:\n    pass",
+    "x = parse(json_file)  # memcpy( is fast\nfunc doWork() {}",
+    "unrelated tokens here\nfn main() { memcpy(dst, src) }",
+    "short",
+]
+
+
+def test_grep_lines(spark):
+    corpus = corpus_from_texts(spark, CODE_TEXTS)
+    hits = corpus.where(F.col("content").contains("memcpy(")).select("docId")
+    got = sorted(
+        (r.docId, r.line_no, r.line)
+        for r in C.grep_lines(corpus, hits, "memcpy(").collect()
+    )
+    assert got == [
+        (1, 1, "x = parse(json_file)  # memcpy( is fast"),
+        (2, 2, "fn main() { memcpy(dst, src) }"),
+    ]
+
+
+def test_extract_symbols(spark):
+    corpus = corpus_from_texts(spark, CODE_TEXTS)
+    got = sorted(
+        (r.docId, r.kind, r.symbol) for r in C.extract_symbols(corpus).collect()
+    )
+    assert got == [
+        (0, "class", "FileReader"),
+        (0, "function", "parseJsonFile"),
+        (1, "func", "doWork"),
+        (2, "fn", "main"),
+    ]
+
+
+def test_symbol_boosted_ranking(spark, tmp_index):
+    """Composition: symbols as an indexed field; a definition-site match
+    outranks a mention via the field weight (score_query_fielded)."""
+    from search_engine_spark.operators.rank import Scorer, score_query_fielded
+
+    texts = [
+        "helper mentions dowork and dowork again and dowork",  # mention-heavy
+        "def doWork(): pass",                                  # the definition
+        "nothing relevant",
+    ]
+    # symbols column: extract -> per-doc agg -> join back
+    base = corpus_from_texts(spark, texts)
+    syms = (
+        C.extract_symbols(base)
+        .groupBy("docId")
+        .agg(F.array_join(F.collect_list("symbol"), " ").alias("symbols"))
+    )
+    corpus = base.join(syms, "docId", "left").fillna({"symbols": ""})
+    m = S.build_index(
+        spark, corpus, tmp_index, analyzer="code",
+        fields={"symbols": "code"}, n_batches=1, num_segments=2,
+    )
+    segs, ts = S.load_segments(spark, tmp_index), S.load_term_stats(spark, tmp_index)
+    st = m["stats"]
+    rows = score_query_fielded(
+        spark, segs, ts,
+        {None: (["dowork"], 1.0), "symbols": (["dowork"], 2.0)},
+        st["n_docs"], st["avgdl_by_field"],
+        Scorer("bm25"), k=5, analyzer="code",
+        field_analyzers={"symbols": "code"},
+    ).collect()
+    assert rows[0]["docId"] == 1  # definition beats mention-stuffing
+    assert {r["docId"] for r in rows} == {0, 1}
