@@ -168,6 +168,37 @@ def run_trial(spark, sf_dir: str, docs, n_docs_sf: int, syn, n_syn: int) -> dict
     timed("boolean_and", lambda: search_and(dec, q_and).count())
     timed("phrase", lambda: search_phrase(dec, q_phrase).count())
 
+    # trigram code-search path: build the substring index (timed — trigram
+    # vocab is small but posting lists are the heaviest in any index), then
+    # byte-exact substring + pruned-regex queries through probe/verify
+    from search_engine_spark.operators.codesearch import (
+        search_regex_content,
+        search_substring,
+    )
+
+    idx_t = tempfile.mkdtemp(prefix="bench_tri_")
+    shutil.rmtree(idx_t, ignore_errors=True)
+    timed(
+        "trigram_build",
+        lambda: build_index(
+            spark, docs, idx_t, analyzer="trigram", with_positions=False,
+            n_batches=1, heavy_threshold=max(64, n_docs_sf // 10), n_salts=8,
+        ),
+    )
+    tsegs = load_segments(spark, idx_t)
+    tstats = load_term_stats(spark, idx_t)
+    timed(
+        "substring_search",
+        lambda: search_substring(tsegs, docs, "merge batch", tstats).count(),
+    )
+    timed(
+        "regex_content_search",
+        lambda: search_regex_content(
+            tsegs, docs, "merge [a-z]+ scan", tstats
+        ).count(),
+    )
+    shutil.rmtree(idx_t, ignore_errors=True)
+
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     timed(
         "minhash_pairs",

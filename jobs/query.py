@@ -36,7 +36,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--mode", default="bm25",
                     choices=["bm25", "tfidf", "and", "or", "phrase", "keyword",
                              "not", "near", "prefix", "fuzzy", "suggest",
-                             "mlt", "regex", "bool", "sloppy"])
+                             "mlt", "regex", "bool", "sloppy", "substring",
+                             "regexcontent", "grep"])
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--window", type=int, default=5,
                     help="near mode: max positions between the two terms")
@@ -49,7 +50,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-expansions", type=int, default=64,
                     help="fuzzy: cap on expanded dictionary terms")
     ap.add_argument("--corpus", default=None,
-                    help="mlt mode: corpus parquet dir (seed-doc text source)")
+                    help="mlt/substring/regexcontent/grep modes: corpus "
+                         "parquet dir (raw doc text source)")
     ap.add_argument("--top-terms", type=int, default=10,
                     help="mlt mode: seed terms kept by tf-idf weight")
     ap.add_argument("--field", action="append", default=[],
@@ -221,6 +223,37 @@ def main(argv: list[str] | None = None) -> int:
             {"docId": r.docId}
             for r in search_or(dec, terms).limit(a.k).collect()
         ]
+    elif a.mode in ("substring", "regexcontent", "grep"):
+        from search_engine_spark.operators.codesearch import (
+            grep_lines,
+            search_regex_content,
+            search_substring,
+        )
+
+        if not a.corpus:
+            ap.error(f"{a.mode} mode requires --corpus (raw content source)")
+        corpus = spark.read.parquet(a.corpus)
+        if "docId" not in corpus.columns and "doc_id" in corpus.columns:
+            corpus = corpus.withColumnRenamed("doc_id", "docId")
+        if "content" not in corpus.columns and "text" in corpus.columns:
+            corpus = corpus.withColumnRenamed("text", "content")
+        needle = a.terms[0]
+        if a.mode == "regexcontent":
+            hits = search_regex_content(segs, corpus, needle, stats)
+        else:
+            hits = search_substring(
+                segs, corpus, needle, stats,
+                fold_case=analyzer == "trigram_fold",
+            )
+        hits = live(hits, tomb)
+        if a.mode == "grep":
+            out = grep_lines(corpus, hits, needle).limit(a.k).collect()
+            rows = [
+                {"docId": r.docId, "line_no": r.line_no, "line": r.line}
+                for r in out
+            ]
+        else:
+            rows = [{"docId": r.docId} for r in hits.limit(a.k).collect()]
     elif a.mode == "suggest":
         out = fuzzy_candidates(
             stats, analyze_query(a.terms, analyzer)[0], a.max_dist, a.k

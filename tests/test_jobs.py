@@ -145,6 +145,54 @@ def test_query_job_fuzzy_suggest_mlt(built, capsys):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_query_job_codesearch_modes(spark, tmp_path_factory, capsys):
+    """substring / regexcontent / grep modes over a trigram-built index,
+    checked against the full-scan predicates they must equal."""
+    from jobs.build_index import main as build_main
+    from jobs.query import main as query_main
+
+    from search_engine_spark.sources.corpus import synthetic_corpus
+
+    root = tmp_path_factory.mktemp("codesearch_job")
+    src, idx = str(root / "corpus"), str(root / "index")
+    corpus = synthetic_corpus(spark, n_docs=80, vocab_size=300, seed=11)
+    corpus.write.parquet(src)
+    rc = build_main([
+        "--input", src, "--output", idx, "--analyzer", "trigram",
+        "--no-positions", "--batches", "1", "--segments", "4",
+        "--master", "local[4]",
+    ])
+    assert rc == 0
+
+    def run(args):
+        rc = query_main(["--index", idx, "--master", "local[4]", *args])
+        assert rc == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    needle = "a t"  # crosses token boundaries
+    want = {
+        r.docId
+        for r in corpus.where(F.col("content").contains(needle)).collect()
+    }
+    got = {r["docId"] for r in run(
+        ["--mode", "substring", "--corpus", src, "--k", "1000", needle]
+    )["results"]}
+    assert got == want and got
+
+    pat = "a [a-z]+ t"
+    want_rx = {
+        r.docId for r in corpus.where(F.col("content").rlike(pat)).collect()
+    }
+    got_rx = {r["docId"] for r in run(
+        ["--mode", "regexcontent", "--corpus", src, "--k", "1000", pat]
+    )["results"]}
+    assert got_rx == want_rx and got_rx
+
+    g = run(["--mode", "grep", "--corpus", src, "--k", "5", needle])
+    assert g["results"] and all(needle in r["line"] for r in g["results"])
+    assert all(r["line_no"] == 1 for r in g["results"])  # single-line docs
+
+
 def test_pagerank_job_rank_window(spark, tmp_path_factory, capsys):
     """jobs/pagerank.py over a fixture edge TSV: the hub of a star graph
     must rank in the top window (IcsSearchEnginePageRankTest.java:74-108
