@@ -1392,7 +1392,44 @@ def q_q17_grep_lines(spark, sf_dir):
     corpus = _docs(spark, sf_dir)
     hits = search_substring(segs, corpus, SUBSTRING_NEEDLE, ts)
     return grep_lines(corpus, hits, SUBSTRING_NEEDLE, delimiter=GREP_DELIM).select(
-        F.col("docId").alias("doc_id"), "line_no", "line"
+        F.col("docId").alias("doc_id"), "line_no", "col_no", "line"
+    )
+
+
+BATCH_NEEDLES = {0: "merge batch", 1: "le sc", 2: "ta", 3: "zzqx-never"}
+
+
+def q_q2tb_substring_batch(spark, sf_dir):
+    """q2tb: batched substring serving — Q needles in ONE job (shared
+    In-pushed probe decode, broadcast (term, qid) fanout, one count-matching
+    agg, one hydrate+verify). Workload includes a boundary-crossing needle,
+    a short-needle scan fallback, and a provably-empty needle."""
+    from search_engine_spark.operators.codesearch import search_substring_batch
+    from search_engine_spark.sources.segments import load_segments, load_term_stats
+
+    idx, _ = _index_trigram(spark, sf_dir)
+    segs, ts = load_segments(spark, idx), load_term_stats(spark, idx)
+    corpus = _docs(spark, sf_dir)
+    return search_substring_batch(segs, corpus, BATCH_NEEDLES, ts).select(
+        "qid", F.col("docId").alias("doc_id")
+    )
+
+
+def q_q2tc_match_counts(spark, sf_dir):
+    """q2tc: grep -c shape — occurrence counts per matching doc (length
+    arithmetic, no regex engine), over the trigram substring hits."""
+    from search_engine_spark.operators.codesearch import (
+        count_matches,
+        search_substring,
+    )
+    from search_engine_spark.sources.segments import load_segments, load_term_stats
+
+    idx, _ = _index_trigram(spark, sf_dir)
+    segs, ts = load_segments(spark, idx), load_term_stats(spark, idx)
+    corpus = _docs(spark, sf_dir)
+    hits = search_substring(segs, corpus, SUBSTRING_NEEDLE, ts)
+    return count_matches(corpus, hits, SUBSTRING_NEEDLE).select(
+        F.col("docId").alias("doc_id"), "n_matches"
     )
 
 
@@ -2012,6 +2049,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2t_substring_search": q_q2t_substring,
         "q2rx_regex_search": q_q2rx_regex_content,
         "q17_grep_lines": q_q17_grep_lines,
+        "q2tb_substring_batch": q_q2tb_substring_batch,
+        "q2tc_match_counts": q_q2tc_match_counts,
         "sym1_symbols": q_sym1_symbols,
         "a8_japanese": q_a8_japanese,
         "b8_dense_docids": q_b8_dense_docids,
@@ -3022,12 +3061,26 @@ CROSS JOIN stats s
             WHERE regexp_matches(text, '{REGEX_PATTERN}')
         """,
         "q17_grep_lines": f"""
-            SELECT d.doc_id, gs.i::int AS line_no, d.parts[gs.i] AS line
+            SELECT d.doc_id, gs.i::int AS line_no,
+                   strpos(d.parts[gs.i], '{SUBSTRING_NEEDLE}')::int AS col_no,
+                   d.parts[gs.i] AS line
             FROM (SELECT doc_id, string_split(text, '{GREP_DELIM}') AS parts
                   FROM documents
                   WHERE contains(text, '{SUBSTRING_NEEDLE}')) d,
                  LATERAL (SELECT unnest(generate_series(1, len(d.parts))) AS i) gs
             WHERE contains(d.parts[gs.i], '{SUBSTRING_NEEDLE}')
+        """,
+        "q2tb_substring_batch": " UNION ALL ".join(
+            f"""SELECT {qid} AS qid, doc_id FROM documents
+                WHERE contains(text, '{nd}')"""
+            for qid, nd in BATCH_NEEDLES.items()
+        ),
+        "q2tc_match_counts": f"""
+            SELECT doc_id,
+                   ((length(text) - length(replace(text, '{SUBSTRING_NEEDLE}', '')))
+                    / {len(SUBSTRING_NEEDLE)})::int AS n_matches
+            FROM documents
+            WHERE contains(text, '{SUBSTRING_NEEDLE}')
         """,
         "sym1_symbols": f"""
             SELECT doc_id, kind, sym AS symbol

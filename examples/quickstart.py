@@ -179,6 +179,24 @@ def main() -> int:
     n_bins = packed.agg(F.countDistinct("bin")).collect()[0][0]
     print(f"dedup keepers={nd_dedup}  mean quality={q}  512-token bins={n_bins}")
 
+    # 7. code search: trigram substring index over raw content + grep output
+    from search_engine_spark.operators.codesearch import (
+        grep_lines,
+        search_substring,
+    )
+
+    tidx = tempfile.mkdtemp(prefix="qs_tri_")
+    shutil.rmtree(tidx, ignore_errors=True)
+    S.build_index(spark, corpus, tidx, analyzer="trigram",
+                  with_positions=False, n_batches=1, num_segments=4)
+    tsegs = S.load_segments(spark, tidx)
+    tstats = S.load_term_stats(spark, tidx)
+    needle = "apple"  # any byte string works: 'memcpy(', '"key": ', ...
+    hits = search_substring(tsegs, corpus, needle, tstats)
+    g = grep_lines(corpus, hits, needle, delimiter=" fast ").limit(3).collect()
+    print("grep:", [(r.docId, r.line_no, r.col_no) for r in g])
+    shutil.rmtree(tidx, ignore_errors=True)
+
     shutil.rmtree(idx, ignore_errors=True)
     print("QUICKSTART OK")
     return 0

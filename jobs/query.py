@@ -249,7 +249,8 @@ def main(argv: list[str] | None = None) -> int:
         if a.mode == "grep":
             out = grep_lines(corpus, hits, needle).limit(a.k).collect()
             rows = [
-                {"docId": r.docId, "line_no": r.line_no, "line": r.line}
+                {"docId": r.docId, "line_no": r.line_no,
+                 "col_no": r.col_no, "line": r.line}
                 for r in out
             ]
         else:

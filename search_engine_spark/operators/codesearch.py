@@ -42,10 +42,12 @@ __all__ = [
     "needle_trigrams",
     "probe_trigrams",
     "search_substring",
+    "search_substring_batch",
     "literal_runs",
     "required_trigrams",
     "search_regex_content",
     "grep_lines",
+    "count_matches",
     "extract_symbols",
     "DEFAULT_SYMBOL_PATTERNS",
 ]
@@ -106,6 +108,7 @@ def search_substring(
     term_stats=None,
     max_probe: int = 8,
     fold_case: bool = False,
+    field: str | None = None,
 ) -> DataFrame:
     """Byte-exact substring search: docIds whose content contains ``needle``.
 
@@ -116,17 +119,27 @@ def search_substring(
     Zoekt's short-query path (documented, not hidden: the scan IS the right
     plan when the index can't prune).
 
+    ``field`` targets a column indexed via ``build_index(fields={field:
+    'trigram'})`` instead of content — probes carry the field's U+001F
+    namespace prefix and the verify reads that column, so ONE index serves
+    both content substring and path-substring (the code-search ``file:``
+    filter) queries.
+
     The verify step makes results exact whatever ``max_probe`` pruned, so
     the only tuning tradeoff is candidates-verified vs posting-bytes-read.
     """
-    content = F.lower(F.col("content")) if fold_case else F.col("content")
+    from .build import FIELD_SEP
+
+    col = F.col(field) if field else F.col("content")
+    haystack = F.lower(col) if fold_case else col
+    prefix = f"{field}{FIELD_SEP}" if field else ""
     nd = needle.lower() if fold_case else needle
     if len(nd) < 3:
         return (
-            corpus.where(content.contains(F.lit(nd)))
+            corpus.where(haystack.contains(F.lit(nd)))
             .select("docId")
         )
-    tris = needle_trigrams(nd)
+    tris = [prefix + t for t in needle_trigrams(nd)]
     if term_stats is not None:
         probes = probe_trigrams(tris, term_stats, max_probe)
         if not probes:
@@ -136,9 +149,87 @@ def search_substring(
     cands = _candidates_and(segments, probes)
     return (
         corpus.join(F.broadcast(cands), "docId", "left_semi")
-        .where(content.contains(F.lit(nd)))
+        .where(haystack.contains(F.lit(nd)))
         .select("docId")
     )
+
+
+def search_substring_batch(
+    segments: DataFrame,
+    corpus: DataFrame,
+    needles: dict[int, str],
+    term_stats=None,
+    max_probe: int = 8,
+    fold_case: bool = False,
+) -> DataFrame:
+    """Batch substring serving: Q needles answered in ONE job — (qid,
+    docId) rows. The per-needle plan of :func:`search_substring` is shared
+    across the workload exactly like the batched DAAT path shares its scan:
+
+    - ONE ``In``-pushed membership decode over the union of every needle's
+      probe trigrams;
+    - a broadcast (term, qid) relation fans decoded postings out to the
+      needles probing that trigram; per-(qid, docId) count-matching against
+      a literal qid→n_probes map gives all candidate sets in one agg;
+    - ONE broadcast semi-join hydrates the union of candidates, and the
+      verify resolves each row's needle from a literal qid→needle map —
+      byte-exact per needle, two shuffles total for any Q.
+
+    Needles shorter than 3 chars or with an unindexed trigram are handled
+    per the single-needle rules (full-scan / provably-empty) and unioned
+    in; term_stats pruning applies per needle."""
+    content = F.lower(F.col("content")) if fold_case else F.col("content")
+    folded = {q: (s.lower() if fold_case else s) for q, s in needles.items()}
+    probe_by_qid: dict[int, list[str]] = {}
+    scan_qids: list[int] = []  # short-needle fallbacks
+    for qid, nd in folded.items():
+        tris = needle_trigrams(nd)
+        if not tris:
+            scan_qids.append(qid)
+            continue
+        if term_stats is not None:
+            probes = probe_trigrams(tris, term_stats, max_probe)
+            if not probes:
+                continue  # trigram unseen anywhere: needle matches nothing
+        else:
+            probes = tris[:max_probe]
+        probe_by_qid[qid] = probes
+
+    out = None
+    if probe_by_qid:
+        term_qid = [(t, q) for q, ps in probe_by_qid.items() for t in ps]
+        all_probes = sorted({t for t, _ in term_qid})
+        spark = SparkSession.getActiveSession()
+        fanout = spark.createDataFrame(term_qid, "term string, qid int")
+        need_m = F.create_map(
+            *[x for q, ps in probe_by_qid.items() for x in (F.lit(q), F.lit(len(ps)))]
+        )
+        needle_m = F.create_map(
+            *[x for q in probe_by_qid for x in (F.lit(q), F.lit(folded[q]))]
+        )
+        cands = (
+            decode_term_docids(segments, all_probes)
+            .join(F.broadcast(fanout), "term")
+            .groupBy("qid", "docId")
+            .agg(F.count_distinct("term").alias("m"))
+            .where(F.col("m") == need_m[F.col("qid")])
+            .select("qid", "docId")
+        )
+        out = (
+            corpus.join(F.broadcast(cands), "docId")
+            .where(content.contains(needle_m[F.col("qid")]))
+            .select("qid", "docId")
+        )
+    for qid in scan_qids:
+        row = (
+            corpus.where(content.contains(F.lit(folded[qid])))
+            .select(F.lit(qid).alias("qid"), "docId")
+        )
+        out = row if out is None else out.unionByName(row)
+    if out is None:
+        spark = SparkSession.getActiveSession()
+        return spark.createDataFrame([], "qid int, docId long")
+    return out
 
 
 # --- regex planning -------------------------------------------------------
@@ -321,13 +412,34 @@ def grep_lines(
     codegen ``split``), so the only data movement is the matched lines
     themselves. ``delimiter`` is a regex (Spark ``split`` semantics);
     single-line corpora degenerate to line_no=1 rows, multi-line code gets
-    real grep output."""
+    real grep output. ``col_no`` is the 1-based character column of the
+    line's FIRST match (grep -n shows each line once)."""
     lines = F.split(F.col("content"), delimiter)
     return (
         corpus.join(F.broadcast(hits), "docId", "left_semi")
         .select("docId", F.posexplode(lines).alias("pos", "line"))
         .where(F.col("line").contains(F.lit(needle)))
-        .select("docId", (F.col("pos") + 1).alias("line_no"), "line")
+        .select(
+            "docId",
+            (F.col("pos") + 1).alias("line_no"),
+            F.locate(needle, F.col("line")).alias("col_no"),
+            "line",
+        )
+    )
+
+
+def count_matches(corpus: DataFrame, hits: DataFrame, needle: str) -> DataFrame:
+    """grep -c / occurrence-ranked substring results: (docId, n_matches)
+    sorted by match count. Occurrences are counted with pure length
+    arithmetic (non-overlapping, like grep) — no regex engine, no UDF, one
+    projection over the broadcast-pruned hit docs."""
+    n = (
+        F.length("content") - F.length(F.replace(F.col("content"), F.lit(needle)))
+    ) / F.lit(len(needle))
+    return (
+        corpus.join(F.broadcast(hits), "docId", "left_semi")
+        .select("docId", n.cast("int").alias("n_matches"))
+        .orderBy(F.desc("n_matches"), "docId")
     )
 
 

@@ -96,26 +96,48 @@ def tri_index(spark, tmp_path_factory):
     return corpus, S.load_segments(spark, idx), S.load_term_stats(spark, idx)
 
 
-NEEDLES = [
-    "spark",
-    "le sc",        # crosses a word boundary (space inside the needle)
-    "merge batch",
-    "zzqx-never",   # no match (trigrams absent -> short-circuit empty)
-    "ab",           # < 3 chars: documented full-scan fallback
+# (needle, must_match): synthetic-corpus content is tokN words + code
+# keywords + fixture sentences — needles that match nothing would make the
+# equality below vacuous, so each expected-hit needle asserts non-empty
+NEEDLES_M = [
+    ("apple a day", True),   # fixture sentence, crosses word boundaries
+    ("tok1 tok", True),      # crosses a word boundary
+    ("public", True),
+    ("zzqx-never", False),   # trigrams absent -> short-circuit empty
+    ("to", True),            # < 3 chars: documented full-scan fallback
 ]
+NEEDLES = [n for n, _ in NEEDLES_M]
 
 
 def test_substring_equals_full_scan(spark, tri_index):
     corpus, segs, ts = tri_index
-    for needle in NEEDLES:
+    for needle, must_match in NEEDLES_M:
         want = _ids(
             corpus.where(F.col("content").contains(F.lit(needle))).select("docId")
         )
+        assert bool(want) == must_match, needle
         got = _ids(C.search_substring(segs, corpus, needle, ts))
         assert got == want, needle
         # probe subset must not change results, only cost
         got2 = _ids(C.search_substring(segs, corpus, needle, ts, max_probe=2))
         assert got2 == want, needle
+
+
+def test_substring_batch_equals_per_needle(spark, tri_index):
+    """Batch serving returns exactly the union of per-needle single runs —
+    including a short-needle scan fallback and a no-match needle."""
+    corpus, segs, ts = tri_index
+    needles = {i: n for i, n in enumerate(NEEDLES)}
+    got = sorted(
+        (r.qid, r.docId)
+        for r in C.search_substring_batch(segs, corpus, needles, ts).collect()
+    )
+    want = sorted(
+        (qid, d)
+        for qid, n in needles.items()
+        for d in _ids(C.search_substring(segs, corpus, n, ts))
+    )
+    assert got == want and got
 
 
 def test_substring_quote_backslash_needles(spark):
@@ -133,19 +155,20 @@ def test_substring_quote_backslash_needles(spark):
     shutil.rmtree(idx, ignore_errors=True)
 
 
-PATTERNS = [
-    r"spark\w* str",          # literal prune + class verify
-    r"merge [a-z]+ scan",     # two runs
-    r"(table|scan) fast",     # alternation: full-scan fallback
-    r"rid\d+n\d+",            # runs too short -> full-scan fallback
-    r"windowxx+",             # prunable, no match
+PATTERNS_M = [
+    (r"doctor aw[a-z]+", True),     # literal prune + class verify
+    (r"pu[b]?lic", True),           # optional atom; "lic" run prunes
+    (r"apple a (day|week)", True),  # alternation: full-scan fallback
+    (r"tok\d+", True),              # runs too short -> full-scan fallback
+    (r"doctorxx+", False),          # prunable, no match
 ]
 
 
 def test_regex_equals_full_scan(spark, tri_index):
     corpus, segs, ts = tri_index
-    for pat in PATTERNS:
+    for pat, must_match in PATTERNS_M:
         want = _ids(corpus.where(F.col("content").rlike(pat)).select("docId"))
+        assert bool(want) == must_match, pat
         got = _ids(C.search_regex_content(segs, corpus, pat, ts))
         assert got == want, pat
 
@@ -164,6 +187,32 @@ def test_fold_case_substring(spark):
     shutil.rmtree(idx, ignore_errors=True)
 
 
+def test_field_substring_path(spark):
+    """ONE trigram index serves content substring AND path substring (the
+    code-search `file:` filter): field probes ride the U+001F namespace."""
+    texts = ["alpha body", "beta body", "gamma body"]
+    corpus = corpus_from_texts(spark, texts).withColumn(
+        "path", F.concat(F.lit("src/module_"), F.col("docId"), F.lit(".py"))
+    )
+    idx = "/tmp/idx_tri_field"
+    shutil.rmtree(idx, ignore_errors=True)
+    S.build_index(spark, corpus, idx, analyzer="trigram",
+                  fields={"path": "trigram"}, with_positions=False,
+                  n_batches=1, num_segments=2)
+    segs, ts = S.load_segments(spark, idx), S.load_term_stats(spark, idx)
+    # content substring still works on the combined index
+    assert _ids(C.search_substring(segs, corpus, "pha bod", ts)) == [0]
+    # path substring via the namespaced field probes
+    assert _ids(C.search_substring(segs, corpus, "module_1.py", ts,
+                                   field="path")) == [1]
+    assert _ids(C.search_substring(segs, corpus, "src/module", ts,
+                                   field="path")) == [0, 1, 2]
+    # a content word is NOT findable through the path field
+    assert _ids(C.search_substring(segs, corpus, "alpha", ts,
+                                   field="path")) == []
+    shutil.rmtree(idx, ignore_errors=True)
+
+
 # --- grep lines + symbols ----------------------------------------------------
 
 
@@ -179,13 +228,20 @@ def test_grep_lines(spark):
     corpus = corpus_from_texts(spark, CODE_TEXTS)
     hits = corpus.where(F.col("content").contains("memcpy(")).select("docId")
     got = sorted(
-        (r.docId, r.line_no, r.line)
+        (r.docId, r.line_no, r.col_no, r.line)
         for r in C.grep_lines(corpus, hits, "memcpy(").collect()
     )
     assert got == [
-        (1, 1, "x = parse(json_file)  # memcpy( is fast"),
-        (2, 2, "fn main() { memcpy(dst, src) }"),
+        (1, 1, 25, "x = parse(json_file)  # memcpy( is fast"),
+        (2, 2, 13, "fn main() { memcpy(dst, src) }"),
     ]
+
+
+def test_count_matches(spark):
+    corpus = corpus_from_texts(spark, ["ab ab ab", "ab", "zz"])
+    hits = corpus.where(F.col("content").contains("ab")).select("docId")
+    got = [(r.docId, r.n_matches) for r in C.count_matches(corpus, hits, "ab").collect()]
+    assert got == [(0, 3), (1, 1)]
 
 
 def test_extract_symbols(spark):

@@ -28,6 +28,9 @@ from search_engine_spark.sources.corpus import synthetic_corpus
 from search_engine_spark.sources.segments import build_index
 
 cores, n_docs = int(sys.argv[1]), int(sys.argv[2])
+analyzer = sys.argv[3] if len(sys.argv) > 3 else "porter"
+# trigram (substring) indexes carry no positions — membership-only terms
+with_pos = analyzer not in ("trigram", "trigram_fold")
 # reduce partitions = 4x cores (not 1x): smaller merge kernels in ~4 waves
 # load-balance dynamically and absorb stragglers — measured 2-3x faster at
 # the 4N level than one giant reduce partition per core
@@ -43,13 +46,19 @@ corpus.count()  # materialize input + warm JVM before timing
 from pyspark.sql import functions as F
 from search_engine_spark.operators.build import build_postings
 build_postings(corpus.where(F.pmod(F.xxhash64("docId"), F.lit(32)) == 0),
-               "porter").write.format("noop").mode("overwrite").save()
+               analyzer).write.format("noop").mode("overwrite").save()
 idx = tempfile.mkdtemp(prefix=f"scale_{{cores}}_")
 shutil.rmtree(idx, ignore_errors=True)
 t0 = time.time()
-m = build_index(spark, corpus, idx, analyzer="porter", n_batches=1,
+# trigram vocab is tiny (~30k terms) with df approaching n_docs — far
+# heavier tails than word terms, so the salting knobs scale up with it
+heavy_threshold = n_docs // 100 if not with_pos else n_docs // 20
+n_salts = 16 if not with_pos else 8
+m = build_index(spark, corpus, idx, analyzer=analyzer, n_batches=1,
+                with_positions=with_pos,
                 num_segments=4 * cores,
-                heavy_threshold=n_docs // 20, n_salts=8, heavy_sample_mod=64)
+                heavy_threshold=heavy_threshold, n_salts=n_salts,
+                heavy_sample_mod=64)
 dt = time.time() - t0
 print(json.dumps({{"cores": cores, "sec": round(dt, 2),
                   "docs_per_sec": round(n_docs / dt, 1),
@@ -60,9 +69,9 @@ spark.stop()
 """.format(repo=REPO)
 
 
-def run(cores: int, n_docs: int) -> dict:
+def run(cores: int, n_docs: int, analyzer: str = "porter") -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", RUN_SRC, str(cores), str(n_docs)],
+        [sys.executable, "-c", RUN_SRC, str(cores), str(n_docs), analyzer],
         capture_output=True, text=True, check=True, cwd=REPO,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
@@ -72,12 +81,13 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 240000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     trials = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    analyzer = sys.argv[4] if len(sys.argv) > 4 else "porter"
     # the sandbox host has noisy neighbors (cpu capacity swings ~40% over
     # minutes): interleave N/4N trials and take the best of each level
     los, his = [], []
     for _ in range(trials):
-        los.append(run(n, n_docs))
-        his.append(run(4 * n, n_docs))
+        los.append(run(n, n_docs, analyzer))
+        his.append(run(4 * n, n_docs, analyzer))
     lo = min(los, key=lambda r: r["sec"])
     hi = min(his, key=lambda r: r["sec"])
     eff = (lo["sec"] * n) / (hi["sec"] * 4 * n)
@@ -86,9 +96,11 @@ def main() -> None:
         "trials_N": [r["sec"] for r in los], "trials_4N": [r["sec"] for r in his],
     }
     print(json.dumps(report))
-    block = f"""# BENCH — scaling evidence (north rule)
+    title = ("# BENCH — scaling evidence (north rule)" if analyzer == "porter"
+             else f"## Trigram (substring-index) build scaling — analyzer={analyzer}")
+    block = f"""{title}
 
-Same index-build job (tokenize -> salted hash-repartition(term, salt) ->
+Same index-build job ({analyzer} tokenize -> salted hash-repartition(term, salt) ->
 delta+varbyte packed segments + term stats) on the SAME input
 ({n_docs:,} synthetic docs, seed 42, 128 input partitions), at two
 parallelism levels standing in for N and 4N executors (no real cluster in
@@ -113,24 +125,30 @@ from neighbors over minutes), so N/4N trials are interleaved and the best of
 
 All trials (s): N = {[r['sec'] for r in los]}, 4N = {[r['sec'] for r in his]}
 
-Reproduce: `python tools/scaling_bench.py {n_docs} {n} {trials}`
+Reproduce: `python tools/scaling_bench.py {n_docs} {n} {trials} {analyzer}`
 """
-    _write_section(block)
+    _write_section(block, analyzer)
 
 
 MARK_A, MARK_B = "<!-- scaling:auto -->", "<!-- /scaling:auto -->"
 
 
-def _write_section(block: str) -> None:
+def _write_section(block: str, analyzer: str = "porter") -> None:
     """Replace only this tool's marked section of BENCH.md (bench.py owns a
     sibling section; neither writer may clobber the other's)."""
     p = os.path.join(REPO, "BENCH.md")
-    block = f"{MARK_A}\n{block}\n{MARK_B}"
+    mark_a, mark_b = MARK_A, MARK_B
+    if analyzer != "porter":
+        mark_a = f"<!-- scaling:auto:{analyzer} -->"
+        mark_b = f"<!-- /scaling:auto:{analyzer} -->"
+    block = f"{mark_a}\n{block}\n{mark_b}"
     text = open(p).read() if os.path.exists(p) else ""
-    if MARK_A in text and MARK_B in text:
-        text = text.split(MARK_A)[0] + block + text.split(MARK_B, 1)[1]
-    elif text:
+    if mark_a in text and mark_b in text:
+        text = text.split(mark_a)[0] + block + text.split(mark_b, 1)[1]
+    elif text and analyzer == "porter":
         text = block + "\n\n" + text  # scaling evidence leads the doc
+    elif text:
+        text = text.rstrip() + "\n\n" + block + "\n"  # variants append
     else:
         text = block + "\n"
     with open(p, "w") as f:
