@@ -46,6 +46,10 @@ def main(argv: list[str] | None = None) -> int:
         help="skew stats from a 1/N docId-hash slice (1 = full extra pass)",
     )
     ap.add_argument("--no-positions", action="store_true")
+    ap.add_argument("--membership", action="store_true",
+                    help="store empty tf/dl blobs (tf reads as 1) — the "
+                         "trigram/substring index mode; pair with "
+                         "--no-positions")
     ap.add_argument(
         "--field", action="append", default=[],
         help="index an extra column as fielded terms, col[=analyzer] "
@@ -88,6 +92,7 @@ def main(argv: list[str] | None = None) -> int:
         analyzer=a.analyzer, n_batches=a.batches, num_segments=a.segments,
         heavy_threshold=a.heavy_threshold, n_salts=a.salts,
         with_positions=not a.no_positions, heavy_sample_mod=a.heavy_sample_mod,
+        membership=a.membership,
         fields={
             spec.partition("=")[0]: (spec.partition("=")[2] or "naive")
             for spec in a.field

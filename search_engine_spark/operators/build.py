@@ -411,6 +411,12 @@ def _pack_sorted(vocab, codes_s, salt_s, docid_s, tf_s, dl_s,
     ``pos_data``: byte pool holding every posting's position blob;
     ``pos_starts_s``/``pos_lens_s``: per-posting (start, len) into it, in
     sorted row order. Per-group concat is a single vectorized byte-gather.
+
+    ``tf_s``/``dl_s`` = None is MEMBERSHIP mode (trigram/substring indexes:
+    tf==1 by construction, dl unused) — tf/dl blobs are stored EMPTY, which
+    on a dense-id trigram index removes ~64% of payload bytes (measured,
+    tools/index_size.py). Summary fields stay truthful under the tf=1
+    reading: sum_tf=ndocs, max_tf=1, block_max_tf all 1.
     """
     import pyarrow as pa
 
@@ -431,7 +437,11 @@ def _pack_sorted(vocab, codes_s, salt_s, docid_s, tf_s, dl_s,
         else:
             pos_bin = None
             poslens_bin = None
-        packed = _encode_counts(docid_s[s:e], tf_s[s:e], dl_s[s:e])
+        packed = _encode_counts(
+            docid_s[s:e],
+            tf_s[s:e] if tf_s is not None else None,
+            dl_s[s:e] if dl_s is not None else None,
+        )
         out["term"].append(vocab[int(codes_s[s])])
         out["salt"].append(int(salt_s[s]))
         for name, val in zip(
@@ -455,14 +465,34 @@ def _pack_sorted(vocab, codes_s, salt_s, docid_s, tf_s, dl_s,
         yield pa.RecordBatch.from_pydict(out, schema=schema)
 
 
-def _encode_counts(docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> tuple:
-    """Block-encode the docid/tf/dl columns of one (term, salt) group."""
+def _encode_counts(
+    docids: np.ndarray, tfs: np.ndarray | None, dls: np.ndarray | None
+) -> tuple:
+    """Block-encode the docid/tf/dl columns of one (term, salt) group.
+    ``tfs``/``dls`` = None is membership mode: empty tf/dl blobs, all-zero
+    block offsets, tf read as constant 1 (see ``_pack_sorted``)."""
     ndocs = len(docids)
     nblocks = (ndocs + BLOCK_SIZE - 1) // BLOCK_SIZE
     bstarts = np.arange(nblocks) * BLOCK_SIZE
     block_last = docids[np.minimum(bstarts + BLOCK_SIZE - 1, ndocs - 1)]
-    block_max_tf = np.maximum.reduceat(tfs, bstarts) if ndocs else np.zeros(0)
     docids_bin, docid_off = _block_encoded(docids, bstarts, delta=True)
+    if tfs is None:
+        zoff = [0] * nblocks
+        return (
+            int(docids[0]),
+            int(ndocs),
+            int(ndocs),  # sum_tf under the tf=1 reading
+            1,
+            docids_bin,
+            b"",
+            b"",
+            block_last.tolist(),
+            [1] * nblocks,
+            docid_off,
+            zoff,
+            list(zoff),
+        )
+    block_max_tf = np.maximum.reduceat(tfs, bstarts) if ndocs else np.zeros(0)
     tfs_bin, tf_off = _block_encoded(tfs, bstarts, delta=False)
     dls_bin, dl_off = _block_encoded(dls, bstarts, delta=False)
     return (
@@ -517,6 +547,7 @@ def build_miniblocks(
     n_salts: int = 8,
     with_positions: bool = True,
     term_prefix: str = "",
+    membership: bool = False,
 ) -> DataFrame:
     """Map-side combine kernel: corpus partition -> packed (term, salt)
     mini-blocks. Salting happens here (needs per-posting docId).
@@ -525,7 +556,12 @@ def build_miniblocks(
     indexing). The prefix is constant per call, so it is applied to the
     factorized VOCAB (once per unique term, not per posting) and cannot
     change the sort/grouping order; ``heavy`` membership is checked on the
-    UNPREFIXED analyzed token — skew detection stays field-local."""
+    UNPREFIXED analyzed token — skew detection stays field-local.
+
+    ``membership`` emits EMPTY tf/dl blobs (trigram/substring indexes where
+    tf==1 by construction): the shuffle then moves docid bytes only, and
+    the merge encoder auto-detects the empties and packs membership rows
+    (``_encode_counts`` with tfs=None)."""
     heavy_set = frozenset(heavy or [])
     do_salt = bool(heavy_set) and n_salts > 1
 
@@ -582,21 +618,25 @@ def build_miniblocks(
         dbuf = varbyte_encode(deltas)
         dbounds = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(_byte_lens(deltas), out=dbounds[1:])
-        tbuf = varbyte_encode(tf_s)
-        tbounds = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(_byte_lens(tf_s), out=tbounds[1:])
-        lbuf = varbyte_encode(dl_s)
-        lbounds = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(_byte_lens(dl_s), out=lbounds[1:])
         out_vocab = [term_prefix + v for v in vocab] if term_prefix else vocab
         d = {
             "term": [out_vocab[int(codes_s[s])] for s in gs],
             "salt": salt_s[gs].astype("int32"),
             "ndocs": (ge - gs).astype("int32"),
             "docids": _slice_all(dbuf, gs, ge, dbounds),
-            "tfs": _slice_all(tbuf, gs, ge, tbounds),
-            "dls": _slice_all(lbuf, gs, ge, lbounds),
         }
+        if membership:
+            d["tfs"] = [b""] * len(gs)
+            d["dls"] = [b""] * len(gs)
+        else:
+            tbuf = varbyte_encode(tf_s)
+            tbounds = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(_byte_lens(tf_s), out=tbounds[1:])
+            lbuf = varbyte_encode(dl_s)
+            lbounds = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(_byte_lens(dl_s), out=lbounds[1:])
+            d["tfs"] = _slice_all(tbuf, gs, ge, tbounds)
+            d["dls"] = _slice_all(lbuf, gs, ge, lbounds)
         if with_positions:
             plens_s = plens[order]
             pstarts_s = pstarts[order]
@@ -685,9 +725,24 @@ def _merge_encoder_impl(batches, restarts_per_block: bool):
     seg_lens = np.diff(np.append(restarts, npost))
     docid = csum - np.repeat(base_per, seg_lens)
     t_offs, t_data = col_bytes("tfs")
-    tf = varbyte_decode(t_data.tobytes(), int(t_offs[0]), int(t_offs[-1] - t_offs[0]))
     l_offs, l_data = col_bytes("dls")
-    dl = varbyte_decode(l_data.tobytes(), int(l_offs[0]), int(l_offs[-1] - l_offs[0]))
+    # membership rows (trigram/substring builds) carry EMPTY tf/dl blobs —
+    # all-empty means skip the decode and repack membership; a mix of empty
+    # and non-empty rows would silently misalign, so it is rejected
+    membership = int(t_offs[-1] - t_offs[0]) == 0 and npost > 0
+    if membership:
+        if int(l_offs[-1] - l_offs[0]) != 0:
+            raise ValueError("mixed membership/full tf-dl rows in one merge")
+        tf = dl = None
+    else:
+        tf = varbyte_decode(
+            t_data.tobytes(), int(t_offs[0]), int(t_offs[-1] - t_offs[0])
+        )
+        dl = varbyte_decode(
+            l_data.tobytes(), int(l_offs[0]), int(l_offs[-1] - l_offs[0])
+        )
+        if len(tf) != npost:
+            raise ValueError("mixed membership/full tf-dl rows in one merge")
 
     pos_col = tbl.column("positions" if restarts_per_block else "posbin").chunk(0)
     has_pos = pos_col.null_count < nrows
@@ -718,7 +773,9 @@ def _merge_encoder_impl(batches, restarts_per_block: bool):
 
     order = np.lexsort((docid, salt, key))
     codes_s, salt_s = codes[order], salt[order]
-    docid_s, tf_s, dl_s, key_s = docid[order], tf[order], dl[order], key[order]
+    docid_s, key_s = docid[order], key[order]
+    tf_s = tf[order] if tf is not None else None
+    dl_s = dl[order] if dl is not None else None
     newgrp = np.empty(npost, dtype=bool)
     newgrp[0] = True
     newgrp[1:] = (key_s[1:] != key_s[:-1]) | (salt_s[1:] != salt_s[:-1])
@@ -749,6 +806,7 @@ def build_segments_combined(
     n_salts: int = 8,
     with_positions: bool = True,
     fields: dict[str, tuple[str, list[str]]] | None = None,
+    membership: bool = False,
 ) -> DataFrame:
     """The build path: map-side combine -> one hash shuffle of mini-blocks ->
     vectorized merge into packed segments.
@@ -762,7 +820,8 @@ def build_segments_combined(
     a low-cardinality field term (``lang:en``) is the heaviest posting list
     in the index and must salt like any skewed content term."""
     mini = build_miniblocks(
-        corpus.select("docId", "content"), analyzer, heavy, n_salts, with_positions
+        corpus.select("docId", "content"), analyzer, heavy, n_salts,
+        with_positions, membership=membership,
     )
     for col, (fanalyzer, fheavy) in sorted((fields or {}).items()):
         fmini = build_miniblocks(
@@ -772,6 +831,7 @@ def build_segments_combined(
             n_salts,
             with_positions,
             term_prefix=f"{col}{FIELD_SEP}",
+            membership=membership,
         )
         mini = mini.unionByName(fmini)
     mini = mini.repartition(num_segments, "term", "salt")

@@ -91,8 +91,14 @@ def _row_violations(r) -> Iterator[tuple[str, str]]:
     for i in range(n_blocks):
         deltas = varbyte_decode(r.docids, int(offs[i]), int(ends_d[i] - offs[i]))
         ids = np.cumsum(deltas)
-        tfs = varbyte_decode(r.tfs, int(toffs[i]), int(ends_t[i] - toffs[i]))
-        dls = varbyte_decode(r.dls, int(dloffs[i]), int(ends_l[i] - dloffs[i]))
+        # membership rows (empty tf/dl blobs) audit under the tf=1 reading:
+        # every downstream invariant (block_max_tf, sum_tf, max_tf, dl>=tf)
+        # then checks the summary fields the encoder was REQUIRED to write
+        ones = np.ones(len(ids), dtype=np.int64)
+        tfs = (varbyte_decode(r.tfs, int(toffs[i]), int(ends_t[i] - toffs[i]))
+               if len(r.tfs) else ones)
+        dls = (varbyte_decode(r.dls, int(dloffs[i]), int(ends_l[i] - dloffs[i]))
+               if len(r.dls) else ones)
         if not (len(ids) == len(tfs) == len(dls)):
             yield "block_len_mismatch", (
                 f"block {i}: ids={len(ids)} tfs={len(tfs)} dls={len(dls)}")

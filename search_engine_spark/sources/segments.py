@@ -163,8 +163,16 @@ def build_index(
     with_positions: bool = True,
     heavy_sample_mod: int = 64,
     fields: dict[str, str] | None = None,
+    membership: bool = False,
 ) -> dict:
     """Resumable batched index build. Returns the final manifest.
+
+    ``membership`` stores EMPTY tf/dl blobs (tf is read as constant 1) —
+    the right mode for trigram/substring indexes where tf==1 by
+    construction: measured ~64% payload reduction on a dense-id trigram
+    index (tools/index_size.py), and the build shuffle moves docid bytes
+    only. Positions should be off too. Ranked (BM25) queries over a
+    membership index see tf=1/dl=1 — membership semantics, documented.
 
     ``fields`` maps extra corpus columns to their analyzers; each field's
     tokens index as ``<col><U+001F><token>`` terms next to the content terms
@@ -196,6 +204,7 @@ def build_index(
             "num_segments": num_segments,
             "n_salts": n_salts,
             "with_positions": with_positions,
+            "membership": membership,
             "fields": dict(sorted(fields.items())) if fields else {},
             "lineage": m.get("lineage", [])
             or [{"input": "corpus-df", "created_at": time.time()}],
@@ -216,7 +225,7 @@ def build_index(
             analyzer=analyzer, num_segments=num_segments,
             heavy_threshold=heavy_threshold, n_salts=n_salts,
             with_positions=with_positions, heavy_sample_mod=heavy_sample_mod,
-            fields=fields,
+            fields=fields, membership=membership,
         )
         m["batches"] = committed.get("batches", m["batches"])
     return finalize_index(spark, index_dir)
@@ -235,6 +244,7 @@ def build_one_batch(
     with_positions: bool = True,
     heavy_sample_mod: int = 64,
     fields: dict[str, str] | None = None,
+    membership: bool = False,
 ) -> dict:
     """Build and atomically commit ONE batch under its own key/directory.
 
@@ -272,7 +282,7 @@ def build_one_batch(
     # map-side combine: the shuffle moves packed per-term mini-blocks
     seg = build_segments_combined(
         corpus_cols, analyzer, num_segments, heavy, n_salts, with_positions,
-        fields=field_specs or None,
+        fields=field_specs or None, membership=membership,
     )
     out = os.path.join(index_dir, "segments", f"batch={key}")
     seg.write.mode("overwrite").parquet(out)
@@ -513,8 +523,11 @@ def _decode_batch(pdf: pd.DataFrame, with_positions: bool):
     outs = []
     for r in pdf.itertuples(index=False):
         docids = blockwise_delta_decode(r.docids)
-        tfs = varbyte_decode(r.tfs)
-        dls = varbyte_decode(r.dls)
+        # membership rows store EMPTY tf/dl blobs: tf reads as constant 1,
+        # dl as 1 (substring indexes — tf is 1 by construction)
+        ones = np.ones(len(docids), dtype=np.int64)
+        tfs = varbyte_decode(r.tfs) if len(r.tfs) else ones
+        dls = varbyte_decode(r.dls) if len(r.dls) else ones
         d = {
             "term": np.repeat(r.term, len(docids)),
             "docId": docids,
@@ -562,11 +575,12 @@ def decode_postings_packed(segments: DataFrame) -> DataFrame:
             for r in pdf.itertuples(index=False):
                 docids = blockwise_delta_decode(r.docids)
                 n = len(docids)
+                ones = np.ones(n, dtype=np.int64)
                 d = {
                     "term": np.repeat(r.term, n),
                     "docId": docids,
-                    "tf": varbyte_decode(r.tfs).astype("int32"),
-                    "dl": varbyte_decode(r.dls).astype("int32"),
+                    "tf": (varbyte_decode(r.tfs) if len(r.tfs) else ones).astype("int32"),
+                    "dl": (varbyte_decode(r.dls) if len(r.dls) else ones).astype("int32"),
                 }
                 if r.positions is not None:
                     blens = varbyte_decode(r.poslens)

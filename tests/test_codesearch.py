@@ -187,6 +187,49 @@ def test_fold_case_substring(spark):
     shutil.rmtree(idx, ignore_errors=True)
 
 
+def test_membership_index(spark, tri_index):
+    """membership=True (empty tf/dl blobs): identical substring results,
+    smaller payload, tf/dl decode as constant 1, compaction preserves the
+    mode, fsck stays clean under the tf=1 reading."""
+    from search_engine_spark.operators.fsck import fsck_index
+    from search_engine_spark.sources.corpus import synthetic_corpus
+
+    corpus = synthetic_corpus(spark, n_docs=300, vocab_size=600, seed=7)
+    idx = "/tmp/idx_tri_membership"
+    shutil.rmtree(idx, ignore_errors=True)
+    S.build_index(spark, corpus, idx, analyzer="trigram",
+                  with_positions=False, n_batches=2, num_segments=4,
+                  heavy_threshold=100, n_salts=2, membership=True)
+    segs, ts = S.load_segments(spark, idx), S.load_term_stats(spark, idx)
+    _, fsegs, fts = tri_index  # the full (non-membership) index, same corpus
+    for needle, _ in NEEDLES_M:
+        want = _ids(C.search_substring(fsegs, corpus, needle, fts))
+        assert _ids(C.search_substring(segs, corpus, needle, ts)) == want, needle
+
+    def payload(sg):
+        return sg.agg(F.sum(
+            F.octet_length("docids") + F.octet_length("tfs")
+            + F.octet_length("dls"))).first()[0]
+
+    assert segs.agg(F.sum(F.octet_length("tfs"))).first()[0] == 0
+    assert payload(segs) < payload(fsegs)
+    # decode synthesizes tf=dl=1
+    some_term = segs.select("term").first()[0]
+    rows = S.decode_postings(segs, [some_term]).limit(10).collect()
+    assert rows and all(r.tf == 1 and r.dl == 1 for r in rows)
+    # compaction keeps membership and results
+    S.compact(spark, idx, [0, 1])
+    segs2 = S.load_segments(spark, idx)
+    assert segs2.agg(F.sum(F.octet_length("tfs"))).first()[0] == 0
+    needle = NEEDLES[0]
+    assert _ids(C.search_substring(segs2, corpus, needle,
+                                   S.load_term_stats(spark, idx))) == \
+        _ids(C.search_substring(fsegs, corpus, needle, fts))
+    rep = fsck_index(spark, idx)
+    assert rep["errors"] == [] and rep["warnings"] == []
+    shutil.rmtree(idx, ignore_errors=True)
+
+
 def test_field_substring_path(spark):
     """ONE trigram index serves content substring AND path substring (the
     code-search `file:` filter): field probes ride the U+001F namespace."""
