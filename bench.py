@@ -182,6 +182,7 @@ def run_trial(spark, sf_dir: str, docs, n_docs_sf: int, syn, n_syn: int) -> dict
         "trigram_build",
         lambda: build_index(
             spark, docs, idx_t, analyzer="trigram", with_positions=False,
+            membership=True,  # tf==1 by construction: docid-only payload
             n_batches=1, heavy_threshold=max(64, n_docs_sf // 10), n_salts=8,
         ),
     )

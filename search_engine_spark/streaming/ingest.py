@@ -30,6 +30,8 @@ def index_sink(
     num_segments: int = 8,
     checkpoint_dir: str | None = None,
     trigger_available_now: bool = True,
+    with_positions: bool = True,
+    membership: bool = False,
 ):
     """writeStream.foreachBatch -> one committed index batch per micro-batch.
 
@@ -57,12 +59,14 @@ def index_sink(
             fresh.setdefault("codec", "delta_varbyte")
             fresh.setdefault("num_segments", num_segments)
             fresh.setdefault("n_salts", 8)
-            fresh.setdefault("with_positions", True)
+            fresh.setdefault("with_positions", with_positions)
+            fresh.setdefault("membership", membership)
 
         m = update_manifest(index_dir, _defaults)
         build_one_batch(
             spark, batch_df, index_dir, key, m,
             analyzer=analyzer, num_segments=num_segments,
+            with_positions=with_positions, membership=membership,
         )
         finalize_index(spark, index_dir)
 

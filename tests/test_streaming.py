@@ -79,6 +79,45 @@ def test_stream_ingest_equals_batch_build(spark, tmp_path):
     shutil.rmtree(stream_idx, ignore_errors=True)
 
 
+def test_stream_ingest_membership_trigram(spark, tmp_path):
+    """Streaming substring-index ingest: micro-batches commit membership
+    (tf/dl-free) trigram batches; substring search over the streamed index
+    equals the full-scan truth."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.codesearch import search_substring
+    from search_engine_spark.sources.segments import (
+        load_segments,
+        load_term_stats,
+    )
+
+    corpus = corpus_from_texts(spark, TEXTS)
+    src = tmp_path / "in3"
+    src.mkdir()
+    pdf = corpus.select("docId", "content").toPandas()
+    pdf.iloc[:2].to_parquet(src / "p1.parquet", index=False)
+    pdf.iloc[2:].to_parquet(src / "p2.parquet", index=False)
+    idx = str(tmp_path / "tri_stream_idx")
+    stream = stream_corpus_from_files(spark, str(src), STREAM_SCHEMA)
+    q = index_sink(
+        spark, stream, idx, analyzer="trigram", num_segments=4,
+        checkpoint_dir=str(tmp_path / "ckpt3"), trigger_available_now=True,
+        with_positions=False, membership=True,
+    )
+    q.awaitTermination(120)
+    segs, ts = load_segments(spark, idx), load_term_stats(spark, idx)
+    assert segs.agg(F.sum(F.octet_length("tfs"))).first()[0] == 0
+    needle = TEXTS[0][3:12]  # mid-text slice, crosses word boundaries
+    want = sorted(
+        r.docId
+        for r in corpus.where(F.col("content").contains(needle)).collect()
+    )
+    got = sorted(
+        r.docId for r in search_substring(segs, corpus, needle, ts).collect()
+    )
+    assert got == want and got
+
+
 def test_stream_ingest_restart_is_idempotent(spark, tmp_path):
     """Re-running the stream over the same checkpoint must not duplicate
     batches (exactly-once input tracking + manifest idempotence)."""

@@ -56,6 +56,7 @@ heavy_threshold = n_docs // 100 if not with_pos else n_docs // 20
 n_salts = 16 if not with_pos else 8
 m = build_index(spark, corpus, idx, analyzer=analyzer, n_batches=1,
                 with_positions=with_pos,
+                membership=not with_pos,  # trigram: docid-only payload
                 num_segments=4 * cores,
                 heavy_threshold=heavy_threshold, n_salts=n_salts,
                 heavy_sample_mod=64)
