@@ -43,6 +43,7 @@ __all__ = [
     "probe_trigrams",
     "search_substring",
     "search_substring_batch",
+    "explain_substring",
     "literal_runs",
     "required_trigrams",
     "search_regex_content",
@@ -230,6 +231,47 @@ def search_substring_batch(
         spark = SparkSession.getActiveSession()
         return spark.createDataFrame([], "qid int, docId long")
     return out
+
+
+def explain_substring(
+    needle: str, term_stats, max_probe: int = 8, fold_case: bool = False
+) -> dict:
+    """Driver-side plan report for a substring query (the ``explain`` of
+    the trigram path — zero Spark jobs when ``term_stats`` is the
+    driver-local pandas frame): which trigrams the needle requires, which
+    ``max_probe`` rarest ones would be probed (with their df), the
+    candidate upper bound (min probe df — the intersection can't exceed
+    its smallest list), and the strategy the search would take."""
+    nd = needle.lower() if fold_case else needle
+    tris = needle_trigrams(nd)
+    if not tris:
+        return {"needle": needle, "strategy": "full_scan",
+                "reason": "needle shorter than 3 chars", "trigrams": [],
+                "probes": [], "max_candidates": None}
+    if isinstance(term_stats, DataFrame):
+        from ..functions.predicates import isin_expr
+
+        rows = (
+            term_stats.where(isin_expr("term", tris))
+            .select("term", "df").collect()
+        )
+        dfs = {r["term"]: int(r["df"]) for r in rows}
+    else:
+        sub = term_stats[term_stats["term"].isin(tris)]
+        dfs = {t: int(d) for t, d in zip(sub["term"], sub["df"])}
+    if len(dfs) < len(tris):
+        missing = sorted(set(tris) - set(dfs))
+        return {"needle": needle, "strategy": "empty",
+                "reason": f"trigrams not in index: {missing[:4]}",
+                "trigrams": tris, "probes": [], "max_candidates": 0}
+    ranked = sorted(tris, key=lambda t: (dfs[t], t))[:max_probe]
+    return {
+        "needle": needle,
+        "strategy": "probe_verify",
+        "trigrams": tris,
+        "probes": [(t, dfs[t]) for t in ranked],
+        "max_candidates": min(dfs[t] for t in ranked),
+    }
 
 
 # --- regex planning -------------------------------------------------------

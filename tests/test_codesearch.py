@@ -256,6 +256,55 @@ def test_field_substring_path(spark):
     shutil.rmtree(idx, ignore_errors=True)
 
 
+def test_explain_substring(spark, tri_index):
+    """Plan report matches what the search actually does: probe set, df
+    ranks, candidate upper bound, and the strategy per needle class."""
+    corpus, segs, ts = tri_index
+    import pandas as pd
+
+    from search_engine_spark.sources.segments import load_term_stats_pdf
+
+    rep = C.explain_substring("apple a day", ts, max_probe=3)
+    assert rep["strategy"] == "probe_verify" and len(rep["probes"]) == 3
+    dfs = [d for _, d in rep["probes"]]
+    assert dfs == sorted(dfs)  # rarest first
+    n_hits = len(_ids(C.search_substring(segs, corpus, "apple a day", ts)))
+    assert n_hits <= rep["max_candidates"]
+    assert C.explain_substring("zz", ts)["strategy"] == "full_scan"
+    assert C.explain_substring("zzqx-never", ts)["strategy"] == "empty"
+    # pandas-stats form gives the identical plan (serving mode, zero jobs)
+    pdf_stats = ts.toPandas()
+    assert C.explain_substring("apple a day", pdf_stats, max_probe=3) == rep
+
+
+def test_federated_substring(spark, tmp_path):
+    """Substring search over a doc-partitioned FEDERATION of membership
+    trigram shards: probes push into every shard's scan through the union,
+    probe df comes from the summed global stats — results equal the
+    full-scan truth (the 10^12-file sharded-deployment shape)."""
+    from search_engine_spark.operators.federation import (
+        build_sharded_index,
+        federated_segments,
+        global_term_stats,
+    )
+    from search_engine_spark.sources.corpus import synthetic_corpus
+
+    corpus = synthetic_corpus(spark, n_docs=240, vocab_size=500, seed=13)
+    root = str(tmp_path / "fed_tri")
+    build_sharded_index(
+        spark, corpus, root, n_shards=2, analyzer="trigram",
+        with_positions=False, membership=True, n_batches=1, num_segments=2,
+    )
+    segs = federated_segments(spark, root)
+    ts = global_term_stats(spark, root)
+    for needle in ["apple a day", "tok1 tok", "zzq-never"]:
+        want = _ids(
+            corpus.where(F.col("content").contains(F.lit(needle)))
+            .select("docId")
+        )
+        assert _ids(C.search_substring(segs, corpus, needle, ts)) == want, needle
+
+
 # --- grep lines + symbols ----------------------------------------------------
 
 
