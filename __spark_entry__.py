@@ -1421,6 +1421,28 @@ def q_q2tb_substring_batch(spark, sf_dir):
     )
 
 
+BATCH_PATTERNS = {
+    0: "merge [a-z]+ scan",     # prunable (literal runs >= 3 chars)
+    1: "(table|spark) scan",    # alternation -> shared full-scan fallback
+    2: "windowzz+",             # prunable, provably empty (trigram absent)
+}
+
+
+def q_q2rb_regex_batch(spark, sf_dir):
+    """q2rb: batched regex serving — prunable patterns share the substring
+    batch's indexed plan (CASE-chain rlike verify); unprunable ones share
+    ONE corpus scan (exploded CASE cells)."""
+    from search_engine_spark.operators.codesearch import search_regex_batch
+    from search_engine_spark.sources.segments import load_segments, load_term_stats
+
+    idx, _ = _index_trigram(spark, sf_dir)
+    segs, ts = load_segments(spark, idx), load_term_stats(spark, idx)
+    corpus = _docs(spark, sf_dir)
+    return search_regex_batch(segs, corpus, BATCH_PATTERNS, ts).select(
+        "qid", F.col("docId").alias("doc_id")
+    )
+
+
 def q_q2tc_match_counts(spark, sf_dir):
     """q2tc: grep -c shape — occurrence counts per matching doc (length
     arithmetic, no regex engine), over the trigram substring hits."""
@@ -2056,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2rx_regex_search": q_q2rx_regex_content,
         "q17_grep_lines": q_q17_grep_lines,
         "q2tb_substring_batch": q_q2tb_substring_batch,
+        "q2rb_regex_batch": q_q2rb_regex_batch,
         "q2tc_match_counts": q_q2tc_match_counts,
         "sym1_symbols": q_sym1_symbols,
         "a8_japanese": q_a8_japanese,
@@ -3080,6 +3103,11 @@ CROSS JOIN stats s
             f"""SELECT {qid} AS qid, doc_id FROM documents
                 WHERE contains(text, '{nd}')"""
             for qid, nd in BATCH_NEEDLES.items()
+        ),
+        "q2rb_regex_batch": " UNION ALL ".join(
+            f"""SELECT {qid} AS qid, doc_id FROM documents
+                WHERE regexp_matches(text, '{pat}')"""
+            for qid, pat in BATCH_PATTERNS.items()
         ),
         "q2tc_match_counts": f"""
             SELECT doc_id,

@@ -47,6 +47,7 @@ __all__ = [
     "literal_runs",
     "required_trigrams",
     "search_regex_content",
+    "search_regex_batch",
     "grep_lines",
     "count_matches",
     "extract_symbols",
@@ -221,12 +222,19 @@ def search_substring_batch(
             .where(content.contains(needle_m[F.col("qid")]))
             .select("qid", "docId")
         )
-    for qid in scan_qids:
-        row = (
-            corpus.where(content.contains(F.lit(folded[qid])))
-            .select(F.lit(qid).alias("qid"), "docId")
+    if scan_qids:
+        # all short-needle fallbacks share ONE corpus scan: per-qid CASE
+        # cells exploded and null-filtered (Q scans collapse to one)
+        cells = F.array(*[
+            F.when(content.contains(F.lit(folded[q])), F.lit(q))
+            for q in sorted(scan_qids)
+        ])
+        scanned = (
+            corpus.select("docId", F.explode(cells).alias("qid"))
+            .where(F.col("qid").isNotNull())
+            .select("qid", "docId")
         )
-        out = row if out is None else out.unionByName(row)
+        out = scanned if out is None else out.unionByName(scanned)
     if out is None:
         spark = SparkSession.getActiveSession()
         return spark.createDataFrame([], "qid int, docId long")
@@ -439,6 +447,84 @@ def search_regex_content(
         .where(F.col("content").rlike(pattern))
         .select("docId")
     )
+
+
+def search_regex_batch(
+    segments: DataFrame,
+    corpus: DataFrame,
+    patterns: dict[int, str],
+    term_stats=None,
+    max_probe: int = 8,
+) -> DataFrame:
+    """Batch regex serving: Q patterns in ONE indexed job plus (at most)
+    ONE shared full scan — (qid, docId) rows.
+
+    Prunable patterns (those yielding required literal trigrams) share the
+    substring batch's plan: one ``In``-pushed membership decode over the
+    union of probe trigrams, broadcast (term, qid) fanout, one
+    count-matching agg, one hydrate; the verify is a literal per-qid CASE
+    chain of ``rlike`` predicates (each branch's pattern stays a foldable
+    literal — codegen-compilable on any Spark). Unprunable patterns
+    (alternation/lookaround/short literals) evaluate in ONE shared corpus
+    scan: an array of ``CASE WHEN rlike THEN qid END`` cells, exploded and
+    null-filtered — Q full scans collapse to one."""
+    probe_by_qid: dict[int, list[str]] = {}
+    scan_qids: list[int] = []
+    for qid, pat in patterns.items():
+        req = required_trigrams(pat)
+        if not req:
+            scan_qids.append(qid)
+            continue
+        if term_stats is not None:
+            probes = probe_trigrams(req, term_stats, max_probe)
+            if not probes:
+                continue  # a required literal is unindexed: no match
+        else:
+            probes = req[:max_probe]
+        probe_by_qid[qid] = probes
+
+    out = None
+    if probe_by_qid:
+        term_qid = [(t, q) for q, ps in probe_by_qid.items() for t in ps]
+        all_probes = sorted({t for t, _ in term_qid})
+        spark = SparkSession.getActiveSession()
+        fanout = spark.createDataFrame(term_qid, "term string, qid int")
+        need_m = F.create_map(
+            *[x for q, ps in probe_by_qid.items() for x in (F.lit(q), F.lit(len(ps)))]
+        )
+        cands = (
+            decode_term_docids(segments, all_probes)
+            .join(F.broadcast(fanout), "term")
+            .groupBy("qid", "docId")
+            .agg(F.count_distinct("term").alias("m"))
+            .where(F.col("m") == need_m[F.col("qid")])
+            .select("qid", "docId")
+        )
+        verify = None
+        for q in sorted(probe_by_qid):
+            branch = F.col("content").rlike(patterns[q])
+            verify = (F.when(F.col("qid") == q, branch) if verify is None
+                      else verify.when(F.col("qid") == q, branch))
+        out = (
+            corpus.join(F.broadcast(cands), "docId")
+            .where(verify)
+            .select("qid", "docId")
+        )
+    if scan_qids:
+        cells = F.array(*[
+            F.when(F.col("content").rlike(patterns[q]), F.lit(q))
+            for q in sorted(scan_qids)
+        ])
+        scanned = (
+            corpus.select("docId", F.explode(cells).alias("qid"))
+            .where(F.col("qid").isNotNull())
+            .select("qid", "docId")
+        )
+        out = scanned if out is None else out.unionByName(scanned)
+    if out is None:
+        spark = SparkSession.getActiveSession()
+        return spark.createDataFrame([], "qid int, docId long")
+    return out
 
 
 def grep_lines(

@@ -173,6 +173,23 @@ def test_regex_equals_full_scan(spark, tri_index):
         assert got == want, pat
 
 
+def test_regex_batch_equals_per_pattern(spark, tri_index):
+    """Batch regex == per-pattern singles across all classes: prunable,
+    full-scan fallback (alternation / short literals), and no-match."""
+    corpus, segs, ts = tri_index
+    pats = {i: p for i, (p, _) in enumerate(PATTERNS_M)}
+    got = sorted(
+        (r.qid, r.docId)
+        for r in C.search_regex_batch(segs, corpus, pats, ts).collect()
+    )
+    want = sorted(
+        (qid, d)
+        for qid, p in pats.items()
+        for d in _ids(C.search_regex_content(segs, corpus, p, ts))
+    )
+    assert got == want and got
+
+
 def test_fold_case_substring(spark):
     texts = ["Alpha BETA gamma", "ALPHA only", "unrelated"]
     corpus = corpus_from_texts(spark, texts)
