@@ -198,6 +198,17 @@ def run_trial(spark, sf_dir: str, docs, n_docs_sf: int, syn, n_syn: int) -> dict
             tsegs, docs, "merge [a-z]+ scan", tstats
         ).count(),
     )
+    # batched substring serving: 32 needles, one shared probe/verify job
+    from search_engine_spark.operators.codesearch import search_substring_batch
+
+    nv2 = len(vocab)
+    sub_batch = {
+        i: f"{vocab[i % nv2]} {vocab[(i * 11 + 3) % nv2]}" for i in range(32)
+    }
+    timed(
+        "substring_batch32",
+        lambda: search_substring_batch(tsegs, docs, sub_batch, tstats).count(),
+    )
     shutil.rmtree(idx_t, ignore_errors=True)
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
