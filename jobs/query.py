@@ -61,6 +61,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="bm25 mode: col=value:weight fielded-BM25 part "
                          "(repeatable; needs fields= at build + finalized "
                          "avgdl_by_field)")
+    ap.add_argument("--explain", action="store_true",
+                    help="substring mode: print the trigram plan report "
+                         "(strategy, rarest-K probes with df, candidate "
+                         "upper bound) instead of executing")
     ap.add_argument("--master", default=None, help="local testing only")
     ap.add_argument(
         "--ignore-deleted", action="store_true",
@@ -230,6 +234,21 @@ def main(argv: list[str] | None = None) -> int:
             search_substring,
         )
 
+        needle = a.terms[0]
+        if a.explain and a.mode == "substring":
+            # plan-only: needs the index stats, never the corpus
+            from search_engine_spark.operators.codesearch import (
+                explain_substring,
+            )
+
+            rep = explain_substring(
+                needle, stats, fold_case=analyzer == "trigram_fold"
+            )
+            print(json.dumps({"mode": a.mode, "explain": rep,
+                              "latency_sec": round(time.time() - t0, 3)}))
+            if owns_session:
+                spark.stop()
+            return 0
         if not a.corpus:
             ap.error(f"{a.mode} mode requires --corpus (raw content source)")
         corpus = spark.read.parquet(a.corpus)
@@ -237,7 +256,6 @@ def main(argv: list[str] | None = None) -> int:
             corpus = corpus.withColumnRenamed("doc_id", "docId")
         if "content" not in corpus.columns and "text" in corpus.columns:
             corpus = corpus.withColumnRenamed("text", "content")
-        needle = a.terms[0]
         if a.mode == "regexcontent":
             hits = search_regex_content(segs, corpus, needle, stats)
         else:

@@ -191,6 +191,13 @@ def test_query_job_codesearch_modes(spark, tmp_path_factory, capsys):
     g = run(["--mode", "grep", "--corpus", src, "--k", "5", needle])
     assert g["results"] and all(needle in r["line"] for r in g["results"])
     assert all(r["line_no"] == 1 for r in g["results"])  # single-line docs
+    assert all(
+        r["line"][r["col_no"] - 1:].startswith(needle) for r in g["results"]
+    )
+
+    ex = run(["--mode", "substring", "--explain", needle])  # no --corpus
+    assert ex["explain"]["strategy"] == "probe_verify"
+    assert ex["explain"]["probes"] and ex["explain"]["max_candidates"] >= len(want)
 
 
 def test_pagerank_job_rank_window(spark, tmp_path_factory, capsys):
