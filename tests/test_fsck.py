@@ -143,3 +143,30 @@ def test_cli_roundtrip(built, capsys):
     assert main(["--index", idx]) == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["ok"] and rep["violations"] == {}
+
+
+def test_membership_index_audits_and_detects_tamper(spark, tmp_index):
+    """Membership (tf/dl-free) rows audit clean under the tf=1 reading, and
+    fsck still catches metadata tampering on them: a rewritten block_max_tf
+    contradicts the synthesized all-ones tf stream."""
+    build_index(spark, corpus_from_texts(spark, TEXTS), tmp_index,
+                analyzer="trigram", with_positions=False, membership=True,
+                n_batches=2, num_segments=4, n_salts=2)
+    rep = fsck_index(spark, tmp_index, deep=True)
+    assert rep["ok"], rep
+    _rewrite_batch(spark, tmp_index, "0", lambda df: df.withColumn(
+        "block_max_tf",
+        F.transform("block_max_tf", lambda x: (x + 1).cast("int"))))
+    rep = fsck_index(spark, tmp_index, deep=True)
+    assert not rep["ok"]
+    assert rep["violations"].get("block_max_tf", 0) >= 1
+    # sum_tf tamper: membership sum_tf must equal ndocs
+    build2 = str(tmp_index) + "_2"
+    build_index(spark, corpus_from_texts(spark, TEXTS), build2,
+                analyzer="trigram", with_positions=False, membership=True,
+                n_batches=1, num_segments=2, n_salts=2)
+    _rewrite_batch(spark, build2, "0", lambda df: df.withColumn(
+        "sum_tf", (F.col("sum_tf") + 1).cast("long")))
+    rep2 = fsck_index(spark, build2, deep=True)
+    assert not rep2["ok"] and rep2["violations"].get("sum_tf", 0) >= 1
+    shutil.rmtree(build2, ignore_errors=True)
