@@ -265,7 +265,9 @@ def main(argv: list[str] | None = None) -> int:
             )
         hits = live(hits, tomb)
         if a.mode == "grep":
-            out = grep_lines(corpus, hits, needle).limit(a.k).collect()
+            out = grep_lines(
+                corpus, hits, needle, fold_case=analyzer == "trigram_fold"
+            ).limit(a.k).collect()
             rows = [
                 {"docId": r.docId, "line_no": r.line_no,
                  "col_no": r.col_no, "line": r.line}

@@ -289,6 +289,12 @@ _META = set(".^$*+?{}[]()|\\")
 # Escapes that stand for a single literal char (Java regex + RE2 common set).
 _LITERAL_ESCAPES = {c: c for c in ".^$*+?{}[]()|\\-/ "}
 _LITERAL_ESCAPES.update({"n": "\n", "t": "\t", "r": "\r"})
+# Escapes safe to treat as "one position / zero width, breaks the run".
+_CLASS_OR_ANCHOR_ESCAPES = set("dDwWsS" "bBAZzG")
+
+
+def _is_hex(s: str, want: int) -> bool:
+    return len(s) == want and all(c in "0123456789abcdefABCDEF" for c in s)
 
 
 def literal_runs(pattern: str) -> list[str] | None:
@@ -326,10 +332,28 @@ def literal_runs(pattern: str) -> list[str] | None:
                 continue
             if nxt.isdigit():
                 return None  # backreference
-            # class escape (\d \w \s \b ...): consumes one position, breaks run
-            flush()
-            i += 2
-            continue
+            if nxt == "x" and _is_hex(pattern[i + 2 : i + 4], 2):
+                cur.append(chr(int(pattern[i + 2 : i + 4], 16)))
+                i += 4
+                continue
+            if nxt == "u" and _is_hex(pattern[i + 2 : i + 6], 4):
+                cur.append(chr(int(pattern[i + 2 : i + 6], 16)))
+                i += 6
+                continue
+            if nxt in "aefv":
+                cur.append({"a": "\a", "e": "\x1b", "f": "\f", "v": "\v"}[nxt])
+                i += 2
+                continue
+            if nxt in _CLASS_OR_ANCHOR_ESCAPES:
+                # class escape (\d \w \s) consumes one position and breaks the
+                # run; zero-width anchors (\b \B \A \Z \z \G) just break it.
+                flush()
+                i += 2
+                continue
+            # \x/\u with malformed operand, \c, \p, \P, \N, \k, \Q...: the
+            # escape's operand would otherwise leak into the run as required
+            # literals (over-pruning true matches) — bail to full scan.
+            return None
         if c == "[":
             # char class: skip to unescaped ']' (leading ']' is literal)
             flush()
@@ -532,6 +556,7 @@ def grep_lines(
     hits: DataFrame,
     needle: str,
     delimiter: str = "\n",
+    fold_case: bool = False,
 ) -> DataFrame:
     """The grep serving shape: per matched doc, the 1-based line numbers and
     line text containing ``needle`` — (docId, line_no, line). ``hits`` is a
@@ -541,29 +566,40 @@ def grep_lines(
     themselves. ``delimiter`` is a regex (Spark ``split`` semantics);
     single-line corpora degenerate to line_no=1 rows, multi-line code gets
     real grep output. ``col_no`` is the 1-based character column of the
-    line's FIRST match (grep -n shows each line once)."""
+    line's FIRST match (grep -n shows each line once).
+
+    ``fold_case=True`` (grep -i, pair with a ``trigram_fold`` index whose
+    ``search_substring(..., fold_case=True)`` hits are case-insensitive):
+    the filter and ``col_no`` compare against the lowered line, the printed
+    ``line`` stays original-case — otherwise lines that matched only
+    case-insensitively silently vanish from grep output."""
     lines = F.split(F.col("content"), delimiter)
+    nd = needle.lower() if fold_case else needle
+    cmp_line = F.lower(F.col("line")) if fold_case else F.col("line")
     return (
         corpus.join(F.broadcast(hits), "docId", "left_semi")
         .select("docId", F.posexplode(lines).alias("pos", "line"))
-        .where(F.col("line").contains(F.lit(needle)))
+        .where(cmp_line.contains(F.lit(nd)))
         .select(
             "docId",
             (F.col("pos") + 1).alias("line_no"),
-            F.locate(needle, F.col("line")).alias("col_no"),
+            F.locate(nd, cmp_line).alias("col_no"),
             "line",
         )
     )
 
 
-def count_matches(corpus: DataFrame, hits: DataFrame, needle: str) -> DataFrame:
+def count_matches(
+    corpus: DataFrame, hits: DataFrame, needle: str, fold_case: bool = False
+) -> DataFrame:
     """grep -c / occurrence-ranked substring results: (docId, n_matches)
     sorted by match count. Occurrences are counted with pure length
     arithmetic (non-overlapping, like grep) — no regex engine, no UDF, one
-    projection over the broadcast-pruned hit docs."""
-    n = (
-        F.length("content") - F.length(F.replace(F.col("content"), F.lit(needle)))
-    ) / F.lit(len(needle))
+    projection over the broadcast-pruned hit docs. ``fold_case`` counts
+    case-insensitively (pair with fold-case hits, as in grep_lines)."""
+    nd = needle.lower() if fold_case else needle
+    hay = F.lower(F.col("content")) if fold_case else F.col("content")
+    n = (F.length(hay) - F.length(F.replace(hay, F.lit(nd)))) / F.lit(len(nd))
     return (
         corpus.join(F.broadcast(hits), "docId", "left_semi")
         .select("docId", n.cast("int").alias("n_matches"))

@@ -443,12 +443,20 @@ def _decode_row_blocks(r, take: np.ndarray | None):
     ends_d = np.append(offs[1:], len(r.docids))
     ends_t = np.append(toffs[1:], len(r.tfs))
     ends_l = np.append(dloffs[1:], len(r.dls))
+    # membership rows (trigram/substring indexes) store EMPTY tf/dl blobs:
+    # tf and dl read as constant 1, mirroring segments._decode_batch, so
+    # ranked queries over a membership index score tf=1/dl=1 as documented.
+    memb_tf = len(r.tfs) == 0
+    memb_dl = len(r.dls) == 0
     ds, ts, ls = [], [], []
     for i in np.flatnonzero(take):
         deltas = varbyte_decode(r.docids, int(offs[i]), int(ends_d[i] - offs[i]))
         ds.append(np.cumsum(deltas))
-        ts.append(varbyte_decode(r.tfs, int(toffs[i]), int(ends_t[i] - toffs[i])))
-        ls.append(varbyte_decode(r.dls, int(dloffs[i]), int(ends_l[i] - dloffs[i])))
+        ones = np.ones(len(deltas), dtype=np.int64)
+        ts.append(ones if memb_tf else
+                  varbyte_decode(r.tfs, int(toffs[i]), int(ends_t[i] - toffs[i])))
+        ls.append(ones if memb_dl else
+                  varbyte_decode(r.dls, int(dloffs[i]), int(ends_l[i] - dloffs[i])))
     if not ds:
         z = np.empty(0, dtype=np.int64)
         return z, z, z

@@ -56,11 +56,21 @@ class ServingCacheStale(RuntimeError):
 def _atomic_feather(tbl, path: str) -> None:
     """THE shard write convention — uncompressed (mmap-fast) feather, tmp +
     atomic rename — shared by prepare, refresh deltas, and folds so their
-    crash-safety and read-speed properties can never diverge."""
+    crash-safety and read-speed properties can never diverge.
+
+    The tmp name is unique per writer (pid + random suffix): two processes
+    refreshing one cache dir may write the same shard concurrently, and a
+    SHARED tmp path would let their byte streams interleave before the
+    rename — os.replace is atomic, a .tmp file open for write by two
+    writers is not. With unique tmps each rename publishes one writer's
+    complete file; last writer wins, both files are well-formed."""
+    import uuid
+
     import pyarrow.feather as feather
 
-    feather.write_feather(tbl, path + ".tmp", compression="uncompressed")
-    os.replace(path + ".tmp", path)
+    tmp = f"{path}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
+    feather.write_feather(tbl, tmp, compression="uncompressed")
+    os.replace(tmp, path)
 
 
 def _write_bucket_shards(bucketed, cdir: str, suffix: str):
@@ -76,6 +86,14 @@ def _write_bucket_shards(bucketed, cdir: str, suffix: str):
 
         b = int(key[0])
         name = f"bucket={b}{suffix}.feather"
+        # deterministic row order: applyInPandas emission order varies run
+        # to run, and the concurrent-refresh safety argument (docstring of
+        # refresh_serving_cache) relies on racing writers producing
+        # byte-identical shards. (term, lo_docid, docids-prefix) is a unique
+        # key per packed row within a bucket.
+        pdf = pdf.sort_values(
+            ["term", "lo_docid", "docids"], ignore_index=True, kind="stable"
+        )
         _atomic_feather(
             pa.Table.from_pandas(pdf, preserve_index=False),
             os.path.join(cdir, name),

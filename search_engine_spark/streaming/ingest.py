@@ -63,6 +63,19 @@ def index_sink(
             fresh.setdefault("membership", membership)
 
         m = update_manifest(index_dir, _defaults)
+        # one index = one format: a stream restarted with different flags
+        # than the manifest records must fail HERE, not write mixed
+        # membership/positional batches that blow up at compaction
+        # (_merge_encoder_impl raises on mixed rows much later).
+        eff = {k: m.get(k) for k in ("analyzer", "with_positions", "membership")}
+        want = {"analyzer": analyzer, "with_positions": with_positions,
+                "membership": membership}
+        if eff != want:
+            raise ValueError(
+                f"index_sink flags {want} conflict with the manifest's "
+                f"recorded format {eff} for index {index_dir}; restart the "
+                "stream with the manifest's flags or build a new index"
+            )
         build_one_batch(
             spark, batch_df, index_dir, key, m,
             analyzer=analyzer, num_segments=num_segments,

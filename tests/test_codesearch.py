@@ -67,6 +67,42 @@ def test_literal_runs_goldens():
     assert runs(r"[unterminated") is None
 
 
+def test_literal_runs_operand_escapes():
+    """Escapes with operands (\\xhh, \\uhhhh, \\cX, \\p{..}) must never leak
+    their operand chars into required runs (ADVICE r4: over-pruning)."""
+    import re as _re
+
+    runs = C.literal_runs
+    # \xhh / \uhhhh decode to the literal char, keeping the run intact
+    assert runs(r"foo\x41bar") == ["fooAbar"]
+    assert runs(r"fooAbar") == ["fooAbar"]
+    assert runs(r"a\x2Bb") == ["a+b"]
+    # single-char control escapes
+    assert runs(r"a\fb") == ["a\fb"]
+    assert runs(r"a\vb") == ["a\vb"]
+    assert runs(r"a\ab") == ["a\ab"]
+    # operand escapes we can't decode conservatively: bail, never over-claim
+    assert runs(r"\cAfoo") is None
+    assert runs(r"\p{L}foo") is None
+    assert runs(r"\P{L}foo") is None
+    assert runs(r"\N{COLON}x") is None
+    assert runs(r"(?P<g>a)(?P=g)") is None  # named group -> bail at (?P
+    assert runs(r"a\x4") is None  # truncated hex operand
+    assert runs(r"a\x4Gb") is None  # malformed hex operand
+    # the containment invariant itself, on real matches
+    for pat, text in [
+        (r"foo\x41bar", "fooAbar"),
+        (r"fooAbar", "xxfooAbarzz"),
+        (r"end\x2E", "the end."),
+    ]:
+        got = runs(pat)
+        assert got is not None
+        m = _re.search(pat, text)
+        assert m is not None
+        for r in got:
+            assert r in text, (pat, r, text)
+
+
 def test_required_trigrams():
     assert C.required_trigrams(r"ab|cd") is None
     assert C.required_trigrams(r"a.b") == []  # no run reaches 3 chars

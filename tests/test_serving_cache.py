@@ -316,3 +316,44 @@ def test_refresh_rejects_rebuilt_index(spark, tmp_path_factory):
         spark, cache2, stats, {0: ["walrus"], 1: ["scan"]}, analyzer="naive"))
     assert got and all(q == 0 for q, _, _ in got)  # old corpus gone
     del old_gen
+
+
+def test_membership_index_daat_and_cache(spark, tmp_path_factory):
+    """ADVICE r4: a membership index (empty tf/dl blobs) must serve the
+    ranked paths — score_query_daat, the batch kernel, and the serving
+    cache — under the documented tf=1/dl=1 reading, identical to the
+    declarative exhaustive path over the decoded postings."""
+    root = tmp_path_factory.mktemp("memb_rank")
+    idx, cdir = str(root / "idx"), str(root / "cache")
+    corpus = corpus_from_texts(spark, DOCS)
+    m = S.build_index(spark, corpus, idx, analyzer="naive", n_batches=2,
+                      membership=True, with_positions=False)
+    segs = S.load_segments(spark, idx)
+    assert segs.selectExpr("sum(octet_length(tfs))").first()[0] == 0
+    stats = load_term_stats_pdf(idx)
+    nd, avg = m["stats"]["n_docs"], m["stats"]["avgdl"]
+    span = (m["stats"]["docid_lo"], m["stats"]["docid_hi"])
+    decoded = S.decode_postings_packed(segs)
+    queries = {0: ["scan", "table"], 1: ["apple"], 2: ["spark", "join"]}
+    ts_df = S.load_term_stats(spark, idx)
+    for sc in (R.Scorer("bm25"), R.Scorer("tfidf_cosine")):
+        # oracle: declarative scoring over decoded (tf=1, dl=1) postings
+        for qid, kws in queries.items():
+            want = sorted((r.docId, round(r.score, 12)) for r in R.score_query(
+                spark, decoded, ts_df, kws, nd, avg, sc, k=5,
+                analyzer="naive").collect())
+            got = sorted((r.docId, round(r.score, 12)) for r in R.score_query_daat(
+                spark, segs, ts_df, kws, nd, avg, sc, k=5,
+                analyzer="naive", docid_span=span).collect())
+            assert got == want and got, (sc.kind, qid)
+        batch = _rows(R.score_queries_daat_batch(
+            spark, segs, ts_df, queries, nd, avg, sc, k=5,
+            analyzer="naive", docid_span=span))
+        assert batch
+    cache = prepare_serving_cache(spark, idx, cdir, n_buckets=4)
+    cached = _rows(score_queries_cached(
+        spark, cache, stats, queries, k=5, analyzer="naive"))
+    in_plan = _rows(R.score_queries_daat_batch(
+        spark, segs, load_term_stats_pdf(idx), queries, nd, avg,
+        R.Scorer("bm25"), k=5, analyzer="naive", docid_span=span))
+    assert cached == in_plan and cached

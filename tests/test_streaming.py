@@ -615,3 +615,39 @@ def test_trending_terms_batch(spark):
     assert got[("2024-01-01 00:30:00", "d")] == 1
     # events at :05/:10 also land in the 23:30 window of the previous day
     assert got[("2023-12-31 23:30:00", "a")] == 3
+
+
+def test_stream_restart_with_conflicting_flags_fails_loudly(spark, tmp_path):
+    """ADVICE r4: a stream restarted with different format flags than the
+    manifest records must raise at the sink, never silently write mixed
+    membership/positional batches that only explode at compaction."""
+    import pyspark.sql.utils  # noqa: F401
+
+    corpus = corpus_from_texts(spark, TEXTS)
+    src = tmp_path / "in_conflict"
+    src.mkdir()
+    corpus.select("docId", "content").toPandas().to_parquet(
+        src / "all.parquet", index=False
+    )
+    idx = str(tmp_path / "idx_conflict")
+    stream = stream_corpus_from_files(spark, str(src), STREAM_SCHEMA)
+    q = index_sink(
+        spark, stream, idx, analyzer="trigram", num_segments=2,
+        checkpoint_dir=str(tmp_path / "ck_a"), trigger_available_now=True,
+        with_positions=False, membership=True,
+    )
+    q.awaitTermination(120)
+    # second file arrives; restart the stream WITHOUT membership
+    corpus.select("docId", "content").toPandas().to_parquet(
+        src / "more.parquet", index=False
+    )
+    stream2 = stream_corpus_from_files(spark, str(src), STREAM_SCHEMA)
+    q2 = index_sink(
+        spark, stream2, idx, analyzer="trigram", num_segments=2,
+        checkpoint_dir=str(tmp_path / "ck_a"), trigger_available_now=True,
+        with_positions=False, membership=False,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="conflict with the manifest"):
+        q2.awaitTermination(120)
