@@ -2019,6 +2019,52 @@ def q_m2_media_features(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- keys without driver-run correctness evidence yet, FIRST:
+        # the driver consumes this dict in order and may stop at its
+        # per-round budget (r04 reached 50/91), so never-verified keys
+        # must not sit behind already-green ones.
+        "q14r_range_facets": q_q14r_range_facets,
+        "q8c_collapse_by_source": q_q8c_collapse,
+        "q8_bm25_porter": q_q8_bm25_porter,
+        "a7_wordbreak": q_a7_wordbreak,
+        "a10_code_subtokens": q_a10_code_subtokens,
+        "q2t_substring_search": q_q2t_substring,
+        "q2rx_regex_search": q_q2rx_regex_content,
+        "q17_grep_lines": q_q17_grep_lines,
+        "q2tb_substring_batch": q_q2tb_substring_batch,
+        "q2rb_regex_batch": q_q2rb_regex_batch,
+        "q2tc_match_counts": q_q2tc_match_counts,
+        "sym1_symbols": q_sym1_symbols,
+        "a8_japanese": q_a8_japanese,
+        "b8_dense_docids": q_b8_dense_docids,
+        "q9_pagerank": q_q9_pagerank,
+        "q12_doc_iteration": q_q12_doc_iteration,
+        "d1_exact_dedup": q_d1_exact_dedup,
+        "d2_minhash_pairs": q_d2_minhash_pairs,
+        "d6_dedup_clusters": q_d6_dedup_clusters,
+        "d3_simhash": q_d3_simhash,
+        "d4_ngram_jaccard": q_d4_jaccard,
+        "d5_embedding_neardup": q_d5_embedding_neardup,
+        "e1_cosine_topk": q_e1_cosine_topk,
+        "e2_lsh_topk": q_e2_lsh_topk,
+        "e3_ivf_topk": q_e3_ivf_topk,
+        "t4_bpe_tokens": q_t4_bpe_tokens,
+        "t5_stratified_sample": q_t5_stratified_sample,
+        "t6_token_budget": q_t6_token_budget,
+        "t1_lang_id": q_t1_lang_id,
+        "t1b_lang_id_nb": q_t1b_lang_id_nb,
+        "t2_quality_score": q_t2_quality,
+        "t3_fingerprint": q_t3_fingerprint,
+        "t8_repetition_stats": q_t8_repetition,
+        "d7_decontaminate": q_d7_decontaminate,
+        "t10_pii_scrub": q_t10_pii_scrub,
+        "st2_user_sessions": q_st2_user_sessions,
+        "st3_trending_terms": q_st3_trending_terms,
+        "t11_sequence_pack": q_t11_sequence_pack,
+        "t12_domain_mix": q_t12_domain_mix,
+        "m1_media_meta": q_m1_media_meta,
+        "m2_media_features": q_m2_media_features,
+        # --- driver-verified green in CORRECTNESS_r04:
         "s1_scan_filter_project": q_s1_scan,
         "s2_edge_scan": q_s2_edge_scan,
         "s3_url_map": q_s3_url_map,
@@ -2069,47 +2115,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b7q_delete_by_query": q_b7q_delete_by_query,
         "q5sh_phrase_shingles": q_q5sh_phrase_shingled,
         "q2s_synonym_search": q_q2s_synonym_search,
-        "q14r_range_facets": q_q14r_range_facets,
-        "q8c_collapse_by_source": q_q8c_collapse,
-        "q8_bm25_porter": q_q8_bm25_porter,
-        "a7_wordbreak": q_a7_wordbreak,
-        "a10_code_subtokens": q_a10_code_subtokens,
-        "q2t_substring_search": q_q2t_substring,
-        "q2rx_regex_search": q_q2rx_regex_content,
-        "q17_grep_lines": q_q17_grep_lines,
-        "q2tb_substring_batch": q_q2tb_substring_batch,
-        "q2rb_regex_batch": q_q2rb_regex_batch,
-        "q2tc_match_counts": q_q2tc_match_counts,
-        "sym1_symbols": q_sym1_symbols,
-        "a8_japanese": q_a8_japanese,
-        "b8_dense_docids": q_b8_dense_docids,
-        "q9_pagerank": q_q9_pagerank,
-        "q12_doc_iteration": q_q12_doc_iteration,
-        "d1_exact_dedup": q_d1_exact_dedup,
-        "d2_minhash_pairs": q_d2_minhash_pairs,
-        "d6_dedup_clusters": q_d6_dedup_clusters,
-        "d3_simhash": q_d3_simhash,
-        "d4_ngram_jaccard": q_d4_jaccard,
-        "d5_embedding_neardup": q_d5_embedding_neardup,
-        "e1_cosine_topk": q_e1_cosine_topk,
-        "e2_lsh_topk": q_e2_lsh_topk,
-        "e3_ivf_topk": q_e3_ivf_topk,
-        "t4_bpe_tokens": q_t4_bpe_tokens,
-        "t5_stratified_sample": q_t5_stratified_sample,
-        "t6_token_budget": q_t6_token_budget,
-        "t1_lang_id": q_t1_lang_id,
-        "t1b_lang_id_nb": q_t1b_lang_id_nb,
-        "t2_quality_score": q_t2_quality,
-        "t3_fingerprint": q_t3_fingerprint,
-        "t8_repetition_stats": q_t8_repetition,
-        "d7_decontaminate": q_d7_decontaminate,
-        "t10_pii_scrub": q_t10_pii_scrub,
-        "st2_user_sessions": q_st2_user_sessions,
-        "st3_trending_terms": q_st3_trending_terms,
-        "t11_sequence_pack": q_t11_sequence_pack,
-        "t12_domain_mix": q_t12_domain_mix,
-        "m1_media_meta": q_m1_media_meta,
-        "m2_media_features": q_m2_media_features,
     }
 
 

@@ -61,6 +61,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="bm25 mode: col=value:weight fielded-BM25 part "
                          "(repeatable; needs fields= at build + finalized "
                          "avgdl_by_field)")
+    ap.add_argument("--no-full-scan", action="store_true",
+                    help="refuse queries whose only plan is a full corpus "
+                         "scan (short needles, unprunable regex) instead "
+                         "of silently running a whole-corpus job")
     ap.add_argument("--explain", action="store_true",
                     help="substring mode: print the trigram plan report "
                          "(strategy, rarest-K probes with df, candidate "
@@ -242,7 +246,8 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             rep = explain_substring(
-                needle, stats, fold_case=analyzer == "trigram_fold"
+                needle, stats, fold_case=analyzer == "trigram_fold",
+                allow_full_scan=not a.no_full_scan,
             )
             print(json.dumps({"mode": a.mode, "explain": rep,
                               "latency_sec": round(time.time() - t0, 3)}))
@@ -257,11 +262,15 @@ def main(argv: list[str] | None = None) -> int:
         if "content" not in corpus.columns and "text" in corpus.columns:
             corpus = corpus.withColumnRenamed("text", "content")
         if a.mode == "regexcontent":
-            hits = search_regex_content(segs, corpus, needle, stats)
+            hits = search_regex_content(
+                segs, corpus, needle, stats,
+                allow_full_scan=not a.no_full_scan,
+            )
         else:
             hits = search_substring(
                 segs, corpus, needle, stats,
                 fold_case=analyzer == "trigram_fold",
+                allow_full_scan=not a.no_full_scan,
             )
         hits = live(hits, tomb)
         if a.mode == "grep":

@@ -103,6 +103,24 @@ def _candidates_and(segments: DataFrame, probes: list[str]) -> DataFrame:
     )
 
 
+class FullScanRefused(ValueError):
+    """Raised when a query's only plan is a full corpus scan and the caller
+    set ``allow_full_scan=False``. At 10^12 files a single 2-char needle or
+    unprunable regex silently dragging a whole-corpus scan into a serving
+    job is a cost-model bug, not a feature — the planner must refuse
+    EXPLICITLY and name the query, so the caller can route it to a batch
+    tier (or opt in). The message carries the qid/needle and the reason the
+    index could not prune."""
+
+
+def _refuse(what: str, reason: str) -> FullScanRefused:
+    return FullScanRefused(
+        f"full corpus scan required for {what} ({reason}); pass "
+        "allow_full_scan=True to run it anyway, or route this query to a "
+        "batch/offline tier"
+    )
+
+
 def search_substring(
     segments: DataFrame,
     corpus: DataFrame,
@@ -111,6 +129,7 @@ def search_substring(
     max_probe: int = 8,
     fold_case: bool = False,
     field: str | None = None,
+    allow_full_scan: bool = True,
 ) -> DataFrame:
     """Byte-exact substring search: docIds whose content contains ``needle``.
 
@@ -137,6 +156,9 @@ def search_substring(
     prefix = f"{field}{FIELD_SEP}" if field else ""
     nd = needle.lower() if fold_case else needle
     if len(nd) < 3:
+        if not allow_full_scan:
+            raise _refuse(f"needle {needle!r}",
+                          "shorter than 3 chars, no trigram to seek")
         return (
             corpus.where(haystack.contains(F.lit(nd)))
             .select("docId")
@@ -163,6 +185,7 @@ def search_substring_batch(
     term_stats=None,
     max_probe: int = 8,
     fold_case: bool = False,
+    allow_full_scan: bool = True,
 ) -> DataFrame:
     """Batch substring serving: Q needles answered in ONE job — (qid,
     docId) rows. The per-needle plan of :func:`search_substring` is shared
@@ -187,6 +210,9 @@ def search_substring_batch(
     for qid, nd in folded.items():
         tris = needle_trigrams(nd)
         if not tris:
+            if not allow_full_scan:
+                raise _refuse(f"qid={qid} needle {needles[qid]!r}",
+                              "shorter than 3 chars, no trigram to seek")
             scan_qids.append(qid)
             continue
         if term_stats is not None:
@@ -242,7 +268,8 @@ def search_substring_batch(
 
 
 def explain_substring(
-    needle: str, term_stats, max_probe: int = 8, fold_case: bool = False
+    needle: str, term_stats, max_probe: int = 8, fold_case: bool = False,
+    allow_full_scan: bool = True,
 ) -> dict:
     """Driver-side plan report for a substring query (the ``explain`` of
     the trigram path — zero Spark jobs when ``term_stats`` is the
@@ -253,9 +280,12 @@ def explain_substring(
     nd = needle.lower() if fold_case else needle
     tris = needle_trigrams(nd)
     if not tris:
-        return {"needle": needle, "strategy": "full_scan",
-                "reason": "needle shorter than 3 chars", "trigrams": [],
-                "probes": [], "max_candidates": None}
+        return {"needle": needle,
+                "strategy": "full_scan" if allow_full_scan else "refused",
+                "reason": "needle shorter than 3 chars"
+                          + ("" if allow_full_scan else
+                             "; allow_full_scan=False gates the fallback"),
+                "trigrams": [], "probes": [], "max_candidates": None}
     if isinstance(term_stats, DataFrame):
         from ..functions.predicates import isin_expr
 
@@ -450,14 +480,19 @@ def search_regex_content(
     pattern: str,
     term_stats=None,
     max_probe: int = 8,
+    allow_full_scan: bool = True,
 ) -> DataFrame:
     """Regex search over raw content: docIds where ``rlike(content,
     pattern)``. Mandatory-literal trigrams prune via the index when the
     pattern yields any (same probe/verify shape as substring search);
     otherwise the documented fallback is the full ``rlike`` scan — still a
-    single predicate inside whole-stage codegen, just unpruned."""
+    single predicate inside whole-stage codegen, just unpruned (refused
+    when ``allow_full_scan=False`` — see :class:`FullScanRefused`)."""
     req = required_trigrams(pattern)
     if not req:
+        if not allow_full_scan:
+            raise _refuse(f"pattern {pattern!r}",
+                          "no required literal trigrams to prune with")
         return corpus.where(F.col("content").rlike(pattern)).select("docId")
     if term_stats is not None:
         probes = probe_trigrams(req, term_stats, max_probe)
@@ -479,6 +514,7 @@ def search_regex_batch(
     patterns: dict[int, str],
     term_stats=None,
     max_probe: int = 8,
+    allow_full_scan: bool = True,
 ) -> DataFrame:
     """Batch regex serving: Q patterns in ONE indexed job plus (at most)
     ONE shared full scan — (qid, docId) rows.
@@ -497,6 +533,9 @@ def search_regex_batch(
     for qid, pat in patterns.items():
         req = required_trigrams(pat)
         if not req:
+            if not allow_full_scan:
+                raise _refuse(f"qid={qid} pattern {pat!r}",
+                              "no required literal trigrams to prune with")
             scan_qids.append(qid)
             continue
         if term_stats is not None:

@@ -435,3 +435,29 @@ def test_symbol_boosted_ranking(spark, tmp_index):
     ).collect()
     assert rows[0]["docId"] == 1  # definition beats mention-stuffing
     assert {r["docId"] for r in rows} == {0, 1}
+
+
+def test_full_scan_cost_guard(spark, tri_index):
+    """VERDICT r4 item 5: allow_full_scan=False refuses the fallback-scan
+    plans (short needles, unprunable regex) with an explicit planner error
+    naming the query; prunable queries are unaffected; explain reports the
+    refusal."""
+    corpus, segs, ts = tri_index
+    with pytest.raises(C.FullScanRefused, match="'to'"):
+        C.search_substring(segs, corpus, "to", ts, allow_full_scan=False)
+    with pytest.raises(C.FullScanRefused, match="qid=7"):
+        C.search_substring_batch(segs, corpus, {7: "ab"}, ts,
+                                 allow_full_scan=False)
+    with pytest.raises(C.FullScanRefused, match="a|b"):
+        C.search_regex_content(segs, corpus, "a|b", ts,
+                               allow_full_scan=False)
+    with pytest.raises(C.FullScanRefused, match="qid=3"):
+        C.search_regex_batch(segs, corpus, {3: "x|y"}, ts,
+                             allow_full_scan=False)
+    # prunable queries still run under the gate
+    got = _ids(C.search_substring(segs, corpus, "public", ts,
+                                  allow_full_scan=False))
+    assert got == _ids(C.search_substring(segs, corpus, "public", ts))
+    rep = C.explain_substring("to", None, allow_full_scan=False)
+    assert rep["strategy"] == "refused" and "allow_full_scan" in rep["reason"]
+    assert C.explain_substring("to", None)["strategy"] == "full_scan"
