@@ -59,6 +59,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--n-buckets", type=int, default=None)
     ap.add_argument("--scorer", default="bm25",
                     choices=["bm25", "tfidf_cosine"])
+    ap.add_argument("--attach", action="store_true",
+                    help="record this cache in the index manifest and run "
+                         "the initial prepare: from then on every index "
+                         "commit (build batch, compact, purge, tombstone) "
+                         "auto-refreshes it — no per-commit --refresh "
+                         "invocations needed")
     ap.add_argument("--prepare", action="store_true",
                     help="prepare the cache and exit")
     ap.add_argument("--refresh", action="store_true",
@@ -98,7 +104,20 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     try:
         meta_path = os.path.join(a.cache, "serving_cache.json")
-        if a.refresh:
+        if a.attach:
+            from search_engine_spark.operators.serving import (
+                attach_serving_cache,
+            )
+
+            cache = attach_serving_cache(
+                spark, a.index, a.cache, n_buckets=a.n_buckets
+            )
+            print(json.dumps({"attached": True,
+                              "generation": cache["generation"],
+                              "buckets": len(cache["buckets"])}))
+            if not a.queries:
+                return 0
+        elif a.refresh:
             if os.path.exists(meta_path):
                 if a.n_buckets is not None:
                     print(json.dumps({"warning": "--n-buckets is ignored "

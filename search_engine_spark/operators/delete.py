@@ -89,7 +89,14 @@ def add_tombstones(
             {"id": sid, "path": out, "ndocs": n, "created_at": time.time()}
         )
 
-    return update_manifest(index_dir, _commit)
+    m2 = update_manifest(index_dir, _commit)
+    if m2.get("serving_cache"):
+        # tombstones change no shards, only the generation — the attached
+        # cache catches up metadata-only (see serving.attach_serving_cache)
+        from .serving import maybe_refresh_attached
+
+        maybe_refresh_attached(spark, index_dir, m2)
+    return m2
 
 
 def delete_by_keyword(

@@ -53,6 +53,81 @@ class ServingCacheStale(RuntimeError):
     """The index manifest moved past the cache's generation."""
 
 
+class ServingCacheUnreachable(RuntimeError):
+    """A shard file the cache meta references is not visible from here.
+
+    The serving cache REQUIRES a shared store: the executors that write
+    bucket shards and the tasks (and driver) that later mmap them must see
+    one filesystem at ``cache_dir`` (NFS/FUSE-mounted object store/single
+    box). If executors write to node-LOCAL disks, shards land scattered
+    across machines and a later kernel would silently serve whatever subset
+    it can see — missing docs, no error. This exception makes both ends
+    loud: prepare/refresh PROBE visibility from Spark tasks before
+    committing their meta (a misconfiguration fails the prepare, nothing is
+    published), and the serve kernel re-raises missing-file errors as this
+    type with remediation context instead of a bare FileNotFoundError."""
+
+
+def _probe_shards_visible(spark: SparkSession, cdir: str,
+                          expect: list[tuple[str, int]]) -> None:
+    """Distributed visibility probe, the prepare/refresh commit gate: every
+    (file, rows) pair must open and report the same row count FROM SPARK
+    TASKS (which land on arbitrary executors on a real cluster — on a
+    non-shared store at least some probes miss) AND from the driver. Only
+    footers are read (mmap) — cost is one tiny job regardless of shard
+    bytes. Raises :class:`ServingCacheUnreachable` listing every miss."""
+    import socket
+
+    if not expect:
+        return
+
+    def probe(batches):
+        import pyarrow.feather as feather
+
+        host = socket.gethostname()
+        for pdf in batches:
+            errs = []
+            for name, want in zip(pdf["file"], pdf["rows"]):
+                try:
+                    got = feather.read_table(
+                        os.path.join(cdir, name), memory_map=True
+                    ).num_rows
+                    if got != int(want):
+                        errs.append(f"{name}: {got} rows, meta says {want}")
+                except Exception as ex:  # noqa: BLE001 — report, don't mask
+                    errs.append(f"{name}: {type(ex).__name__}: {ex}")
+            yield pd.DataFrame({"host": [host], "err": ["; ".join(errs)]})
+
+    rdd = spark.sparkContext.parallelize(expect, max(len(expect), 1))
+    pdf = (
+        spark.createDataFrame(rdd, "file string, rows long")
+        .mapInPandas(probe, "host string, err string")
+        .toPandas()
+    )
+    bad = pdf[pdf["err"] != ""]
+    # driver-side check too (the driver reads metas and debugging tools read
+    # shards; a driver that can't see the store is equally misconfigured)
+    driver_errs = []
+    for name, want in expect:
+        p = os.path.join(cdir, name)
+        if not os.path.exists(p):
+            driver_errs.append(f"{name}: missing from driver at {p}")
+    if len(bad) or driver_errs:
+        import socket as _s
+
+        details = [f"task@{r.host}: {r.err}" for r in bad.itertuples()]
+        details += [f"driver@{_s.gethostname()}: {e}" for e in driver_errs]
+        raise ServingCacheUnreachable(
+            f"serving cache at {cdir} is not a shared store — shard files "
+            f"written by executors are not visible from probe tasks/driver: "
+            + " | ".join(details[:10])
+            + (f" (+{len(details) - 10} more)" if len(details) > 10 else "")
+            + ". Put cache_dir on a filesystem every executor and the "
+            "driver mount (NFS, FUSE object store, or single-node), or "
+            "serve from the in-plan path (rank.score_queries_daat_batch)."
+        )
+
+
 def _atomic_feather(tbl, path: str) -> None:
     """THE shard write convention — uncompressed (mmap-fast) feather, tmp +
     atomic rename — shared by prepare, refresh deltas, and folds so their
@@ -177,6 +252,10 @@ def prepare_serving_cache(
             key=lambda d: d["bucket"],
         ),
     }
+    # commit gate: every shard must be visible from Spark tasks AND the
+    # driver before the meta publishes it (non-shared cache_dir fails the
+    # prepare loudly, nothing is ever served partially)
+    _probe_shards_visible(spark, cdir, [(f, int(n)) for _, n, f in rows])
     _write_meta(cdir, meta)
     return meta
 
@@ -373,9 +452,73 @@ def refresh_serving_cache(
     # unlinked by the NEXT refresh (see the gc loop above), by which point
     # the generation gate has retired every meta that referenced them.
     meta["gc_pending"] = sorted(set(replaced))
+    # same commit gate as prepare: probe only files this refresh WROTE
+    # (delta shards + folds) — pre-existing base shards were probed by the
+    # prepare/refresh that committed them
+    new_files: list[tuple[str, int]] = []
+    if delta:
+        new_files += [(fname, int(n)) for _, n, fname in new]
+    if fold:
+        rows_by_b = {d["bucket"]: int(d["rows"]) for d in meta["buckets"]}
+        new_files += [(fname, rows_by_b[int(b)]) for b, fname in folded.items()]
+    _probe_shards_visible(spark, cdir, new_files)
     _write_meta(cdir, meta)
     meta["refresh_mode"] = "delta" if delta else "metadata_only"
     return meta
+
+
+def attach_serving_cache(
+    spark: SparkSession,
+    index_dir: str,
+    cache_dir: str,
+    n_buckets: int | None = None,
+) -> dict:
+    """Opt-in commit-time cache maintenance: record ``cache_dir`` in the
+    index manifest and run the initial full prepare. From then on every
+    commit path that ends in ``finalize_index`` (build_index batches,
+    streaming index_sink micro-batches, compact, purge_deletes) and
+    ``add_tombstones`` auto-refreshes the attached cache — the first
+    workload after a commit pays neither the cold bucketize nor a
+    ``ServingCacheStale`` round-trip. Detach by attaching ``None``."""
+    from ..sources.segments import update_manifest
+
+    cdir = os.path.abspath(cache_dir) if cache_dir else None
+
+    def _attach(fresh: dict) -> None:
+        if cdir is None:
+            fresh.pop("serving_cache", None)
+        else:
+            fresh["serving_cache"] = cdir
+            if n_buckets is not None:
+                fresh["serving_cache_buckets"] = int(n_buckets)
+
+    update_manifest(index_dir, _attach)
+    if cdir is None:
+        return {}
+    return prepare_serving_cache(spark, index_dir, cdir, n_buckets=n_buckets)
+
+
+def maybe_refresh_attached(spark: SparkSession, index_dir: str,
+                           manifest: dict) -> dict | None:
+    """Commit hook body: if the manifest records an attached serving cache,
+    bring it to the just-committed generation (delta refresh / fold /
+    metadata-only — refresh_serving_cache picks). Called by the commit
+    paths AFTER their manifest write; a failure propagates (the index
+    commit itself is already durable, and the caller opted into cache
+    maintenance — a broken cache store should be loud, not discovered as
+    ServingCacheStale at query time). Returns the refreshed meta, or None
+    when no cache is attached or the cache was never prepared."""
+    cdir = manifest.get("serving_cache")
+    if not cdir:
+        return None
+    if not os.path.exists(os.path.join(cdir, META_FILE)):
+        # attached but initial prepare hasn't happened/committed yet —
+        # run it now (idempotent, same result as attach-time prepare)
+        return prepare_serving_cache(
+            spark, index_dir, cdir,
+            n_buckets=manifest.get("serving_cache_buckets"),
+        )
+    return refresh_serving_cache(spark, index_dir, cdir)
 
 
 def load_serving_cache(cache_dir: str) -> dict:
@@ -458,9 +601,20 @@ def score_queries_cached(
             for b in pdf["bucket"]:
                 parts = []
                 for name in files_by_bucket.get(int(b), ()):
-                    tbl = feather.read_table(
-                        os.path.join(cdir, name), memory_map=True
-                    )
+                    try:
+                        tbl = feather.read_table(
+                            os.path.join(cdir, name), memory_map=True
+                        )
+                    except FileNotFoundError as ex:
+                        import socket
+
+                        raise ServingCacheUnreachable(
+                            f"bucket {int(b)} shard {name} is not visible "
+                            f"on {socket.gethostname()} under {cdir} — the "
+                            "serving cache requires a shared store (see "
+                            "prepare_serving_cache); re-run prepare on a "
+                            "shared cache_dir"
+                        ) from ex
                     # prune to the workload's terms BEFORE materializing
                     # python bytes: a small workload then touches O(its
                     # candidates), not O(index) — the mmap'd non-matching

@@ -407,7 +407,16 @@ def finalize_index(spark: SparkSession, index_dir: str) -> dict:
             }
         fresh["finalized"] = True
 
-    return update_manifest(index_dir, _commit)
+    m = update_manifest(index_dir, _commit)
+    if m.get("serving_cache"):
+        # opt-in commit hook (operators.serving.attach_serving_cache): keep
+        # the attached serving cache at the committed generation so the
+        # first post-commit workload never pays a cold bucketize or a
+        # ServingCacheStale round-trip
+        from ..operators.serving import maybe_refresh_attached
+
+        maybe_refresh_attached(spark, index_dir, m)
+    return m
 
 
 def merge_all_batches(spark: SparkSession, index_dir: str) -> dict:

@@ -357,3 +357,53 @@ def test_membership_index_daat_and_cache(spark, tmp_path_factory):
         spark, segs, load_term_stats_pdf(idx), queries, nd, avg,
         R.Scorer("bm25"), k=5, analyzer="naive", docid_span=span))
     assert cached == in_plan and cached
+
+
+def test_non_shared_store_fails_loudly(spark, tmp_path_factory, monkeypatch):
+    """VERDICT r4 item 3: the serving cache assumes one shared filesystem.
+    A misconfiguration (executors writing shards the serving tasks can't
+    see) must fail LOUDLY at prepare commit time and at serve time — never
+    silently serve a partial index."""
+    from search_engine_spark.operators import serving as SV
+
+    root = tmp_path_factory.mktemp("nonshared")
+    idx, cdir = str(root / "idx"), str(root / "cache")
+    S.build_index(spark, corpus_from_texts(spark, DOCS), idx,
+                  analyzer="naive", n_batches=1)
+
+    # (a) prepare-time gate: simulate executor-local writes by making the
+    # shard writer drop its files in a DIFFERENT directory than the one the
+    # meta (and probe) uses — exactly what a node-local cache_dir does on a
+    # multi-box cluster.
+    elsewhere = str(root / "executor_local")
+    import os as _os
+    _os.makedirs(elsewhere)
+    real_writer = SV._write_bucket_shards
+
+    def misdirected(bucketed, cdir_arg, suffix):
+        return real_writer(bucketed, elsewhere, suffix)
+
+    monkeypatch.setattr(SV, "_write_bucket_shards", misdirected)
+    with pytest.raises(SV.ServingCacheUnreachable, match="not a shared store"):
+        prepare_serving_cache(spark, idx, cdir, n_buckets=4)
+    # nothing was published: no meta committed
+    assert not _os.path.exists(_os.path.join(cdir, SV.META_FILE))
+    monkeypatch.undo()
+
+    # (b) a correctly shared prepare passes the gate
+    cache = prepare_serving_cache(spark, idx, cdir, n_buckets=4)
+    stats = load_term_stats_pdf(idx)
+    got = _rows(score_queries_cached(
+        spark, cache, stats, {0: ["scan"]}, analyzer="naive"))
+    assert got
+
+    # (c) serve-time gate: a shard that disappears from THIS node's view
+    # (second isolated work dir / partial mount) raises, never partial
+    # results
+    victim = [b for b in cache["buckets"] if b["rows"]][0]["bucket"]
+    fname = cache["shards"][str(victim)][0]
+    _os.rename(_os.path.join(cdir, fname), _os.path.join(elsewhere, fname))
+    with pytest.raises(Exception, match="not visible|ServingCacheUnreachable"):
+        score_queries_cached(
+            spark, cache, stats, {0: ["scan"]}, analyzer="naive"
+        ).collect()
