@@ -402,6 +402,27 @@ def q_q5_phrase(spark, sf_dir):
     return search_phrase(dec, Q_PHRASE).select(F.col("docId").alias("doc_id"))
 
 
+PARSED_QUERY = '(sow~1 OR "table scan") AND n_chars:[150 TO 450] AND NOT zebra'
+
+
+def q_q18_parsed_query(spark, sf_dir):
+    """q18: the unified Lucene-style query string, end to end — ONE string
+    routes to fuzzy expansion + positional phrase + corpus numeric range +
+    boolean NOT, compiled to one plan (operators/parser.py). The oracle
+    recomputes each leaf relationally and applies the same tree."""
+    from search_engine_spark.operators.parser import search_query_string
+    from search_engine_spark.sources.segments import load_segments, load_term_stats
+
+    idx, _ = _index(spark, sf_dir)
+    segs, ts = load_segments(spark, idx), load_term_stats(spark, idx)
+    corpus = _docs(spark, sf_dir).withColumn("n_chars", F.length("content"))
+    out = search_query_string(
+        spark, segs, ts, PARSED_QUERY, corpus=corpus, analyzer="naive",
+        max_expansions=16,
+    )
+    return out.select(F.col("docId").alias("doc_id"))
+
+
 def q_q5s_sloppy_phrase(spark, sf_dir):
     """q5s: ordered sloppy phrase — Q_SLOPPY terms in order, <= Q_SLOP extra
     tokens between consecutive terms, over the positional segment index."""
@@ -2023,6 +2044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the driver consumes this dict in order and may stop at its
         # per-round budget (r04 reached 50/91), so never-verified keys
         # must not sit behind already-green ones.
+        "q18_parsed_query": q_q18_parsed_query,
         "q14r_range_facets": q_q14r_range_facets,
         "q8c_collapse_by_source": q_q8c_collapse,
         "q8_bm25_porter": q_q8_bm25_porter,
@@ -2211,7 +2233,8 @@ scored AS (
   SELECT p.doc_id,
     sum(q.qtf * ln((s.n - t.df + 0.5) / (t.df + 0.5) + 1.0)
         * p.tf * ({BM25_K1} + 1.0)
-        / (p.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * p.dl / s.avgdl))) AS score
+        / (p.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * p.dl / s.avgdl))
+        ORDER BY p.term) AS score
   FROM postings p
   JOIN qterms q ON p.term = q.qt
   JOIN tstats t ON p.term = t.term
@@ -2251,7 +2274,8 @@ scored AS (
   SELECT q.qid, p.doc_id,
     sum(q.qtf * ln((s.n - t.df + 0.5) / (t.df + 0.5) + 1.0)
         * p.tf * ({BM25_K1} + 1.0)
-        / (p.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * p.dl / s.avgdl))) AS score
+        / (p.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * p.dl / s.avgdl))
+        ORDER BY p.term) AS score
   FROM postings p
   JOIN qterms q ON p.term = q.qt
   JOIN tstats t ON p.term = t.term
@@ -2387,8 +2411,10 @@ n AS (SELECT count(*)::double AS n FROM documents),
 tstats AS (SELECT term, count(*)::double AS df FROM postings GROUP BY term),
 scored AS (
   SELECT p.doc_id,
-    sum((p.tf * log10(n.n / t.df)) * (q.qtf * log10(n.n / t.df))) AS dot,
-    sum((p.tf * log10(n.n / t.df)) * (p.tf * log10(n.n / t.df))) AS len
+    sum((p.tf * log10(n.n / t.df)) * (q.qtf * log10(n.n / t.df))
+        ORDER BY p.term) AS dot,
+    sum((p.tf * log10(n.n / t.df)) * (p.tf * log10(n.n / t.df))
+        ORDER BY p.term) AS len
   FROM postings p
   JOIN qterms q ON p.term = q.qt
   JOIN tstats t ON p.term = t.term
@@ -2652,7 +2678,7 @@ def oracle_sql() -> dict[str, str]:
               WHERE d.source = 'src3'
             ),
             combined AS (
-              SELECT doc_id, sum(score) AS score FROM (
+              SELECT doc_id, sum(score ORDER BY score) AS score FROM (
                 SELECT doc_id, score FROM scored
                 UNION ALL SELECT doc_id, score FROM lang_scored
                 UNION ALL SELECT doc_id, score FROM repo_scored
@@ -2720,7 +2746,7 @@ def oracle_sql() -> dict[str, str]:
               FROM cos_top
             ),
             fused AS (
-              SELECT doc_id, sum(1.0 / (60.0 + rnk)) AS rrf FROM (
+              SELECT doc_id, sum(1.0 / (60.0 + rnk) ORDER BY rnk) AS rrf FROM (
                 SELECT * FROM bm_rank UNION ALL SELECT * FROM cos_rank
               ) GROUP BY doc_id
             )
@@ -2766,6 +2792,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id FROM postings
             WHERE term IN (SELECT term FROM cand)
+        """,
+        "q18_parsed_query": f"""
+            WITH {_TOKS},
+            stats AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+            fz AS (
+              SELECT term FROM stats
+              WHERE levenshtein(term, 'sow') <= 1
+              ORDER BY levenshtein(term, 'sow') ASC, df DESC, term ASC
+              LIMIT 16
+            ),
+            fhits AS (
+              SELECT DISTINCT doc_id FROM postings
+              WHERE term IN (SELECT term FROM fz)
+            ),
+            phits AS (
+              SELECT DISTINCT a.doc_id
+              FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              WHERE a.term = 'table' AND b.term = 'scan'
+            ),
+            zebra AS (SELECT DISTINCT doc_id FROM postings WHERE term = 'zebra')
+            SELECT d.doc_id FROM documents d
+            WHERE (d.doc_id IN (SELECT doc_id FROM fhits)
+                   OR d.doc_id IN (SELECT doc_id FROM phits))
+              AND d.n_chars BETWEEN 150 AND 450
+              AND d.doc_id NOT IN (SELECT doc_id FROM zebra)
         """,
         "q8p_search_after": f"""
             WITH {_TOKS},
@@ -2837,8 +2888,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             scored AS (
               SELECT p.doc_id,
-                sum((p.tf * log10(n.n / t.df)) * (q.qtf * log10(n.n / t.df))) AS dot,
-                sum((p.tf * log10(n.n / t.df)) * (p.tf * log10(n.n / t.df))) AS len
+                sum((p.tf * log10(n.n / t.df)) * (q.qtf * log10(n.n / t.df))
+                    ORDER BY p.term) AS dot,
+                sum((p.tf * log10(n.n / t.df)) * (p.tf * log10(n.n / t.df))
+                    ORDER BY p.term) AS len
               FROM postings p
               JOIN seedq q ON p.term = q.term
               JOIN tstats t ON p.term = t.term

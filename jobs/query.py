@@ -37,7 +37,12 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["bm25", "tfidf", "and", "or", "phrase", "keyword",
                              "not", "near", "prefix", "fuzzy", "suggest",
                              "mlt", "regex", "bool", "sloppy", "substring",
-                             "regexcontent", "grep"])
+                             "regexcontent", "grep", "parsed"])
+    ap.add_argument("--q", default=None,
+                    help="unified Lucene-style query string (implies "
+                         "--mode parsed): AND/OR/NOT, \"phrase\"~slop, "
+                         "term~dist fuzzy, pre*, field:term, "
+                         "col:[lo TO hi] (range needs --corpus)")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--window", type=int, default=5,
                     help="near mode: max positions between the two terms")
@@ -74,8 +79,14 @@ def main(argv: list[str] | None = None) -> int:
         "--ignore-deleted", action="store_true",
         help="query the raw index, skipping any tombstone sets",
     )
-    ap.add_argument("terms", nargs="+")
+    ap.add_argument("terms", nargs="*", default=[])
     a = ap.parse_args(argv)
+    if a.q is not None:
+        a.mode = "parsed"
+    elif a.mode == "parsed":
+        a.q = " ".join(a.terms)
+    if not a.terms and a.q is None:
+        ap.error("provide query terms (or --q '<query string>')")
 
     from pyspark.sql import SparkSession
 
@@ -206,6 +217,24 @@ def main(argv: list[str] | None = None) -> int:
             {"docId": r.docId}
             for r in search_sloppy_phrase(dec, terms, a.slop).limit(a.k).collect()
         ]
+    elif a.mode == "parsed":
+        from search_engine_spark.operators.parser import search_query_string
+
+        corpus = None
+        if a.corpus:
+            corpus = spark.read.parquet(a.corpus)
+            if "docId" not in corpus.columns and "doc_id" in corpus.columns:
+                corpus = corpus.withColumnRenamed("doc_id", "docId")
+            if "content" not in corpus.columns and "text" in corpus.columns:
+                corpus = corpus.withColumnRenamed("text", "content")
+        out = live(
+            search_query_string(
+                spark, segs, stats, a.q, corpus=corpus, analyzer=analyzer,
+                max_expansions=a.max_expansions,
+            ),
+            tomb,
+        )
+        rows = [{"docId": r.docId} for r in out.limit(a.k).collect()]
     elif a.mode == "bool":
         from search_engine_spark.operators.query import (
             bool_leaf_terms,
