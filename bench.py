@@ -168,6 +168,20 @@ def run_trial(spark, sf_dir: str, docs, n_docs_sf: int, syn, n_syn: int) -> dict
     timed("boolean_and", lambda: search_and(dec, q_and).count())
     timed("phrase", lambda: search_phrase(dec, q_phrase).count())
 
+    # unified query-string parser: fuzzy + phrase + numeric range + NOT,
+    # one string -> one plan (operators/parser.py)
+    from search_engine_spark.operators.parser import search_query_string
+
+    docs_n = docs.withColumn("n_chars", F.length("content"))
+    timed(
+        "parsed_query",
+        lambda: search_query_string(
+            spark, segs, stats,
+            '(spark~1 OR "table scan") AND n_chars:[150 TO 450] AND NOT zebra',
+            corpus=docs_n, analyzer="naive", max_expansions=16,
+        ).count(),
+    )
+
     # trigram code-search path: build the substring index (timed — trigram
     # vocab is small but posting lists are the heaviest in any index), then
     # byte-exact substring + pruned-regex queries through probe/verify
