@@ -51,6 +51,7 @@ def serving_sink(
     scorer=None,
     cache_dir: str | None = None,
     refresh_on_growth: bool = False,
+    max_queries_per_batch: int = 10_000,
 ):
     """``writeStream.foreachBatch`` -> one batched job per micro-batch.
 
@@ -109,7 +110,17 @@ def serving_sink(
 
     def handle(batch_df: DataFrame, batch_id: int):
         nonlocal cache, stats_pdf, n_docs, avgdl, deleted
-        rows = batch_df.collect()  # queries are tiny (qid + a few terms)
+        # Queries are tiny (qid + a few terms), but the collect is driver-
+        # side, so a malformed giant micro-batch must fail loudly instead of
+        # OOMing the driver. limit(cap+1) bounds the fetch itself — the
+        # overflow check costs one extra row, never an unbounded pull.
+        rows = batch_df.limit(max_queries_per_batch + 1).collect()
+        if len(rows) > max_queries_per_batch:
+            raise ValueError(
+                f"query micro-batch {batch_id} exceeds max_queries_per_batch="
+                f"{max_queries_per_batch}; raise the cap or shrink the "
+                "trigger interval (maxFilesPerTrigger / Kafka maxOffsetsPerTrigger)"
+            )
         if not rows:
             return
         queries = {int(r.qid): list(r.terms) for r in rows}

@@ -651,3 +651,49 @@ def test_stream_restart_with_conflicting_flags_fails_loudly(spark, tmp_path):
 
     with _pytest.raises(Exception, match="conflict with the manifest"):
         q2.awaitTermination(120)
+
+
+def test_stream_serving_micro_batch_row_cap(spark, tmp_path):
+    """A malformed giant query micro-batch must fail loudly at the cap, not
+    collect() unboundedly onto the driver; a batch at the cap still serves."""
+    import os
+
+    import pandas as pd
+
+    from search_engine_spark.streaming.serve import (
+        serving_sink,
+        stream_queries_from_files,
+    )
+
+    corpus = corpus_from_texts(spark, TEXTS)
+    idx = str(tmp_path / "cap_idx")
+    build_index(spark, corpus, idx, analyzer="naive", n_batches=1)
+
+    qdir = str(tmp_path / "cap_q")
+    os.makedirs(qdir, exist_ok=True)
+    pd.DataFrame({"qid": [0, 1, 2], "terms": [["apple"]] * 3}).to_parquet(
+        f"{qdir}/q0.parquet"
+    )
+
+    # over the cap -> loud planner-style error naming the knob
+    q = serving_sink(
+        spark, stream_queries_from_files(spark, qdir), idx,
+        str(tmp_path / "cap_out_fail"), k=5,
+        checkpoint_dir=str(tmp_path / "cap_ck_fail"),
+        max_queries_per_batch=2,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="max_queries_per_batch"):
+        q.awaitTermination(120)
+
+    # exactly at the cap -> serves normally
+    q2 = serving_sink(
+        spark, stream_queries_from_files(spark, qdir), idx,
+        str(tmp_path / "cap_out_ok"), k=5,
+        checkpoint_dir=str(tmp_path / "cap_ck_ok"),
+        max_queries_per_batch=3,
+    )
+    q2.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "cap_out_ok") + "/batch=0")
+    assert {int(r.qid) for r in got.collect()} == {0, 1, 2}
