@@ -337,3 +337,185 @@ def search_query_string(
         spark, segments, term_stats, parse_query(query, analyzer),
         corpus=corpus, analyzer=analyzer, max_expansions=max_expansions,
     )
+
+
+# --- ranked execution (parse -> filter -> BM25) -----------------------------
+
+
+def scoring_terms(tree) -> list[str]:
+    """The SCORING terms of a parsed tree: every bare-term leaf and every
+    phrase-constituent term in POSITIVE context (not under an odd number of
+    ``NOT``s), in tree order with repeats kept (a term used twice carries
+    query-tf 2, the reference's IIM:1152-1167 qtf semantics).
+
+    Fuzzy, prefix, and range leaves are deliberately NOT scoring terms —
+    they act as constant-score filters (the Lucene ``CONSTANT_SCORE``
+    multi-term rewrite): their expansion sets are dictionary-sized and
+    unbounded by the user's intent, so letting them inject idf-weighted
+    terms would make ranking depend on dictionary noise. Negated leaves
+    never cause a match, so they cannot contribute score."""
+    out: list[str] = []
+
+    def walk(node, neg: bool) -> None:
+        kind = node[0]
+        if kind in ("and", "or"):
+            for c in node[1]:
+                walk(c, neg)
+        elif kind == "not":
+            walk(node[1], not neg)
+        elif not neg:
+            if kind == "term":
+                out.append(node[1])
+            elif kind == "phrase":
+                out.extend(node[1])
+
+    walk(tree, False)
+    return out
+
+
+def rank_query_string(
+    spark: SparkSession,
+    segments: DataFrame,
+    term_stats: DataFrame,
+    query: str,
+    n_docs: int,
+    avgdl: float,
+    scorer=None,
+    k: int | None = 10,
+    corpus: DataFrame | None = None,
+    analyzer: str = "naive",
+    max_expansions: int = 64,
+) -> DataFrame:
+    """The Lucene endgame for the query box: parse ``query``, filter through
+    the one-plan boolean execution (:func:`search_parsed`), and rank the
+    matches by BM25 over the tree's :func:`scoring_terms` — ``(docId,
+    score)`` ordered by (score desc, docId asc), top ``k``.
+
+    Semantics (exactly oracle-expressible): a document's score is the BM25
+    sum over the positive bare-term + phrase-constituent terms it contains;
+    documents that match the tree purely through constant-score leaves
+    (fuzzy / prefix / range) rank with score 0.0 — they match, they just
+    carry no term evidence, same as Lucene's ``ConstantScoreQuery``
+    contributing a flat factor.
+
+    Plan shape: the filter side is the :func:`search_parsed` plan (shared
+    In-pushed decodes + one collect_set agg); the scoring side is the usual
+    block-max DAAT over ONLY the scoring terms' postings (``k=None`` — the
+    filter decides membership, so per-bucket top-k pruning cannot apply);
+    one left join stitches them, both sides candidate-sized, never the
+    corpus. Scoring terms are already analyzed by the parser, so the DAAT
+    path is entered with ``pre_analyzed=True`` (no double stemming)."""
+    from .rank import Scorer, score_query_daat
+
+    tree = parse_query(query, analyzer)
+    matched = search_parsed(
+        spark, segments, term_stats, tree,
+        corpus=corpus, analyzer=analyzer, max_expansions=max_expansions,
+    )
+    terms = scoring_terms(tree)
+    if not terms:
+        out = matched.select(
+            "docId", F.lit(0.0).alias("score")
+        ).orderBy(F.asc("docId"))
+        return out.limit(k) if k is not None else out
+    scored = score_query_daat(
+        spark, segments, term_stats, terms, n_docs, avgdl,
+        scorer if scorer is not None else Scorer("bm25"),
+        k=None, analyzer=analyzer, ties="asc", pre_analyzed=True,
+    )
+    out = (
+        matched.join(scored, "docId", "left")
+        .select("docId", F.coalesce("score", F.lit(0.0)).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docId"))
+    )
+    return out.limit(k) if k is not None else out
+
+
+def explain_parsed(
+    term_stats: DataFrame,
+    query: str,
+    analyzer: str = "naive",
+    max_expansions: int = 64,
+) -> dict:
+    """Driver-side plan report for a query string (the parsed-query analog
+    of :func:`..codesearch.explain_substring`): per-leaf strategy + df-based
+    cost bounds, the shared-decode grouping, and the scoring-term set —
+    costing only term-DICTIONARY lookups (one tiny ``In``-pushed /
+    ``startswith``-pushed job per leaf family), never a postings decode.
+
+    ``candidate_bound`` is the upper bound on tagged rows the one-plan
+    execution can produce: Σ df over term/fuzzy-expansion/prefix-matched
+    dictionary terms + min-df per phrase (a phrase match needs all its
+    terms; the rarest bounds it). Range leaves are corpus metadata filters
+    — unbounded by the index, reported as ``null`` and excluded."""
+    from .query import fuzzy_candidates
+
+    tree = parse_query(query, analyzer)
+    leaves: list = []
+    _collect_leaves(tree, leaves)
+
+    plain = sorted({l[1] for l in leaves if l[0] == "term"})
+    phr_terms = sorted({t for l in leaves if l[0] == "phrase" for t in l[1]})
+    dfs: dict[str, int] = {}
+    lookup = sorted(set(plain) | set(phr_terms))
+    if lookup:
+        from ..functions.predicates import isin_expr
+
+        rows = term_stats.where(isin_expr("term", lookup)).select("term", "df").collect()
+        dfs = {r.term: int(r.df) for r in rows}
+
+    report: list[dict] = []
+    bound = 0
+    unbounded = False
+    for leaf in leaves:
+        kind = leaf[0]
+        if kind == "term":
+            df = dfs.get(leaf[1], 0)
+            bound += df
+            report.append({"leaf": "term", "term": leaf[1], "df": df,
+                           "plan": "shared In-pushed membership decode"})
+        elif kind == "phrase":
+            per = {t: dfs.get(t, 0) for t in leaf[1]}
+            b = min(per.values()) if per else 0
+            bound += b
+            report.append({"leaf": "phrase", "terms": list(leaf[1]),
+                           "slop": leaf[2], "df_by_term": per,
+                           "candidate_bound": b,
+                           "plan": "shared positional decode + adjacency join"})
+        elif kind == "fuzzy":
+            cands = fuzzy_candidates(
+                term_stats, leaf[1], leaf[2], max_expansions
+            ).collect()
+            b = sum(int(r.df) for r in cands)
+            bound += b
+            report.append({"leaf": "fuzzy", "term": leaf[1], "dist": leaf[2],
+                           "expansions": [r.term for r in cands],
+                           "candidate_bound": b,
+                           "plan": "dictionary expansion -> shared In-pushed decode"})
+        elif kind == "prefix":
+            rows = (
+                term_stats.where(F.col("term").startswith(leaf[1]))
+                .select("term", "df").collect()
+            )
+            b = sum(int(r.df) for r in rows)
+            bound += b
+            report.append({"leaf": "prefix", "prefix": leaf[1],
+                           "n_dictionary_terms": len(rows),
+                           "candidate_bound": b,
+                           "plan": "StringStartsWith-pushed dictionary range seek"})
+        elif kind == "range":
+            unbounded = True
+            report.append({"leaf": "range", "column": leaf[1],
+                           "lo": leaf[2], "hi": leaf[3],
+                           "candidate_bound": None,
+                           "plan": "corpus column filter (parquet min/max pruning)"})
+    return {
+        "query": query,
+        "analyzer": analyzer,
+        "n_leaves": len(leaves),
+        "leaves": report,
+        "scoring_terms": scoring_terms(tree),
+        "candidate_bound": None if unbounded else bound,
+        "shuffles": 1,  # the single collect_set agg; scoring adds its own
+        "plan": "tagged-leaf union -> one collect_set agg -> codegen boolean",
+    }

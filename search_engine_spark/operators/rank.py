@@ -1497,6 +1497,7 @@ def score_query_daat(
     n_buckets: int | None = None,
     deleted: np.ndarray | None = None,
     docid_span: tuple[int, int] | None = None,
+    pre_analyzed: bool = False,
 ) -> DataFrame:
     """Distributed block-max DAAT: parquet pushdown on term -> byte-level
     block re-key by docId bucket -> per-bucket MaxScore kernel with local
@@ -1505,8 +1506,13 @@ def score_query_daat(
 
     ``deleted``: sorted int64 tombstone array (operators/delete.py
     ``deleted_array``) — masked inside the kernel as blocks decode, so
-    pruning and lazy deletion compose."""
-    qtfs = query_tfs(keywords, analyzer)
+    pruning and lazy deletion compose.
+
+    ``pre_analyzed``: keywords are already index terms (e.g. produced by
+    the query parser's analysis pass) — count them as-is instead of
+    re-analyzing, which would double-stem under non-idempotent analyzers
+    like porter."""
+    qtfs = dict(Counter(keywords)) if pre_analyzed else query_tfs(keywords, analyzer)
     rows = _idf_rows(term_stats, qtfs, scorer, n_docs)
     if not rows:
         return spark.createDataFrame([], SCORE_SCHEMA)

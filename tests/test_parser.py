@@ -125,3 +125,108 @@ def test_search_parsed_equals_composition(spark, parsed_index):
     with pytest.raises(ValueError, match="needs corpus"):
         search_query_string(spark, segs, ts, "n_chars:[1 TO 2]",
                             analyzer="naive")
+
+
+def _bm25_expected(terms, docs, k1=1.2, b=0.75):
+    """Hand-computed BM25 over whitespace-token docs (naive analyzer)."""
+    import math
+    from collections import Counter
+
+    toks = [d.split() for d in docs]
+    n = len(docs)
+    dls = [len(t) for t in toks]
+    avgdl = sum(dls) / n
+    qtf = Counter(terms)
+    out = {}
+    for d, tk in enumerate(toks):
+        tf = Counter(tk)
+        s = 0.0
+        for t, q in qtf.items():
+            df = sum(1 for tt in toks if t in tt)
+            if tf[t] == 0 or df == 0:
+                continue
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            s += q * idf * tf[t] * (k1 + 1.0) / (
+                tf[t] + k1 * (1.0 - b + b * dls[d] / avgdl))
+        out[d] = s
+    return out
+
+
+def test_rank_query_string(spark, parsed_index):
+    from search_engine_spark.operators.parser import (
+        rank_query_string, scoring_terms,
+    )
+
+    corpus, segs, ts = parsed_index
+    n_docs = len(DOCS)
+    avgdl = sum(len(d.split()) for d in DOCS) / n_docs
+
+    # scoring terms: positive term + phrase constituents; fuzzy/prefix/
+    # range/negated excluded
+    tree = parse_query(
+        'spark AND "table scan" AND pre* AND sow~1 AND NOT apple '
+        "AND n_chars:[1 TO 9999]", "naive")
+    assert scoring_terms(tree) == ["spark", "table", "scan"]
+
+    # exact scores vs the hand-computed oracle on the filtered matches
+    got = rank_query_string(
+        spark, segs, ts, 'spark AND "table scan"', n_docs, avgdl,
+        analyzer="naive", k=10).collect()
+    exp = _bm25_expected(["spark", "table", "scan"], DOCS)
+    # filter: docs with 'spark' AND adjacent "table scan" -> doc 0 only
+    assert [r.docId for r in got] == [0]
+    assert abs(got[0].score - exp[0]) < 1e-9
+
+    # constant-score matches rank with score 0.0 (matched via prefix only)
+    got2 = rank_query_string(
+        spark, segs, ts, "pre* OR spark", n_docs, avgdl,
+        analyzer="naive", k=10).collect()
+    by_id = {r.docId: r.score for r in got2}
+    # doc 7 matches only via pre* (prefab) -> score 0; 0,3 carry spark BM25
+    assert by_id[7] == 0.0 and 6 not in by_id
+    assert abs(by_id[0] - _bm25_expected(["spark"], DOCS)[0]) < 1e-9
+    assert abs(by_id[3] - _bm25_expected(["spark"], DOCS)[3]) < 1e-9
+    # ordering: score desc, docId asc
+    assert [r.docId for r in got2] == sorted(
+        by_id, key=lambda d: (-by_id[d], d))
+
+    # qtf: a term repeated across leaves scores with qtf=2
+    got3 = rank_query_string(
+        spark, segs, ts, 'spark AND "spark scan"', n_docs, avgdl,
+        analyzer="naive", k=10).collect()
+    exp3 = _bm25_expected(["spark", "spark", "scan"], DOCS)
+    assert [r.docId for r in got3] == [0]
+    assert abs(got3[0].score - exp3[0]) < 1e-9
+
+
+def test_explain_parsed(spark, parsed_index):
+    from search_engine_spark.operators.parser import explain_parsed
+
+    corpus, segs, ts = parsed_index
+    rep = explain_parsed(
+        ts, '(spark~1 OR "table scan") AND pre* AND NOT apple '
+            "AND n_chars:[10 TO 99]", analyzer="naive")
+    kinds = [l["leaf"] for l in rep["leaves"]]
+    assert sorted(kinds) == ["fuzzy", "phrase", "prefix", "range", "term"]
+    by = {l["leaf"]: l for l in rep["leaves"]}
+    # fuzzy expansion includes the typo neighbor
+    assert "sparky" in by["fuzzy"]["expansions"]
+    # phrase bound = min df of its terms; dfs are exact
+    n_table = sum(1 for d in DOCS if "table" in d.split())
+    n_scan = sum(1 for d in DOCS if "scan" in d.split())
+    assert by["phrase"]["df_by_term"] == {"table": n_table, "scan": n_scan}
+    assert by["phrase"]["candidate_bound"] == min(n_table, n_scan)
+    # prefix seeks the dictionary (prefab)
+    assert by["prefix"]["n_dictionary_terms"] == 1
+    # range leaves make the total bound unbounded (corpus filter)
+    assert rep["candidate_bound"] is None
+    # scoring terms: phrase constituents only (fuzzy/prefix const-score,
+    # apple negated, range non-term)
+    assert rep["scoring_terms"] == ["table", "scan"]
+
+    # without a range leaf the bound is the finite sum
+    rep2 = explain_parsed(ts, "spark AND apple", analyzer="naive")
+    n_spark = sum(1 for d in DOCS if "spark" in d.split())
+    n_apple = sum(1 for d in DOCS if "apple" in d.split())
+    assert rep2["candidate_bound"] == n_spark + n_apple
+    assert rep2["scoring_terms"] == ["spark", "apple"]
