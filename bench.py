@@ -182,6 +182,17 @@ def run_trial(spark, sf_dir: str, docs, n_docs_sf: int, syn, n_syn: int) -> dict
         ).count(),
     )
 
+    # ranked query string: the same parsed filter, BM25-scored (q19)
+    from search_engine_spark.operators.parser import rank_query_string
+
+    timed(
+        "ranked_parsed",
+        lambda: rank_query_string(
+            spark, segs, stats, '(query AND "hash join") OR sl*',
+            n_docs, avgdl, k=10, analyzer="naive",
+        ).count(),
+    )
+
     # trigram code-search path: build the substring index (timed — trigram
     # vocab is small but posting lists are the heaviest in any index), then
     # byte-exact substring + pruned-regex queries through probe/verify
