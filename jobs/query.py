@@ -37,12 +37,14 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["bm25", "tfidf", "and", "or", "phrase", "keyword",
                              "not", "near", "prefix", "fuzzy", "suggest",
                              "mlt", "regex", "bool", "sloppy", "substring",
-                             "regexcontent", "grep", "parsed"])
+                             "regexcontent", "grep", "parsed", "ranked"])
     ap.add_argument("--q", default=None,
                     help="unified Lucene-style query string (implies "
-                         "--mode parsed): AND/OR/NOT, \"phrase\"~slop, "
-                         "term~dist fuzzy, pre*, field:term, "
-                         "col:[lo TO hi] (range needs --corpus)")
+                         "--mode parsed unless --mode ranked, which "
+                         "BM25-scores the matches): AND/OR/NOT, "
+                         "\"phrase\"~slop, term~dist fuzzy, pre*, "
+                         "field:term, col:[lo TO hi] (range needs "
+                         "--corpus)")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--window", type=int, default=5,
                     help="near mode: max positions between the two terms")
@@ -82,8 +84,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("terms", nargs="*", default=[])
     a = ap.parse_args(argv)
     if a.q is not None:
-        a.mode = "parsed"
-    elif a.mode == "parsed":
+        if a.mode not in ("parsed", "ranked"):
+            a.mode = "parsed"
+    elif a.mode in ("parsed", "ranked"):
         a.q = " ".join(a.terms)
     if not a.terms and a.q is None:
         ap.error("provide query terms (or --q '<query string>')")
@@ -235,6 +238,23 @@ def main(argv: list[str] | None = None) -> int:
             tomb,
         )
         rows = [{"docId": r.docId} for r in out.limit(a.k).collect()]
+    elif a.mode == "ranked":
+        from search_engine_spark.operators.parser import rank_query_string
+
+        corpus = None
+        if a.corpus:
+            corpus = spark.read.parquet(a.corpus)
+            if "docId" not in corpus.columns and "doc_id" in corpus.columns:
+                corpus = corpus.withColumnRenamed("doc_id", "docId")
+            if "content" not in corpus.columns and "text" in corpus.columns:
+                corpus = corpus.withColumnRenamed("text", "content")
+        out = rank_query_string(
+            spark, segs, stats, a.q, n_docs, avgdl, k=a.k, corpus=corpus,
+            analyzer=analyzer, max_expansions=a.max_expansions,
+            tombstones=tomb,
+        )
+        rows = [{"docId": r.docId, "score": round(r.score, 6)}
+                for r in out.collect()]
     elif a.mode == "bool":
         from search_engine_spark.operators.query import (
             bool_leaf_terms,

@@ -385,6 +385,7 @@ def rank_query_string(
     corpus: DataFrame | None = None,
     analyzer: str = "naive",
     max_expansions: int = 64,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """The Lucene endgame for the query box: parse ``query``, filter through
     the one-plan boolean execution (:func:`search_parsed`), and rank the
@@ -404,13 +405,21 @@ def rank_query_string(
     filter decides membership, so per-bucket top-k pruning cannot apply);
     one left join stitches them, both sides candidate-sized, never the
     corpus. Scoring terms are already analyzed by the parser, so the DAAT
-    path is entered with ``pre_analyzed=True`` (no double stemming)."""
+    path is entered with ``pre_analyzed=True`` (no double stemming).
+
+    ``tombstones``: lazily-deleted docIds (``..delete.load_tombstones``) —
+    masked on the MATCHED side before the top-k, so deleted docs neither
+    rank nor eat k slots."""
+    from .delete import live
     from .rank import Scorer, score_query_daat
 
     tree = parse_query(query, analyzer)
-    matched = search_parsed(
-        spark, segments, term_stats, tree,
-        corpus=corpus, analyzer=analyzer, max_expansions=max_expansions,
+    matched = live(
+        search_parsed(
+            spark, segments, term_stats, tree,
+            corpus=corpus, analyzer=analyzer, max_expansions=max_expansions,
+        ),
+        tombstones,
     )
     terms = scoring_terms(tree)
     if not terms:

@@ -198,6 +198,14 @@ def test_rank_query_string(spark, parsed_index):
     assert [r.docId for r in got3] == [0]
     assert abs(got3[0].score - exp3[0]) < 1e-9
 
+    # tombstoned docs neither rank nor eat k slots
+    tomb = spark.createDataFrame([(0,)], "docId long")
+    got4 = rank_query_string(
+        spark, segs, ts, "pre* OR spark", n_docs, avgdl,
+        analyzer="naive", k=10, tombstones=tomb).collect()
+    assert 0 not in {r.docId for r in got4}
+    assert {r.docId for r in got4} == set(by_id) - {0}
+
 
 def test_explain_parsed(spark, parsed_index):
     from search_engine_spark.operators.parser import explain_parsed
