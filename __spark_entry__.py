@@ -447,6 +447,29 @@ def q_q19_ranked_parsed(spark, sf_dir):
     )
 
 
+BOOSTED_PARSED = '(query^2 AND "hash join"^1.5) OR sl*'
+
+
+def q_q19b_boosted_parsed(spark, sf_dir):
+    """q19b: Lucene ``^W`` boosts through the ranked query string — each
+    boost multiplies its term's BM25 contribution (the weight takes the
+    qtf slot in the scoring sum; matching is unchanged vs q19, and
+    constant-score ``sl*``-only docs still rank at 0.0)."""
+    from search_engine_spark.operators.parser import rank_query_string
+    from search_engine_spark.sources.segments import load_segments, load_term_stats
+
+    idx, m = _index(spark, sf_dir)
+    segs, ts = load_segments(spark, idx), load_term_stats(spark, idx)
+    out = rank_query_string(
+        spark, segs, ts, BOOSTED_PARSED,
+        m["stats"]["n_docs"], m["stats"]["avgdl"],
+        k=TOPK, analyzer="naive",
+    )
+    return out.select(
+        F.col("docId").alias("doc_id"), F.round("score", 6).alias("score")
+    )
+
+
 def q_q5s_sloppy_phrase(spark, sf_dir):
     """q5s: ordered sloppy phrase — Q_SLOPPY terms in order, <= Q_SLOP extra
     tokens between consecutive terms, over the positional segment index."""
@@ -2069,6 +2092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-round budget (r04 reached 50/91), so never-verified keys
         # must not sit behind already-green ones.
         "q19_ranked_parsed": q_q19_ranked_parsed,
+        "q19b_boosted_parsed": q_q19b_boosted_parsed,
         "q18_parsed_query": q_q18_parsed_query,
         "q14r_range_facets": q_q14r_range_facets,
         "q8c_collapse_by_source": q_q8c_collapse,
@@ -2817,6 +2841,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id FROM postings
             WHERE term IN (SELECT term FROM cand)
+        """,
+        "q19b_boosted_parsed": f"""
+            WITH {_TOKS},
+            {_bm25_scored_ctes("('query', 2.0), ('hash', 1.5), ('join', 1.5)")},
+            qdocs AS (
+              SELECT DISTINCT doc_id FROM postings WHERE term = 'query'
+            ),
+            phits AS (
+              SELECT DISTINCT a.doc_id
+              FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              WHERE a.term = 'hash' AND b.term = 'join'
+            ),
+            pref AS (
+              SELECT DISTINCT doc_id FROM postings WHERE term LIKE 'sl%'
+            ),
+            matched AS (
+              SELECT doc_id FROM qdocs
+              WHERE doc_id IN (SELECT doc_id FROM phits)
+              UNION
+              SELECT doc_id FROM pref
+            )
+            SELECT m.doc_id, round(coalesce(s.score, 0.0), 6) AS score
+            FROM matched m LEFT JOIN scored s USING (doc_id)
+            ORDER BY coalesce(s.score, 0.0) DESC, m.doc_id ASC
+            LIMIT {TOPK}
         """,
         "q19_ranked_parsed": f"""
             WITH {_TOKS},

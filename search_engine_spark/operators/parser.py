@@ -17,6 +17,8 @@ adjacency is rejected rather than silently OR'd):
   phrase with slop N
 - ``term~`` / ``term~N`` — fuzzy (edit distance ≤ N, default 1),
   dictionary-expanded like Lucene FuzzyQuery
+- ``term^W`` / ``"a b"^W`` — scoring boost (matching unchanged;
+  :func:`rank_query_string` multiplies the BM25 contribution by W)
 - ``pre*`` — prefix (term-dictionary range seek)
 - ``field:term`` — fielded term over a ``build_index(fields={...})`` index
 - ``col:[lo TO hi]`` — inclusive numeric range over a corpus metadata
@@ -50,7 +52,7 @@ from .query import analyze_query, field_terms
 
 _TOKEN = re.compile(
     r"""\s*(?:
-        (?P<quoted>"[^"]*"(?:~\d+)?)   # "phrase" or "phrase"~N
+        (?P<quoted>"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?)   # "phrase"[~N][^W]
       | (?P<range>\[[^\]]*\])          # [lo TO hi]
       | (?P<lparen>\()
       | (?P<rparen>\))
@@ -79,7 +81,15 @@ def _scan(query: str) -> list[tuple[str, str]]:
 
 
 def _leaf_from_word(word: str, analyzer: str, field: str | None):
-    """One bare word (possibly with ~N / * suffix) -> leaf node(s)."""
+    """One bare word (possibly with ~N / * / ^W suffix) -> leaf node(s)."""
+    m = re.fullmatch(r"(.+?)\^(\d+(?:\.\d+)?)", word)
+    if m:
+        # boost is a SCORING annotation only (Lucene ^W): matching is
+        # unchanged, rank_query_string multiplies the term's BM25
+        # contribution. Boosting a constant-score leaf (fuzzy/prefix) is
+        # legal and inert, same as Lucene's constant-score rewrite.
+        return ("boost", float(m.group(2)),
+                _leaf_from_word(m.group(1), analyzer, field))
     m = re.fullmatch(r"(.+?)~(\d*)", word)
     if m:
         base, d = m.group(1), m.group(2)
@@ -137,14 +147,16 @@ def parse_query(query: str, analyzer: str = "naive"):
             return node
         if kind == "quoted":
             take()
-            m = re.fullmatch(r'"([^"]*)"(?:~(\d+))?', v)
+            m = re.fullmatch(r'"([^"]*)"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?', v)
             body, slop = m.group(1), int(m.group(2) or 0)
             terms = analyze_query(body.split(), analyzer)
             if not terms:
                 raise ValueError(f"phrase {v!r} analyzes to nothing")
-            if len(terms) == 1 and slop == 0:
-                return ("term", terms[0])
-            return ("phrase", tuple(terms), slop)
+            node = (("term", terms[0]) if len(terms) == 1 and slop == 0
+                    else ("phrase", tuple(terms), slop))
+            if m.group(3) is not None:
+                return ("boost", float(m.group(3)), node)
+            return node
         if kind != "word":
             raise ValueError(f"expected a term, got {v!r} in {query!r}")
         take()
@@ -211,6 +223,8 @@ def _collect_leaves(tree, out: list):
             _collect_leaves(c, out)
     elif kind == "not":
         _collect_leaves(tree[1], out)
+    elif kind == "boost":  # scoring-only annotation, transparent to matching
+        _collect_leaves(tree[2], out)
     else:
         if tree not in out:
             out.append(tree)
@@ -224,6 +238,8 @@ def _eval_py(tree, present: set) -> bool:
         return any(_eval_py(c, present) for c in tree[1])
     if kind == "not":
         return not _eval_py(tree[1], present)
+    if kind == "boost":
+        return _eval_py(tree[2], present)
     return tree in present
 
 
@@ -243,6 +259,8 @@ def _eval_col(tree, ids: dict, col: Column) -> Column:
         return out
     if kind == "not":
         return ~_eval_col(tree[1], ids, col)
+    if kind == "boost":
+        return _eval_col(tree[2], ids, col)
     return F.array_contains(col, F.lit(ids[tree]))
 
 
@@ -354,23 +372,42 @@ def scoring_terms(tree) -> list[str]:
     unbounded by the user's intent, so letting them inject idf-weighted
     terms would make ranking depend on dictionary noise. Negated leaves
     never cause a match, so they cannot contribute score."""
-    out: list[str] = []
+    return [t for t, _ in _weighted_terms(tree)]
 
-    def walk(node, neg: bool) -> None:
+
+def _weighted_terms(tree) -> list[tuple[str, float]]:
+    """(term, weight) per positive scoring occurrence: weight = the product
+    of ``^W`` boosts on the path (1.0 unboosted), phrase boosts distribute
+    to every constituent."""
+    out: list[tuple[str, float]] = []
+
+    def walk(node, neg: bool, w: float) -> None:
         kind = node[0]
         if kind in ("and", "or"):
             for c in node[1]:
-                walk(c, neg)
+                walk(c, neg, w)
         elif kind == "not":
-            walk(node[1], not neg)
+            walk(node[1], not neg, w)
+        elif kind == "boost":
+            walk(node[2], neg, w * node[1])
         elif not neg:
             if kind == "term":
-                out.append(node[1])
+                out.append((node[1], w))
             elif kind == "phrase":
-                out.extend(node[1])
+                out.extend((t, w) for t in node[1])
 
-    walk(tree, False)
+    walk(tree, False, 1.0)
     return out
+
+
+def scoring_weights(tree) -> dict[str, float]:
+    """Aggregate per-term scoring weight: Σ over positive occurrences of
+    the occurrence's boost product — the generalization of query-tf
+    (unboosted trees give exactly the integer qtf counts)."""
+    w: dict[str, float] = {}
+    for t, wt in _weighted_terms(tree):
+        w[t] = w.get(t, 0.0) + wt
+    return w
 
 
 def rank_query_string(
@@ -421,14 +458,14 @@ def rank_query_string(
         ),
         tombstones,
     )
-    terms = scoring_terms(tree)
-    if not terms:
+    weights = scoring_weights(tree)
+    if not weights:
         out = matched.select(
             "docId", F.lit(0.0).alias("score")
         ).orderBy(F.asc("docId"))
         return out.limit(k) if k is not None else out
     scored = score_query_daat(
-        spark, segments, term_stats, terms, n_docs, avgdl,
+        spark, segments, term_stats, weights, n_docs, avgdl,
         scorer if scorer is not None else Scorer("bm25"),
         k=None, analyzer=analyzer, ties="asc", pre_analyzed=True,
     )
@@ -524,6 +561,7 @@ def explain_parsed(
         "n_leaves": len(leaves),
         "leaves": report,
         "scoring_terms": scoring_terms(tree),
+        "scoring_weights": scoring_weights(tree),
         "candidate_bound": None if unbounded else bound,
         "shuffles": 1,  # the single collect_set agg; scoring adds its own
         "plan": "tagged-leaf union -> one collect_set agg -> codegen boolean",

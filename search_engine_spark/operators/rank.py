@@ -99,12 +99,15 @@ def _term_dfs(term_stats, terms: list[str]) -> dict[str, int]:
     }
 
 
-def _idf_rows(term_stats, qtfs: dict[str, int], scorer: Scorer, n_docs: int):
-    """Collect (term, df, idf, qtf) for present query terms — tiny."""
+def _idf_rows(term_stats, qtfs: dict[str, float], scorer: Scorer, n_docs: int):
+    """Collect (term, df, idf, qtf) for present query terms — tiny. qtf
+    passes through untyped: integer query-tf counts stay ints (the
+    declarative paths build an int-schema qdf from them), parser ``^W``
+    boost weights stay floats (consumed by the DAAT numpy kernel)."""
     out = []
     for term, df in _term_dfs(term_stats, list(qtfs)).items():
         idf = float(scorer.idf(float(n_docs), np.array([df]))[0])
-        out.append((term, df, idf, int(qtfs[term])))
+        out.append((term, df, idf, qtfs[term]))
     return out
 
 
@@ -1511,8 +1514,12 @@ def score_query_daat(
     ``pre_analyzed``: keywords are already index terms (e.g. produced by
     the query parser's analysis pass) — count them as-is instead of
     re-analyzing, which would double-stem under non-idempotent analyzers
-    like porter."""
-    qtfs = dict(Counter(keywords)) if pre_analyzed else query_tfs(keywords, analyzer)
+    like porter. A ``{term: weight}`` dict is also accepted here (parser
+    ``^W`` boosts fold into the per-term query weight, the qtf slot)."""
+    if pre_analyzed:
+        qtfs = dict(keywords) if isinstance(keywords, dict) else dict(Counter(keywords))
+    else:
+        qtfs = query_tfs(keywords, analyzer)
     rows = _idf_rows(term_stats, qtfs, scorer, n_docs)
     if not rows:
         return spark.createDataFrame([], SCORE_SCHEMA)

@@ -238,3 +238,69 @@ def test_explain_parsed(spark, parsed_index):
     n_apple = sum(1 for d in DOCS if "apple" in d.split())
     assert rep2["candidate_bound"] == n_spark + n_apple
     assert rep2["scoring_terms"] == ["spark", "apple"]
+
+
+def test_boosted_rank_query_string(spark, parsed_index):
+    """^W boosts: matching unchanged, BM25 contribution multiplied by W —
+    exact against a hand-weighted oracle; phrase boosts distribute."""
+    import math
+    from collections import Counter
+
+    from search_engine_spark.operators.parser import (
+        rank_query_string, scoring_weights,
+    )
+
+    corpus, segs, ts = parsed_index
+    n_docs = len(DOCS)
+    avgdl = sum(len(d.split()) for d in DOCS) / n_docs
+
+    # grammar + weights
+    assert parse_query("spark^2", "naive") == ("boost", 2.0, ("term", "spark"))
+    assert parse_query('"table scan"^1.5', "naive") == (
+        "boost", 1.5, ("phrase", ("table", "scan"), 0))
+    tree = parse_query('spark^2 AND "table scan"^1.5 AND pre*^3 '
+                       "AND NOT apple^9", "naive")
+    assert scoring_weights(tree) == {"spark": 2.0, "table": 1.5, "scan": 1.5}
+
+    # matching identical with and without boosts
+    q_plain = 'spark AND "table scan"'
+    q_boost = 'spark^2 AND "table scan"^1.5'
+    ids = lambda q: sorted(
+        r.docId for r in rank_query_string(
+            spark, segs, ts, q, n_docs, avgdl, analyzer="naive", k=None
+        ).collect())
+    assert ids(q_plain) == ids(q_boost)
+
+    # exact boosted score: weight replaces qtf in the BM25 sum
+    def expected(weights, d):
+        toks = [x.split() for x in DOCS]
+        dls = [len(t) for t in toks]
+        avg = sum(dls) / len(DOCS)
+        tf = Counter(toks[d])
+        s = 0.0
+        for t, w in weights.items():
+            df = sum(1 for tt in toks if t in tt)
+            if tf[t] == 0 or df == 0:
+                continue
+            idf = math.log((len(DOCS) - df + 0.5) / (df + 0.5) + 1.0)
+            s += w * idf * tf[t] * 2.2 / (
+                tf[t] + 1.2 * (1.0 - 0.75 + 0.75 * dls[d] / avg))
+        return s
+
+    got = rank_query_string(
+        spark, segs, ts, q_boost, n_docs, avgdl, analyzer="naive", k=10
+    ).collect()
+    assert [r.docId for r in got] == [0]
+    want = expected({"spark": 2.0, "table": 1.5, "scan": 1.5}, 0)
+    assert abs(got[0].score - want) < 1e-9
+
+    # a term both bare and boosted accumulates: spark + spark^2 -> 3.0
+    tree2 = parse_query("spark AND spark^2", "naive")
+    assert scoring_weights(tree2) == {"spark": 3.0}
+    got2 = rank_query_string(
+        spark, segs, ts, "spark AND spark^2", n_docs, avgdl,
+        analyzer="naive", k=10).collect()
+    want2 = {d: expected({"spark": 3.0}, d) for d in (0, 3)}
+    by = {r.docId: r.score for r in got2}
+    assert set(by) == {0, 3}
+    assert all(abs(by[d] - want2[d]) < 1e-9 for d in by)
