@@ -162,10 +162,15 @@ def _index_fielded(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
         import shutil
 
         shutil.rmtree(idx, ignore_errors=True)
+        docs = _docs(spark, sf_dir).withColumn(
+            # multi-token field so fielded PHRASES have real adjacency to
+            # test (field positions are the field's own token stream)
+            "meta", F.concat_ws(" ", "lang", "repo")
+        )
         m = build_index(
-            spark, _docs(spark, sf_dir), idx, analyzer="naive",
+            spark, docs, idx, analyzer="naive",
             n_batches=2, num_segments=8, heavy_threshold=None, n_salts=4,
-            fields={"lang": "naive", "repo": "naive"},
+            fields={"lang": "naive", "repo": "naive", "meta": "naive"},
         )
         _INDEX_CACHE[key] = (idx, m)
     return _INDEX_CACHE[key]
@@ -373,6 +378,23 @@ def q_q8flt_filtered_bm25(spark, sf_dir):
     return out.select(
         F.col("docId").alias("doc_id"), F.round("score", 6).alias("score")
     )
+
+
+def q_q20_fielded_phrase(spark, sf_dir):
+    """q20: fielded phrase — ``meta:"en testdata/src3"`` matches adjacency
+    in the FIELD's own token stream (meta = "<lang> <repo>", so the phrase
+    is exactly lang='en' AND repo='testdata/src3' and the oracle recomputes
+    it relationally); combined with a content term in one parsed plan."""
+    from search_engine_spark.operators.parser import search_query_string
+    from search_engine_spark.sources.segments import load_segments, load_term_stats
+
+    idx, _ = _index_fielded(spark, sf_dir)
+    segs, ts = load_segments(spark, idx), load_term_stats(spark, idx)
+    out = search_query_string(
+        spark, segs, ts, 'meta:"en testdata/src3" AND spark',
+        analyzer="naive",
+    )
+    return out.select(F.col("docId").alias("doc_id"))
 
 
 def q_q3_and(spark, sf_dir):
@@ -2093,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # must not sit behind already-green ones.
         "q19_ranked_parsed": q_q19_ranked_parsed,
         "q19b_boosted_parsed": q_q19b_boosted_parsed,
+        "q20_fielded_phrase": q_q20_fielded_phrase,
         "q18_parsed_query": q_q18_parsed_query,
         "q14r_range_facets": q_q14r_range_facets,
         "q8c_collapse_by_source": q_q8c_collapse,
@@ -2841,6 +2864,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id FROM postings
             WHERE term IN (SELECT term FROM cand)
+        """,
+        "q20_fielded_phrase": f"""
+            WITH {_TOKS}
+            SELECT DISTINCT p.doc_id
+            FROM postings p JOIN documents d ON p.doc_id = d.doc_id
+            WHERE p.term = 'spark'
+              AND d.lang = 'en' AND d.source = 'src3'
         """,
         "q19b_boosted_parsed": f"""
             WITH {_TOKS},

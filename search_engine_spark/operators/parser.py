@@ -20,7 +20,9 @@ adjacency is rejected rather than silently OR'd):
 - ``term^W`` / ``"a b"^W`` — scoring boost (matching unchanged;
   :func:`rank_query_string` multiplies the BM25 contribution by W)
 - ``pre*`` — prefix (term-dictionary range seek)
-- ``field:term`` — fielded term over a ``build_index(fields={...})`` index
+- ``field:term`` / ``field:"a b"[~N]`` — fielded term / fielded phrase
+  over a ``build_index(fields={...})`` index (field positions are their
+  own token stream, so adjacency is phrase-IN-field)
 - ``col:[lo TO hi]`` — inclusive numeric range over a corpus metadata
   column (requires ``corpus``)
 
@@ -171,8 +173,20 @@ def parse_query(query: str, analyzer: str = "naive"):
                     raise ValueError(f"malformed range {v3!r} (use [lo TO hi])")
                 return ("range", word, float(m.group(1)), float(m.group(2)))
             if k3 == "quoted":
-                raise ValueError("fielded phrases are not supported; index "
-                                 "the field positionally and query unfielded")
+                # fielded phrase: positions are recorded per FIELD token
+                # stream (build_segments_combined passes with_positions to
+                # every field's miniblocks), so adjacency over the
+                # namespaced terms is exactly phrase-in-field
+                m = re.fullmatch(r'"([^"]*)"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?', v3)
+                fterms = field_terms(word, m.group(1).split(), analyzer)
+                if not fterms:
+                    raise ValueError(f'{word}:"{m.group(1)}" analyzes to nothing')
+                slop = int(m.group(2) or 0)
+                node = (("term", fterms[0]) if len(fterms) == 1 and slop == 0
+                        else ("phrase", tuple(fterms), slop))
+                if m.group(3) is not None:
+                    return ("boost", float(m.group(3)), node)
+                return node
             if k3 != "word":
                 raise ValueError(f"expected a value after {word}:")
             return _leaf_from_word(v3, analyzer, word)

@@ -304,3 +304,42 @@ def test_boosted_rank_query_string(spark, parsed_index):
     by = {r.docId: r.score for r in got2}
     assert set(by) == {0, 3}
     assert all(abs(by[d] - want2[d]) < 1e-9 for d in by)
+
+
+def test_fielded_phrase(spark, tmp_path_factory):
+    """field:"a b" — adjacency over the field's OWN token stream: matches
+    docs whose field contains the phrase, not content, and not docs with
+    the words non-adjacent or reversed."""
+    from tests.conftest import corpus_from_texts
+
+    titles = [
+        "big data spark",     # 0: phrase "data spark" in title
+        "spark data big",     # 1: words present, wrong order
+        "data x spark",       # 2: non-adjacent
+        "plain",              # 3: phrase only in CONTENT, not title
+    ]
+    texts = ["a", "b", "c", "data spark"]
+    root = tmp_path_factory.mktemp("fphrase")
+    idx = str(root / "idx")
+    corpus = corpus_from_texts(spark, texts).withColumn(
+        "title", F.element_at(
+            F.array(*[F.lit(t) for t in titles]),
+            F.col("docId").cast("int") + 1))
+    S.build_index(spark, corpus, idx, analyzer="naive", n_batches=1,
+                  fields={"title": "naive"})
+    segs, ts = S.load_segments(spark, idx), S.load_term_stats(spark, idx)
+
+    tree = parse_query('title:"data spark"', "naive")
+    assert tree[0] == "phrase" and all("\x1f" in t for t in tree[1])
+    got = _ids(search_parsed(spark, segs, ts, tree, analyzer="naive"))
+    assert got == [0]
+
+    # sloppy fielded phrase: one intervening token allowed
+    got2 = _ids(search_query_string(
+        spark, segs, ts, 'title:"data spark"~1', analyzer="naive"))
+    assert got2 == [0, 2]
+
+    # unfielded phrase still hits content only
+    got3 = _ids(search_query_string(
+        spark, segs, ts, '"data spark"', analyzer="naive"))
+    assert got3 == [3]
