@@ -397,6 +397,23 @@ def q_q20_fielded_phrase(spark, sf_dir):
     return out.select(F.col("docId").alias("doc_id"))
 
 
+WILDCARD_PARSED = "sc?n AND qu*y AND /m[ae]rge/"
+
+
+def q_q21_wildcard_parsed(spark, sf_dir):
+    """q21: wildcard + regexp term leaves through the parser — Lucene
+    WildcardQuery (``?``/``*``, whole-term dictionary LIKE expansion) and
+    RegexpQuery (anchored dictionary rlike expansion), constant-score,
+    sharing the one In-pushed membership decode with the boolean plan."""
+    from search_engine_spark.operators.parser import search_query_string
+    from search_engine_spark.sources.segments import load_segments, load_term_stats
+
+    idx, _ = _index(spark, sf_dir)
+    segs, ts = load_segments(spark, idx), load_term_stats(spark, idx)
+    out = search_query_string(spark, segs, ts, WILDCARD_PARSED, analyzer="naive")
+    return out.select(F.col("docId").alias("doc_id"))
+
+
 def q_q3_and(spark, sf_dir):
     from search_engine_spark.operators.query import search_and
 
@@ -2116,6 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_ranked_parsed": q_q19_ranked_parsed,
         "q19b_boosted_parsed": q_q19b_boosted_parsed,
         "q20_fielded_phrase": q_q20_fielded_phrase,
+        "q21_wildcard_parsed": q_q21_wildcard_parsed,
         "q18_parsed_query": q_q18_parsed_query,
         "q14r_range_facets": q_q14r_range_facets,
         "q8c_collapse_by_source": q_q8c_collapse,
@@ -2864,6 +2882,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id FROM postings
             WHERE term IN (SELECT term FROM cand)
+        """,
+        "q21_wildcard_parsed": f"""
+            WITH {_TOKS}
+            SELECT DISTINCT doc_id FROM postings
+            WHERE term LIKE 'sc_n'
+              AND doc_id IN (
+                SELECT doc_id FROM postings WHERE term LIKE 'qu%y')
+              AND doc_id IN (
+                SELECT doc_id FROM postings
+                WHERE regexp_matches(term, '^(?:m[ae]rge)$'))
         """,
         "q20_fielded_phrase": f"""
             WITH {_TOKS}

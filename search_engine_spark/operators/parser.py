@@ -20,6 +20,10 @@ adjacency is rejected rather than silently OR'd):
 - ``term^W`` / ``"a b"^W`` — scoring boost (matching unchanged;
   :func:`rank_query_string` multiplies the BM25 contribution by W)
 - ``pre*`` — prefix (term-dictionary range seek)
+- ``te?m*`` — wildcard (Lucene ``WildcardQuery``: dictionary ``LIKE``
+  expansion, ``*``/``?``, whole-term, constant-score; fieldable)
+- ``/m[ae]rge/`` — regexp term (Lucene ``RegexpQuery``: anchored
+  dictionary ``rlike`` expansion, constant-score)
 - ``field:term`` / ``field:"a b"[~N]`` — fielded term / fielded phrase
   over a ``build_index(fields={...})`` index (field positions are their
   own token stream, so adjacency is phrase-IN-field)
@@ -55,6 +59,7 @@ from .query import analyze_query, field_terms
 _TOKEN = re.compile(
     r"""\s*(?:
         (?P<quoted>"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?)   # "phrase"[~N][^W]
+      | (?P<regex>/(?:[^/\\]|\\.)+/)   # /pattern/ regexp term query
       | (?P<range>\[[^\]]*\])          # [lo TO hi]
       | (?P<lparen>\()
       | (?P<rparen>\))
@@ -74,7 +79,7 @@ def _scan(query: str) -> list[tuple[str, str]]:
                 raise ValueError(f"cannot tokenize {query[pos:]!r}")
             break
         pos = m.end()
-        for kind in ("quoted", "range", "lparen", "rparen", "colon", "word"):
+        for kind in ("quoted", "regex", "range", "lparen", "rparen", "colon", "word"):
             v = m.group(kind)
             if v is not None:
                 toks.append((kind, v))
@@ -101,10 +106,23 @@ def _leaf_from_word(word: str, analyzer: str, field: str | None):
         if field is not None:
             raise ValueError("fuzzy is not supported on fielded terms")
         return ("fuzzy", toks[0], int(d) if d else 1)
-    if word.endswith("*") and len(word) > 1:
+    if (
+        word.endswith("*") and len(word) > 1
+        and "*" not in word[:-1] and "?" not in word
+    ):
         if field is not None:
             raise ValueError("prefix is not supported on fielded terms")
         return ("prefix", word[:-1])
+    if "*" in word or "?" in word:
+        # Lucene WildcardQuery: dictionary expansion, whole-term match,
+        # constant-score. Like Lucene, wildcards are NOT analyzed (only
+        # case-folded) — stemming 'quer*' would break the user's pattern.
+        pat = word.lower()
+        if field is not None:
+            from .query import FIELD_SEP  # namespaced dictionary subspace
+
+            pat = f"{field}{FIELD_SEP}{pat}"
+        return ("wildcard", pat)
     if field is not None:
         toks = field_terms(field, [word], analyzer)
         if not toks:
@@ -159,6 +177,12 @@ def parse_query(query: str, analyzer: str = "naive"):
             if m.group(3) is not None:
                 return ("boost", float(m.group(3)), node)
             return node
+        if kind == "regex":
+            # /pattern/ — Lucene RegexpQuery over the term dictionary
+            # (anchored to whole-term match, like Lucene); constant-score
+            # dictionary expansion, NOT analyzed.
+            take()
+            return ("regexterm", f"^(?:{v[1:-1]})$")
         if kind != "word":
             raise ValueError(f"expected a term, got {v!r} in {query!r}")
         take()
@@ -314,6 +338,18 @@ def search_parsed(
             cands = [r.term for r in fuzzy_candidates(
                 term_stats, leaf[1], leaf[2], max_expansions).collect()]
             term_leaf += [(t, ids[leaf]) for t in cands]
+        elif leaf[0] == "wildcard":
+            from .query import wildcard_terms
+
+            cands = [r.term for r in wildcard_terms(
+                term_stats, leaf[1], max_expansions).collect()]
+            term_leaf += [(t, ids[leaf]) for t in cands]
+        elif leaf[0] == "regexterm":
+            from .query import regex_terms
+
+            cands = [r.term for r in regex_terms(
+                term_stats, leaf[1], max_expansions).collect()]
+            term_leaf += [(t, ids[leaf]) for t in cands]
     if term_leaf:
         all_terms = sorted({t for t, _ in term_leaf})
         fanout = spark.createDataFrame(term_leaf, "term string, leaf int")
@@ -348,6 +384,11 @@ def search_parsed(
             )
             tagged.append(hits.select("docId", F.lit(ids[leaf]).alias("leaf")))
 
+    if not tagged:
+        # every leaf expanded to nothing (e.g. a lone wildcard/fuzzy with
+        # zero dictionary matches) — no doc can satisfy the tree
+        # (_eval_py(tree, {}) was already checked False above)
+        return spark.createDataFrame([], "docId long")
     out = tagged[0]
     for t in tagged[1:]:
         out = out.unionByName(t)
@@ -563,6 +604,17 @@ def explain_parsed(
                            "n_dictionary_terms": len(rows),
                            "candidate_bound": b,
                            "plan": "StringStartsWith-pushed dictionary range seek"})
+        elif kind in ("wildcard", "regexterm"):
+            from .query import regex_terms, wildcard_terms
+
+            fn = wildcard_terms if kind == "wildcard" else regex_terms
+            cands = fn(term_stats, leaf[1], max_expansions).collect()
+            b = sum(int(r.df) for r in cands)
+            bound += b
+            report.append({"leaf": kind, "pattern": leaf[1],
+                           "expansions": [r.term for r in cands],
+                           "candidate_bound": b,
+                           "plan": "dictionary expansion -> shared In-pushed decode"})
         elif kind == "range":
             unbounded = True
             report.append({"leaf": "range", "column": leaf[1],

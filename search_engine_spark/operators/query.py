@@ -343,6 +343,55 @@ def regex_terms(
     )
 
 
+def wildcard_like(pattern: str) -> str:
+    """Lucene wildcard -> SQL LIKE: ``*`` -> ``%``, ``?`` -> ``_``, with
+    literal ``\\ % _`` in the input escaped (default LIKE escape char)."""
+    out = []
+    for c in pattern:
+        if c == "*":
+            out.append("%")
+        elif c == "?":
+            out.append("_")
+        elif c in ("\\", "%", "_"):
+            out.append("\\" + c)
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def wildcard_terms(
+    term_stats: DataFrame, pattern: str, max_expansions: int = 64
+) -> DataFrame:
+    """Term-dictionary wildcard expansion (the Lucene ``WildcardQuery``
+    shape): dictionary terms matching ``pattern`` (``*`` = any run, ``?`` =
+    one char, whole-term match), ranked (df desc, term asc), capped.
+
+    Same scale shape as :func:`regex_terms`: dictionary-only scan, JVM
+    ``LIKE`` inside codegen, ranked cap = TakeOrderedAndProject. A leading
+    literal prefix additionally feeds parquet min/max pruning through the
+    LIKE's derived StartsWith bound."""
+    if not pattern:
+        return term_stats.select("term", "df").limit(0)
+    return (
+        term_stats.where(F.col("term").like(wildcard_like(pattern)))
+        .select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
+    )
+
+
+def search_wildcard(
+    postings: DataFrame, term_stats: DataFrame, pattern: str,
+    max_expansions: int = 64,
+) -> DataFrame:
+    """Wildcard term query: docs containing ANY dictionary term matching
+    ``pattern`` — two-stage like fuzzy/regex (bounded dictionary expansion,
+    then an OR seek whose literal term list reaches the term-sorted posting
+    scan as an ``In`` pushed filter)."""
+    terms = [r.term for r in wildcard_terms(term_stats, pattern, max_expansions).collect()]
+    return search_or(postings, terms)
+
+
 def search_regex(
     postings: DataFrame, term_stats: DataFrame, pattern: str,
     max_expansions: int = 64,

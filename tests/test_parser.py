@@ -343,3 +343,62 @@ def test_fielded_phrase(spark, tmp_path_factory):
     got3 = _ids(search_query_string(
         spark, segs, ts, '"data spark"', analyzer="naive"))
     assert got3 == [3]
+
+    # fielded wildcard expands in the namespaced dictionary subspace
+    got4 = _ids(search_query_string(
+        spark, segs, ts, "title:b?g", analyzer="naive"))
+    assert got4 == [0, 1]  # titles containing 'big'; content terms unaffected
+
+
+def test_wildcard_and_regexterm(spark, parsed_index):
+    """te?m* wildcard + /regex/ term leaves: dictionary expansion,
+    whole-term match, constant-score, composable in the boolean tree."""
+    from search_engine_spark.operators.parser import (
+        explain_parsed, rank_query_string,
+    )
+
+    corpus, segs, ts = parsed_index
+    run = lambda q: _ids(search_query_string(
+        spark, segs, ts, q, corpus=corpus, analyzer="naive"))
+
+    # goldens
+    assert parse_query("sc?n", "naive") == ("wildcard", "sc?n")
+    assert parse_query("s*k", "naive") == ("wildcard", "s*k")
+    assert parse_query("/sp[aeiou]rk[a-z]*/", "naive") == (
+        "regexterm", "^(?:sp[aeiou]rk[a-z]*)$")
+    # trailing-star-only stays a pushed prefix seek
+    assert parse_query("pre*", "naive") == ("prefix", "pre")
+
+    # ?: exactly one char, whole-term (scan; NOT sparky/spark)
+    docs_with = lambda t: sorted(
+        d for d, x in enumerate(DOCS) if t in x.split())
+    assert run("sc?n") == docs_with("scan")
+    # * mid-pattern: s*k -> spark (sparky does not END in k)
+    assert run("s*k") == docs_with("spark")
+    # regex: whole-term anchored -> spark and sparky
+    got_rx = run("/sp[aeiou]rk[a-z]*/")
+    want_rx = sorted(set(docs_with("spark")) | set(docs_with("sparky")))
+    assert got_rx == want_rx
+    # composes in the tree
+    assert run("sc?n AND NOT /sp[aeiou]rk/") == sorted(
+        set(docs_with("scan")) - set(docs_with("spark")))
+
+    # a lone zero-expansion leaf returns empty, not an error
+    assert run("zzznope*x") == []
+
+    # constant-score: wildcard/regex matches rank at 0.0
+    n_docs = len(DOCS)
+    avgdl = sum(len(d.split()) for d in DOCS) / n_docs
+    got = rank_query_string(
+        spark, segs, ts, "s*k OR import", n_docs, avgdl,
+        analyzer="naive", k=10).collect()
+    by = {r.docId: r.score for r in got}
+    assert by[0] == 0.0 and by[3] == 0.0  # matched via s*k (spark) only
+    assert by[6] > 0 and by[7] > 0        # carry BM25 for 'import'
+
+    # explain reports the expansions
+    rep = explain_parsed(ts, "s*k AND /sp[aeiou]rk/", analyzer="naive")
+    by_leaf = {l["leaf"]: l for l in rep["leaves"]}
+    assert by_leaf["wildcard"]["expansions"] == ["spark"]
+    assert by_leaf["regexterm"]["expansions"] == ["spark"]
+    assert rep["scoring_terms"] == []
