@@ -70,8 +70,14 @@ def main(argv: list[str] | None = None) -> int:
                          "avgdl_by_field)")
     ap.add_argument("--no-full-scan", action="store_true",
                     help="refuse queries whose only plan is a full corpus "
-                         "scan (short needles, unprunable regex) instead "
-                         "of silently running a whole-corpus job")
+                         "scan (short needles, unprunable regex, parsed "
+                         "range leaves) instead of silently running a "
+                         "whole-corpus job")
+    ap.add_argument("--max-candidates", type=int, default=None,
+                    help="parsed/ranked modes: planner budget on the "
+                         "query's df-based candidate bound (dictionary "
+                         "stats only); exceeding it fails loudly instead "
+                         "of decoding corpus-scale posting lists")
     ap.add_argument("--explain", action="store_true",
                     help="substring mode: print the trigram plan report "
                          "(strategy, rarest-K probes with df, candidate "
@@ -234,6 +240,8 @@ def main(argv: list[str] | None = None) -> int:
             search_query_string(
                 spark, segs, stats, a.q, corpus=corpus, analyzer=analyzer,
                 max_expansions=a.max_expansions,
+                max_candidates=a.max_candidates,
+                allow_corpus_filter=not a.no_full_scan,
             ),
             tomb,
         )
@@ -251,7 +259,8 @@ def main(argv: list[str] | None = None) -> int:
         out = rank_query_string(
             spark, segs, stats, a.q, n_docs, avgdl, k=a.k, corpus=corpus,
             analyzer=analyzer, max_expansions=a.max_expansions,
-            tombstones=tomb,
+            tombstones=tomb, max_candidates=a.max_candidates,
+            allow_corpus_filter=not a.no_full_scan,
         )
         rows = [{"docId": r.docId, "score": round(r.score, 6)}
                 for r in out.collect()]

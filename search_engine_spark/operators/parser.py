@@ -302,6 +302,69 @@ def _eval_col(tree, ids: dict, col: Column) -> Column:
     return F.array_contains(col, F.lit(ids[tree]))
 
 
+class QueryBudgetExceeded(ValueError):
+    """The parsed query's index-candidate upper bound (Σ df over its
+    term/expansion/prefix leaves + min-df per phrase — dictionary stats
+    only, zero postings touched) exceeds the caller's ``max_candidates``
+    budget. At 10^12 files a stray ``e*`` or ``/./`` drags posting lists
+    the size of the corpus into a serving job; the planner must refuse
+    EXPLICITLY, naming the bound, so the caller can tighten the query or
+    route it to a batch tier. The same cost-model shape as
+    :class:`..codesearch.FullScanRefused`."""
+
+
+def _expand_multiterm(term_stats, leaf, max_expansions):
+    """Dictionary expansion [(term, df), ...] for a fuzzy / wildcard /
+    regexterm leaf — the ONE place each family's expansion runs, shared by
+    the execution plan, the budget gate, and :func:`explain_parsed`."""
+    from .query import fuzzy_candidates, regex_terms, wildcard_terms
+
+    if leaf[0] == "fuzzy":
+        rows = fuzzy_candidates(term_stats, leaf[1], leaf[2], max_expansions)
+    elif leaf[0] == "wildcard":
+        rows = wildcard_terms(term_stats, leaf[1], max_expansions)
+    else:  # regexterm
+        rows = regex_terms(term_stats, leaf[1], max_expansions)
+    return [(r.term, int(r.df)) for r in rows.select("term", "df").collect()]
+
+
+def _candidate_bound(term_stats, leaves, expanded, prefix_df=None):
+    """Upper bound on tagged rows the one-plan execution can produce, from
+    dictionary stats only: Σ df over term/expansion leaves, min-df per
+    phrase (every constituent must contain a match), Σ df over
+    prefix-matched dictionary terms. Returns (bound, has_range)."""
+    from ..functions.predicates import isin_expr
+
+    plain = sorted({l[1] for l in leaves if l[0] == "term"}
+                   | {t for l in leaves if l[0] == "phrase" for t in l[1]})
+    dfs: dict[str, int] = {}
+    if plain:
+        rows = term_stats.where(isin_expr("term", plain)).select("term", "df").collect()
+        dfs = {r.term: int(r.df) for r in rows}
+    bound, has_range = 0, False
+    for leaf in leaves:
+        if leaf[0] == "term":
+            bound += dfs.get(leaf[1], 0)
+        elif leaf[0] == "phrase":
+            per = [dfs.get(t, 0) for t in leaf[1]]
+            bound += min(per) if per else 0
+        elif leaf[0] in ("fuzzy", "wildcard", "regexterm"):
+            bound += sum(df for _, df in expanded.get(leaf, ()))
+        elif leaf[0] == "prefix":
+            if prefix_df is None:
+                prefix_df = {}
+            if leaf not in prefix_df:
+                rows = (
+                    term_stats.where(F.col("term").startswith(leaf[1]))
+                    .select("df").collect()
+                )
+                prefix_df[leaf] = sum(int(r.df) for r in rows)
+            bound += prefix_df[leaf]
+        elif leaf[0] == "range":
+            has_range = True
+    return bound, has_range
+
+
 def search_parsed(
     spark: SparkSession,
     segments: DataFrame,
@@ -310,12 +373,20 @@ def search_parsed(
     corpus: DataFrame | None = None,
     analyzer: str = "naive",
     max_expansions: int = 64,
+    max_candidates: int | None = None,
+    allow_corpus_filter: bool = True,
 ) -> DataFrame:
     """Execute a :func:`parse_query` tree -> docId DataFrame (see module
-    docstring for the one-plan shape)."""
+    docstring for the one-plan shape).
+
+    ``max_candidates``: optional planner budget — before any postings
+    decode, the df-based candidate bound (:func:`_candidate_bound`,
+    dictionary lookups only) must fit, else :class:`QueryBudgetExceeded`.
+    ``allow_corpus_filter=False`` additionally refuses range leaves (each
+    is a corpus metadata scan, the parsed-query analog of
+    ``codesearch.allow_full_scan``)."""
     from ..sources.segments import decode_postings
     from .query import search_phrase, search_prefix, search_sloppy_phrase
-    from .query import fuzzy_candidates
 
     leaves: list = []
     _collect_leaves(tree, leaves)
@@ -326,6 +397,26 @@ def search_parsed(
             "purely negative query (matches docs containing none of its "
             "terms) — add at least one positive clause"
         )
+    expanded = {
+        leaf: _expand_multiterm(term_stats, leaf, max_expansions)
+        for leaf in leaves if leaf[0] in ("fuzzy", "wildcard", "regexterm")
+    }
+    if max_candidates is not None or not allow_corpus_filter:
+        bound, has_range = _candidate_bound(term_stats, leaves, expanded)
+        if has_range and not allow_corpus_filter:
+            rng = [l for l in leaves if l[0] == "range"]
+            raise QueryBudgetExceeded(
+                f"range leaves {[l[1] for l in rng]} require a corpus "
+                "metadata scan; pass allow_corpus_filter=True to run it, "
+                "or index the column as a field"
+            )
+        if max_candidates is not None and bound > max_candidates:
+            raise QueryBudgetExceeded(
+                f"candidate bound {bound} exceeds max_candidates "
+                f"{max_candidates} (dictionary-df upper bound on decoded "
+                "postings); tighten the query, raise the budget, or route "
+                "to a batch tier"
+            )
     ids = {leaf: i for i, leaf in enumerate(leaves)}
     tagged: list[DataFrame] = []
 
@@ -334,22 +425,8 @@ def search_parsed(
     for leaf in leaves:
         if leaf[0] == "term":
             term_leaf.append((leaf[1], ids[leaf]))
-        elif leaf[0] == "fuzzy":
-            cands = [r.term for r in fuzzy_candidates(
-                term_stats, leaf[1], leaf[2], max_expansions).collect()]
-            term_leaf += [(t, ids[leaf]) for t in cands]
-        elif leaf[0] == "wildcard":
-            from .query import wildcard_terms
-
-            cands = [r.term for r in wildcard_terms(
-                term_stats, leaf[1], max_expansions).collect()]
-            term_leaf += [(t, ids[leaf]) for t in cands]
-        elif leaf[0] == "regexterm":
-            from .query import regex_terms
-
-            cands = [r.term for r in regex_terms(
-                term_stats, leaf[1], max_expansions).collect()]
-            term_leaf += [(t, ids[leaf]) for t in cands]
+        elif leaf[0] in ("fuzzy", "wildcard", "regexterm"):
+            term_leaf += [(t, ids[leaf]) for t, _ in expanded[leaf]]
     if term_leaf:
         all_terms = sorted({t for t, _ in term_leaf})
         fanout = spark.createDataFrame(term_leaf, "term string, leaf int")
@@ -404,11 +481,14 @@ def search_query_string(
     corpus: DataFrame | None = None,
     analyzer: str = "naive",
     max_expansions: int = 64,
+    max_candidates: int | None = None,
+    allow_corpus_filter: bool = True,
 ) -> DataFrame:
     """One-call convenience: parse + execute a query string."""
     return search_parsed(
         spark, segments, term_stats, parse_query(query, analyzer),
         corpus=corpus, analyzer=analyzer, max_expansions=max_expansions,
+        max_candidates=max_candidates, allow_corpus_filter=allow_corpus_filter,
     )
 
 
@@ -478,6 +558,8 @@ def rank_query_string(
     analyzer: str = "naive",
     max_expansions: int = 64,
     tombstones: DataFrame | None = None,
+    max_candidates: int | None = None,
+    allow_corpus_filter: bool = True,
 ) -> DataFrame:
     """The Lucene endgame for the query box: parse ``query``, filter through
     the one-plan boolean execution (:func:`search_parsed`), and rank the
@@ -510,6 +592,8 @@ def rank_query_string(
         search_parsed(
             spark, segments, term_stats, tree,
             corpus=corpus, analyzer=analyzer, max_expansions=max_expansions,
+            max_candidates=max_candidates,
+            allow_corpus_filter=allow_corpus_filter,
         ),
         tombstones,
     )
@@ -549,8 +633,6 @@ def explain_parsed(
     dictionary terms + min-df per phrase (a phrase match needs all its
     terms; the rarest bounds it). Range leaves are corpus metadata filters
     — unbounded by the index, reported as ``null`` and excluded."""
-    from .query import fuzzy_candidates
-
     tree = parse_query(query, analyzer)
     leaves: list = []
     _collect_leaves(tree, leaves)
@@ -584,13 +666,11 @@ def explain_parsed(
                            "candidate_bound": b,
                            "plan": "shared positional decode + adjacency join"})
         elif kind == "fuzzy":
-            cands = fuzzy_candidates(
-                term_stats, leaf[1], leaf[2], max_expansions
-            ).collect()
-            b = sum(int(r.df) for r in cands)
+            cands = _expand_multiterm(term_stats, leaf, max_expansions)
+            b = sum(df for _, df in cands)
             bound += b
             report.append({"leaf": "fuzzy", "term": leaf[1], "dist": leaf[2],
-                           "expansions": [r.term for r in cands],
+                           "expansions": [t for t, _ in cands],
                            "candidate_bound": b,
                            "plan": "dictionary expansion -> shared In-pushed decode"})
         elif kind == "prefix":
@@ -605,14 +685,11 @@ def explain_parsed(
                            "candidate_bound": b,
                            "plan": "StringStartsWith-pushed dictionary range seek"})
         elif kind in ("wildcard", "regexterm"):
-            from .query import regex_terms, wildcard_terms
-
-            fn = wildcard_terms if kind == "wildcard" else regex_terms
-            cands = fn(term_stats, leaf[1], max_expansions).collect()
-            b = sum(int(r.df) for r in cands)
+            cands = _expand_multiterm(term_stats, leaf, max_expansions)
+            b = sum(df for _, df in cands)
             bound += b
             report.append({"leaf": kind, "pattern": leaf[1],
-                           "expansions": [r.term for r in cands],
+                           "expansions": [t for t, _ in cands],
                            "candidate_bound": b,
                            "plan": "dictionary expansion -> shared In-pushed decode"})
         elif kind == "range":

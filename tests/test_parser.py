@@ -402,3 +402,42 @@ def test_wildcard_and_regexterm(spark, parsed_index):
     assert by_leaf["wildcard"]["expansions"] == ["spark"]
     assert by_leaf["regexterm"]["expansions"] == ["spark"]
     assert rep["scoring_terms"] == []
+
+
+def test_query_budget_gate(spark, parsed_index):
+    """max_candidates: df-based planner refusal BEFORE any postings decode;
+    allow_corpus_filter=False refuses range leaves."""
+    from search_engine_spark.operators.parser import (
+        QueryBudgetExceeded, explain_parsed,
+    )
+
+    corpus, segs, ts = parsed_index
+
+    # the bound equals explain's bound; over-budget refuses naming both
+    rep = explain_parsed(ts, "spark AND table", analyzer="naive")
+    b = rep["candidate_bound"]
+    with pytest.raises(QueryBudgetExceeded, match=f"candidate bound {b}"):
+        search_query_string(spark, segs, ts, "spark AND table",
+                            analyzer="naive", max_candidates=b - 1)
+    # at-budget runs and matches the ungated result
+    got = _ids(search_query_string(spark, segs, ts, "spark AND table",
+                                   analyzer="naive", max_candidates=b))
+    assert got == _ids(search_query_string(spark, segs, ts,
+                                           "spark AND table",
+                                           analyzer="naive"))
+
+    # expansion leaves (wildcard) count their dictionary dfs
+    rep2 = explain_parsed(ts, "s*k", analyzer="naive")
+    with pytest.raises(QueryBudgetExceeded):
+        search_query_string(spark, segs, ts, "s*k", analyzer="naive",
+                            max_candidates=rep2["candidate_bound"] - 1)
+
+    # range leaves refuse under allow_corpus_filter=False, run otherwise
+    with pytest.raises(QueryBudgetExceeded, match="corpus metadata scan"):
+        search_query_string(spark, segs, ts,
+                            "spark AND n_chars:[10 TO 99]",
+                            corpus=corpus, analyzer="naive",
+                            allow_corpus_filter=False)
+    assert _ids(search_query_string(
+        spark, segs, ts, "spark AND n_chars:[10 TO 99]",
+        corpus=corpus, analyzer="naive"))
