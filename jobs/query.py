@@ -81,7 +81,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--explain", action="store_true",
                     help="substring mode: print the trigram plan report "
                          "(strategy, rarest-K probes with df, candidate "
-                         "upper bound) instead of executing")
+                         "upper bound) instead of executing; parsed/ranked "
+                         "modes: per-leaf strategy + df bounds + scoring "
+                         "weights (dictionary lookups only)")
     ap.add_argument("--master", default=None, help="local testing only")
     ap.add_argument(
         "--ignore-deleted", action="store_true",
@@ -151,6 +153,18 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("--boost-field applies to bm25 mode")
 
     t0 = time.time()
+    if a.explain and a.mode in ("parsed", "ranked"):
+        # plan-only: per-leaf strategy, df cost bounds, scoring weights —
+        # dictionary lookups only, no postings decode
+        from search_engine_spark.operators.parser import explain_parsed
+
+        rep = explain_parsed(stats, a.q, analyzer=analyzer,
+                             max_expansions=a.max_expansions)
+        print(json.dumps({"mode": a.mode, "explain": rep,
+                          "latency_sec": round(time.time() - t0, 3)}))
+        if owns_session:
+            spark.stop()
+        return 0
     if a.mode == "bm25" and a.boost_field:
         from search_engine_spark.operators.rank import score_query_fielded
 

@@ -570,3 +570,20 @@ def test_query_job_parsed_and_ranked(built, capsys):
     assert set(ids_r) <= ids_p and ids_r
     scores = [r["score"] for r in ranked["results"]]
     assert scores == sorted(scores, reverse=True) and scores[0] > 0
+
+
+def test_query_job_parsed_explain(built, capsys):
+    """--explain on parsed/ranked: plan-only report, no execution."""
+    from jobs.query import main as query_main
+
+    _, idx = built
+    rc = query_main([
+        "--index", idx, "--mode", "ranked", "--q", "appl^2 AND rott*",
+        "--explain", "--master", "local[4]",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    rep = out["explain"]
+    kinds = sorted(l["leaf"] for l in rep["leaves"])
+    assert kinds == ["prefix", "term"]
+    assert rep["scoring_weights"] and rep["candidate_bound"] > 0
