@@ -27,8 +27,9 @@ adjacency is rejected rather than silently OR'd):
 - ``field:term`` / ``field:"a b"[~N]`` — fielded term / fielded phrase
   over a ``build_index(fields={...})`` index (field positions are their
   own token stream, so adjacency is phrase-IN-field)
-- ``col:[lo TO hi]`` — inclusive numeric range over a corpus metadata
-  column (requires ``corpus``)
+- ``col:[lo TO hi]`` — numeric range over a corpus metadata column
+  (requires ``corpus``); Lucene brackets: ``[ ]`` inclusive, ``{ }``
+  exclusive (mixable), ``*`` = open end (``col:[100 TO *]``)
 
 Execution (:func:`search_parsed`) compiles the WHOLE tree to one plan in
 the :func:`..query.search_bool` shape, generalized to heterogeneous
@@ -60,7 +61,7 @@ _TOKEN = re.compile(
     r"""\s*(?:
         (?P<quoted>"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?)   # "phrase"[~N][^W]
       | (?P<regex>/(?:[^/\\]|\\.)+/)   # /pattern/ regexp term query
-      | (?P<range>\[[^\]]*\])          # [lo TO hi]
+      | (?P<range>[\[\{][^\]\}]*[\]\}])   # [lo TO hi] / {lo TO hi} / [* TO hi]
       | (?P<lparen>\()
       | (?P<rparen>\))
       | (?P<colon>:)
@@ -192,10 +193,19 @@ def parse_query(query: str, analyzer: str = "naive"):
             take()
             k3, v3 = take()
             if k3 == "range":
-                m = re.fullmatch(r"\[\s*(\S+)\s+TO\s+(\S+)\s*\]", v3)
+                # Lucene range brackets: [ ] inclusive, { } exclusive
+                # (mixable), * = open end
+                m = re.fullmatch(r"([\[\{])\s*(\S+)\s+TO\s+(\S+)\s*([\]\}])", v3)
                 if not m:
                     raise ValueError(f"malformed range {v3!r} (use [lo TO hi])")
-                return ("range", word, float(m.group(1)), float(m.group(2)))
+                lo = None if m.group(2) == "*" else float(m.group(2))
+                hi = None if m.group(3) == "*" else float(m.group(3))
+                if lo is None and hi is None:
+                    raise ValueError(
+                        f"range {word}:{v3} has no bounds (use a wildcard "
+                        "or exists-style query instead)")
+                return ("range", word, lo, hi,
+                        m.group(1) == "[", m.group(4) == "]")
             if k3 == "quoted":
                 # fielded phrase: positions are recorded per FIELD token
                 # stream (build_segments_combined passes with_positions to
@@ -456,9 +466,14 @@ def search_parsed(
             if leaf[1] not in corpus.columns:
                 raise ValueError(f"unknown range column {leaf[1]!r}")
             col = F.col(leaf[1])
-            hits = corpus.where(
-                (col >= F.lit(leaf[2])) & (col <= F.lit(leaf[3]))
-            )
+            cond = None
+            if leaf[2] is not None:
+                c = col >= F.lit(leaf[2]) if leaf[4] else col > F.lit(leaf[2])
+                cond = c
+            if leaf[3] is not None:
+                c = col <= F.lit(leaf[3]) if leaf[5] else col < F.lit(leaf[3])
+                cond = c if cond is None else (cond & c)
+            hits = corpus.where(cond)
             tagged.append(hits.select("docId", F.lit(ids[leaf]).alias("leaf")))
 
     if not tagged:
@@ -696,6 +711,7 @@ def explain_parsed(
             unbounded = True
             report.append({"leaf": "range", "column": leaf[1],
                            "lo": leaf[2], "hi": leaf[3],
+                           "lo_inclusive": leaf[4], "hi_inclusive": leaf[5],
                            "candidate_bound": None,
                            "plan": "corpus column filter (parquet min/max pruning)"})
     return {

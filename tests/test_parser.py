@@ -38,7 +38,14 @@ def test_parse_query_goldens():
     assert p("spark~") == ("fuzzy", "spark", 1)
     assert p("spark~2") == ("fuzzy", "spark", 2)
     assert p("pre*") == ("prefix", "pre")
-    assert p("n_chars:[10 TO 99]") == ("range", "n_chars", 10.0, 99.0)
+    assert p("n_chars:[10 TO 99]") == (
+        "range", "n_chars", 10.0, 99.0, True, True)
+    assert p("n_chars:{10 TO 99]") == (
+        "range", "n_chars", 10.0, 99.0, False, True)
+    assert p("n_chars:[10 TO *}") == (
+        "range", "n_chars", 10.0, None, True, False)
+    with pytest.raises(ValueError, match="no bounds"):
+        p("n_chars:[* TO *]")
     assert p("(a OR b) AND NOT c") == (
         "and", [("or", [("term", "a"), ("term", "b")]),
                 ("not", ("term", "c"))])
@@ -441,3 +448,24 @@ def test_query_budget_gate(spark, parsed_index):
     assert _ids(search_query_string(
         spark, segs, ts, "spark AND n_chars:[10 TO 99]",
         corpus=corpus, analyzer="naive"))
+
+
+def test_range_bounds(spark, parsed_index):
+    """Exclusive { } and open * range bounds execute correctly."""
+    corpus, segs, ts = parsed_index
+    lens = {r.docId: len(DOCS[r.docId]) for r in corpus.collect()}
+    run = lambda q: _ids(search_query_string(
+        spark, segs, ts, q, corpus=corpus, analyzer="naive"))
+
+    lo, hi = 10, max(lens.values())
+    # inclusive vs exclusive upper bound at an exact boundary value
+    assert run(f"n_chars:[{lo} TO {hi}] AND table") != \
+           run(f"n_chars:[{lo} TO {hi}}} AND table") or \
+           all(n != hi for d, n in lens.items() if "table" in DOCS[d].split())
+    assert run(f"n_chars:{{{lo} TO {hi}]") == sorted(
+        d for d, n in lens.items() if lo < n <= hi)
+    # open ends
+    assert run(f"n_chars:[{lo} TO *]") == sorted(
+        d for d, n in lens.items() if n >= lo)
+    assert run(f"n_chars:[* TO {lo}}}") == sorted(
+        d for d, n in lens.items() if n < lo)
