@@ -469,3 +469,110 @@ def test_range_bounds(spark, parsed_index):
         d for d, n in lens.items() if n >= lo)
     assert run(f"n_chars:[* TO {lo}}}") == sorted(
         d for d, n in lens.items() if n < lo)
+
+
+def test_random_trees_roundtrip_and_semantics(spark, parsed_index):
+    """Seeded random boolean trees: serialize -> parse round-trips exactly
+    (precedence + parens), and search_parsed agrees with a pure-python
+    truth evaluation over the fixture docs for every tree."""
+    import random
+
+    corpus, segs, ts = parsed_index
+    rng = random.Random(42)
+    vocab = sorted({t for d in DOCS for t in d.split()}) + ["zzz", "qqq"]
+    toks = [d.split() for d in DOCS]
+
+    def gen(depth):
+        r = rng.random()
+        if depth <= 0 or r < 0.45:
+            kind = rng.choice(["term", "term", "phrase", "prefix", "wildcard"])
+            if kind == "term":
+                return ("term", rng.choice(vocab))
+            if kind == "phrase":
+                d = rng.choice(toks)
+                if len(d) < 2:
+                    return ("term", rng.choice(vocab))
+                i = rng.randrange(len(d) - 1)
+                return ("phrase", (d[i], d[i + 1]), 0)
+            if kind == "prefix":
+                return ("prefix", rng.choice(vocab)[:2])
+            w = rng.choice(vocab)
+            # always include '?' so the parser can't rewrite it to a prefix
+            return ("wildcard",
+                    w[0] + "?" + w[2:] if len(w) > 2 else "?" + w[1:])
+        if r < 0.6:
+            return ("not", gen(depth - 1))
+        op = rng.choice(["and", "or"])
+        return (op, [gen(depth - 1) for _ in range(rng.randint(2, 3))])
+
+    PREC = {"or": 0, "and": 1, "not": 2}
+
+    def to_q(node, parent=0):
+        k = node[0]
+        if k == "term":
+            return node[1]
+        if k == "phrase":
+            return '"' + " ".join(node[1]) + '"'
+        if k == "prefix":
+            return node[1] + "*"
+        if k == "wildcard":
+            return node[1]
+        if k == "not":
+            s = f"NOT {to_q(node[1], PREC['not'])}"
+            return f"({s})" if parent > PREC["not"] else s
+        sep = f" {k.upper()} "
+        s = sep.join(to_q(c, PREC[k] + 1) for c in node[1])
+        return f"({s})" if parent > PREC[k] else s
+
+    import fnmatch
+
+    def truth(node, d):
+        k = node[0]
+        if k == "term":
+            return node[1] in toks[d]
+        if k == "phrase":
+            a, b = node[1]
+            return any(x == a and y == b
+                       for x, y in zip(toks[d], toks[d][1:]))
+        if k == "prefix":
+            return any(t.startswith(node[1]) for t in toks[d])
+        if k == "wildcard":
+            # engine expands the DICTIONARY (whole-term match)
+            return any(fnmatch.fnmatchcase(t, node[1]) for t in toks[d])
+        if k == "not":
+            return not truth(node[1], d)
+        if k == "and":
+            return all(truth(c, d) for c in node[1])
+        return any(truth(c, d) for c in node[1])
+
+    checked = 0
+    while checked < 15:
+        tree = gen(3)
+        if _eval_py_matches_empty(tree):
+            continue  # engine rejects purely-negative trees
+        q = to_q(tree)
+        got_tree = parse_query(q, "naive")
+        assert _canon(got_tree) == _canon(tree), q
+        want = sorted(d for d in range(len(DOCS)) if truth(tree, d))
+        got = _ids(search_parsed(spark, segs, ts, got_tree, analyzer="naive"))
+        assert got == want, f"{q}: {got} != {want}"
+        checked += 1
+
+
+def _eval_py_matches_empty(tree):
+    from search_engine_spark.operators.parser import _eval_py
+
+    return _eval_py(tree, set())
+
+
+def _canon(node):
+    """Single-child and/or nodes collapse during parsing; normalize."""
+    k = node[0]
+    if k in ("and", "or"):
+        kids = [_canon(c) for c in node[1]]
+        if len(kids) == 1:
+            return kids[0]
+        return (k, kids)
+    if k == "not":
+        return ("not", _canon(node[1]))
+    return node
