@@ -24,9 +24,10 @@ adjacency is rejected rather than silently OR'd):
   expansion, ``*``/``?``, whole-term, constant-score; fieldable)
 - ``/m[ae]rge/`` — regexp term (Lucene ``RegexpQuery``: anchored
   dictionary ``rlike`` expansion, constant-score)
-- ``field:term`` / ``field:"a b"[~N]`` — fielded term / fielded phrase
-  over a ``build_index(fields={...})`` index (field positions are their
-  own token stream, so adjacency is phrase-IN-field)
+- ``field:term`` / ``field:"a b"[~N]`` / ``field:(a OR "b c")`` — fielded
+  term / fielded phrase / field GROUP over a ``build_index(fields={...})``
+  index (field positions are their own token stream, so adjacency is
+  phrase-IN-field; a group fields every leaf inside it)
 - ``col:[lo TO hi]`` — numeric range over a corpus metadata column
   (requires ``corpus``); Lucene brackets: ``[ ]`` inclusive, ``{ }``
   exclusive (mixable), ``*`` = open end (``col:[100 TO *]``)
@@ -157,40 +158,67 @@ def parse_query(query: str, analyzer: str = "naive"):
         pos += 1
         return t
 
-    def atom():
+    def phrase_node(v: str, field: str | None):
+        """Shared "body"[~N][^W] handling for bare and fielded phrases."""
+        m = re.fullmatch(r'"([^"]*)"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?', v)
+        body, slop = m.group(1), int(m.group(2) or 0)
+        if field is None:
+            terms = analyze_query(body.split(), analyzer)
+        else:
+            # fielded phrase: positions are recorded per FIELD token stream
+            # (build_segments_combined passes with_positions to every
+            # field's miniblocks), so adjacency over the namespaced terms
+            # is exactly phrase-in-field
+            terms = field_terms(field, body.split(), analyzer)
+        if not terms:
+            where = f'{field}:"{body}"' if field else f'"{body}"'
+            raise ValueError(f"phrase {where} analyzes to nothing")
+        node = (("term", terms[0]) if len(terms) == 1 and slop == 0
+                else ("phrase", tuple(terms), slop))
+        if m.group(3) is not None:
+            return ("boost", float(m.group(3)), node)
+        return node
+
+    def atom(field=None):
         kind, v = peek()
         if kind == "lparen":
             take()
-            node = or_expr()
+            node = or_expr(field)
             k2, _ = take()
             if k2 != "rparen":
                 raise ValueError(f"missing ')' in {query!r}")
             return node
         if kind == "quoted":
             take()
-            m = re.fullmatch(r'"([^"]*)"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?', v)
-            body, slop = m.group(1), int(m.group(2) or 0)
-            terms = analyze_query(body.split(), analyzer)
-            if not terms:
-                raise ValueError(f"phrase {v!r} analyzes to nothing")
-            node = (("term", terms[0]) if len(terms) == 1 and slop == 0
-                    else ("phrase", tuple(terms), slop))
-            if m.group(3) is not None:
-                return ("boost", float(m.group(3)), node)
-            return node
+            return phrase_node(v, field)
         if kind == "regex":
             # /pattern/ — Lucene RegexpQuery over the term dictionary
             # (anchored to whole-term match, like Lucene); constant-score
             # dictionary expansion, NOT analyzed.
             take()
+            if field is not None:
+                raise ValueError("regexp is not supported on fielded terms")
             return ("regexterm", f"^(?:{v[1:-1]})$")
         if kind != "word":
             raise ValueError(f"expected a term, got {v!r} in {query!r}")
         take()
         word = v
         k2, v2 = peek()
-        if k2 == "colon":  # field:value | col:[lo TO hi]
+        if k2 == "colon" and field is not None:
+            raise ValueError(
+                f"nested field {word!r} inside a {field}:(...) group")
+        if k2 == "colon":  # field:value | col:[lo TO hi] | field:(...)
             take()
+            k3, v3 = peek()
+            if k3 == "lparen":
+                # Lucene field grouping: title:(a OR "b c") — every leaf
+                # in the group is fielded
+                take()
+                node = or_expr(word)
+                k4, _ = take()
+                if k4 != "rparen":
+                    raise ValueError(f"missing ')' in {word}:(...) group")
+                return node
             k3, v3 = take()
             if k3 == "range":
                 # Lucene range brackets: [ ] inclusive, { } exclusive
@@ -207,39 +235,26 @@ def parse_query(query: str, analyzer: str = "naive"):
                 return ("range", word, lo, hi,
                         m.group(1) == "[", m.group(4) == "]")
             if k3 == "quoted":
-                # fielded phrase: positions are recorded per FIELD token
-                # stream (build_segments_combined passes with_positions to
-                # every field's miniblocks), so adjacency over the
-                # namespaced terms is exactly phrase-in-field
-                m = re.fullmatch(r'"([^"]*)"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?', v3)
-                fterms = field_terms(word, m.group(1).split(), analyzer)
-                if not fterms:
-                    raise ValueError(f'{word}:"{m.group(1)}" analyzes to nothing')
-                slop = int(m.group(2) or 0)
-                node = (("term", fterms[0]) if len(fterms) == 1 and slop == 0
-                        else ("phrase", tuple(fterms), slop))
-                if m.group(3) is not None:
-                    return ("boost", float(m.group(3)), node)
-                return node
+                return phrase_node(v3, word)
             if k3 != "word":
                 raise ValueError(f"expected a value after {word}:")
             return _leaf_from_word(v3, analyzer, word)
         if word in ("AND", "OR", "NOT"):
             raise ValueError(f"operator {word!r} needs an operand in {query!r}")
-        return _leaf_from_word(word, analyzer, None)
+        return _leaf_from_word(word, analyzer, field)
 
-    def unary():
+    def unary(field=None):
         kind, v = peek()
         if kind == "word" and v == "NOT":
             take()
-            return ("not", unary())
-        return atom()
+            return ("not", unary(field))
+        return atom(field)
 
-    def and_expr():
-        children = [unary()]
+    def and_expr(field=None):
+        children = [unary(field)]
         while peek() == ("word", "AND"):
             take()
-            children.append(unary())
+            children.append(unary(field))
         k, v = peek()
         if k is not None and not (k == "rparen" or (k == "word" and v == "OR")):
             raise ValueError(
@@ -248,11 +263,11 @@ def parse_query(query: str, analyzer: str = "naive"):
             )
         return children[0] if len(children) == 1 else ("and", children)
 
-    def or_expr():
-        children = [and_expr()]
+    def or_expr(field=None):
+        children = [and_expr(field)]
         while peek() == ("word", "OR"):
             take()
-            children.append(and_expr())
+            children.append(and_expr(field))
         return children[0] if len(children) == 1 else ("or", children)
 
     tree = or_expr()

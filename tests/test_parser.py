@@ -576,3 +576,36 @@ def _canon(node):
     if k == "not":
         return ("not", _canon(node[1]))
     return node
+
+
+def test_field_group(spark, tmp_path_factory):
+    """field:(a OR "b c") — every leaf in the group is fielded."""
+    from tests.conftest import corpus_from_texts
+
+    titles = ["big data spark", "spark data big", "data x spark", "plain"]
+    texts = ["a", "b", "c", "big plain"]
+    root = tmp_path_factory.mktemp("fgroup")
+    idx = str(root / "idx")
+    corpus = corpus_from_texts(spark, texts).withColumn(
+        "title", F.element_at(
+            F.array(*[F.lit(t) for t in titles]),
+            F.col("docId").cast("int") + 1))
+    S.build_index(spark, corpus, idx, analyzer="naive", n_batches=1,
+                  fields={"title": "naive"})
+    segs, ts = S.load_segments(spark, idx), S.load_term_stats(spark, idx)
+    run = lambda q: _ids(search_query_string(spark, segs, ts, q,
+                                             analyzer="naive"))
+
+    # group = OR of fielded leaves; content terms ('big' in doc 3) ignored
+    assert run('title:(plain OR "data spark")') == [0, 3]
+    # NOT inside a group; wildcard inside a group is namespaced
+    assert run("title:(b?g AND NOT x)") == [0, 1]
+    # equivalent to the explicit fielded forms
+    assert run('title:(plain OR "data spark")') == \
+           run('title:plain OR title:"data spark"')
+    # nested field inside a group refuses
+    with pytest.raises(ValueError, match="nested field"):
+        parse_query("title:(lang:en)", "naive")
+
+    golden = parse_query("title:(a OR b)", "naive")
+    assert golden == ("or", [("term", "title\x1fa"), ("term", "title\x1fb")])
