@@ -410,7 +410,12 @@ def q_q21_wildcard_parsed(spark, sf_dir):
 
     idx, _ = _index(spark, sf_dir)
     segs, ts = load_segments(spark, idx), load_term_stats(spark, idx)
-    out = search_query_string(spark, segs, ts, WILDCARD_PARSED, analyzer="naive")
+    # the DuckDB oracle's LIKE/regexp subqueries are UNCAPPED, so the
+    # engine must run with an expansion cap the fixture can never reach —
+    # otherwise a large-vocabulary sf silently drops the low-df tail and
+    # the contract diverges for a non-bug reason
+    out = search_query_string(spark, segs, ts, WILDCARD_PARSED,
+                              analyzer="naive", max_expansions=1_000_000)
     return out.select(F.col("docId").alias("doc_id"))
 
 

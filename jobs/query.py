@@ -9,7 +9,8 @@ Modes: bm25 (block-max DAAT), tfidf (reference-parity cosine), and/or/phrase
 (boolean + positional), keyword, prefix (term-dictionary range seek),
 near (--window positional proximity), not (--exclude anti-terms),
 fuzzy (--max-dist/--max-expansions typo-tolerant dictionary expansion),
-regex (RegexpQuery-style dictionary expansion, --max-expansions cap),
+regex / wildcard (RegexpQuery / WildcardQuery dictionary expansion,
+--max-expansions cap),
 bool (nested AND/OR/NOT with parentheses, one quoted expression),
 sloppy (ordered phrase with --slop extra tokens between terms),
 suggest (did-you-mean term corrections), mlt (--corpus more-like-this: the
@@ -30,13 +31,23 @@ import sys
 import time
 
 
+def _load_corpus(spark, path: str):
+    """Read a corpus parquet and normalize driver-testdata column names."""
+    corpus = spark.read.parquet(path)
+    if "docId" not in corpus.columns and "doc_id" in corpus.columns:
+        corpus = corpus.withColumnRenamed("doc_id", "docId")
+    if "content" not in corpus.columns and "text" in corpus.columns:
+        corpus = corpus.withColumnRenamed("text", "content")
+    return corpus
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
     ap.add_argument("--mode", default="bm25",
                     choices=["bm25", "tfidf", "and", "or", "phrase", "keyword",
                              "not", "near", "prefix", "fuzzy", "suggest",
-                             "mlt", "regex", "bool", "sloppy", "substring",
+                             "mlt", "regex", "wildcard", "bool", "sloppy", "substring",
                              "regexcontent", "grep", "parsed", "ranked"])
     ap.add_argument("--q", default=None,
                     help="unified Lucene-style query string (implies "
@@ -243,13 +254,7 @@ def main(argv: list[str] | None = None) -> int:
     elif a.mode == "parsed":
         from search_engine_spark.operators.parser import search_query_string
 
-        corpus = None
-        if a.corpus:
-            corpus = spark.read.parquet(a.corpus)
-            if "docId" not in corpus.columns and "doc_id" in corpus.columns:
-                corpus = corpus.withColumnRenamed("doc_id", "docId")
-            if "content" not in corpus.columns and "text" in corpus.columns:
-                corpus = corpus.withColumnRenamed("text", "content")
+        corpus = _load_corpus(spark, a.corpus) if a.corpus else None
         out = live(
             search_query_string(
                 spark, segs, stats, a.q, corpus=corpus, analyzer=analyzer,
@@ -263,13 +268,7 @@ def main(argv: list[str] | None = None) -> int:
     elif a.mode == "ranked":
         from search_engine_spark.operators.parser import rank_query_string
 
-        corpus = None
-        if a.corpus:
-            corpus = spark.read.parquet(a.corpus)
-            if "docId" not in corpus.columns and "doc_id" in corpus.columns:
-                corpus = corpus.withColumnRenamed("doc_id", "docId")
-            if "content" not in corpus.columns and "text" in corpus.columns:
-                corpus = corpus.withColumnRenamed("text", "content")
+        corpus = _load_corpus(spark, a.corpus) if a.corpus else None
         out = rank_query_string(
             spark, segs, stats, a.q, n_docs, avgdl, k=a.k, corpus=corpus,
             analyzer=analyzer, max_expansions=a.max_expansions,
@@ -303,6 +302,18 @@ def main(argv: list[str] | None = None) -> int:
             {"docId": r.docId}
             for r in search_or(dec, terms).limit(a.k).collect()
         ]
+    elif a.mode == "wildcard":
+        from search_engine_spark.operators.query import wildcard_terms
+
+        terms = [
+            r.term
+            for r in wildcard_terms(stats, a.terms[0], a.max_expansions).collect()
+        ]
+        dec = live(decode_postings(segs, terms), tomb)
+        rows = [
+            {"docId": r.docId}
+            for r in search_or(dec, terms).limit(a.k).collect()
+        ]
     elif a.mode in ("substring", "regexcontent", "grep"):
         from search_engine_spark.operators.codesearch import (
             grep_lines,
@@ -328,11 +339,7 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         if not a.corpus:
             ap.error(f"{a.mode} mode requires --corpus (raw content source)")
-        corpus = spark.read.parquet(a.corpus)
-        if "docId" not in corpus.columns and "doc_id" in corpus.columns:
-            corpus = corpus.withColumnRenamed("doc_id", "docId")
-        if "content" not in corpus.columns and "text" in corpus.columns:
-            corpus = corpus.withColumnRenamed("text", "content")
+        corpus = _load_corpus(spark, a.corpus)
         if a.mode == "regexcontent":
             hits = search_regex_content(
                 segs, corpus, needle, stats,

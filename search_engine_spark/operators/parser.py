@@ -113,8 +113,19 @@ def _leaf_from_word(word: str, analyzer: str, field: str | None):
         and "*" not in word[:-1] and "?" not in word
     ):
         if field is not None:
-            raise ValueError("prefix is not supported on fielded terms")
-        return ("prefix", word[:-1])
+            # fielded trailing-star routes to the wildcard leaf: the
+            # namespaced LIKE 'field<SEP>pre%' is the same dictionary
+            # range, just without the bare-prefix pushed-seek fast path
+            from .query import FIELD_SEP
+
+            return ("wildcard", f"{field}{FIELD_SEP}{word.lower()}")
+        # normalize at PARSE time with the same analyzer execution uses —
+        # the leaf carries the final dictionary prefix, so cost estimation
+        # (budget gate / explain) and the pushed seek can never disagree
+        toks = analyze_query([word[:-1]], analyzer)
+        if len(toks) != 1:
+            raise ValueError(f"prefix {word!r} must analyze to one token")
+        return ("prefix", toks[0])
     if "*" in word or "?" in word:
         # Lucene WildcardQuery: dictionary expansion, whole-term match,
         # constant-score. Like Lucene, wildcards are NOT analyzed (only
@@ -353,11 +364,19 @@ def _expand_multiterm(term_stats, leaf, max_expansions):
     return [(r.term, int(r.df)) for r in rows.select("term", "df").collect()]
 
 
-def _candidate_bound(term_stats, leaves, expanded, prefix_df=None):
-    """Upper bound on tagged rows the one-plan execution can produce, from
-    dictionary stats only: Σ df over term/expansion leaves, min-df per
-    phrase (every constituent must contain a match), Σ df over
-    prefix-matched dictionary terms. Returns (bound, has_range)."""
+def _candidate_bound(term_stats, leaves, expanded):
+    """Per-leaf upper bounds on tagged rows the one-plan execution can
+    produce, from dictionary stats only: df per term leaf, min-df per
+    phrase (every constituent must contain a match), Σ expansion df per
+    fuzzy/wildcard/regexterm, Σ df over prefix-matched dictionary terms
+    (ONE agg row per prefix — never a per-term collect; a broad prefix on
+    a 10^12-file dictionary must not OOM the driver inside the planner).
+    Range leaves bound to None (corpus filter, not index candidates).
+
+    THE cost model — the budget gate and :func:`explain_parsed` both read
+    it, so the bound the gate enforces is the bound explain reports.
+    Returns (total_bound, has_range, {leaf: bound|None},
+    {prefix_leaf: n_dictionary_terms})."""
     from ..functions.predicates import isin_expr
 
     plain = sorted({l[1] for l in leaves if l[0] == "term"}
@@ -366,28 +385,32 @@ def _candidate_bound(term_stats, leaves, expanded, prefix_df=None):
     if plain:
         rows = term_stats.where(isin_expr("term", plain)).select("term", "df").collect()
         dfs = {r.term: int(r.df) for r in rows}
+    per_leaf: dict = {}
+    prefix_counts: dict = {}
     bound, has_range = 0, False
     for leaf in leaves:
         if leaf[0] == "term":
-            bound += dfs.get(leaf[1], 0)
+            per_leaf[leaf] = dfs.get(leaf[1], 0)
         elif leaf[0] == "phrase":
             per = [dfs.get(t, 0) for t in leaf[1]]
-            bound += min(per) if per else 0
+            per_leaf[leaf] = min(per) if per else 0
         elif leaf[0] in ("fuzzy", "wildcard", "regexterm"):
-            bound += sum(df for _, df in expanded.get(leaf, ()))
+            per_leaf[leaf] = sum(df for _, df in expanded.get(leaf, ()))
         elif leaf[0] == "prefix":
-            if prefix_df is None:
-                prefix_df = {}
-            if leaf not in prefix_df:
-                rows = (
-                    term_stats.where(F.col("term").startswith(leaf[1]))
-                    .select("df").collect()
-                )
-                prefix_df[leaf] = sum(int(r.df) for r in rows)
-            bound += prefix_df[leaf]
+            row = (
+                term_stats.where(F.col("term").startswith(leaf[1]))
+                .agg(F.coalesce(F.sum("df"), F.lit(0)).alias("s"),
+                     F.count("*").alias("n"))
+                .collect()[0]
+            )
+            per_leaf[leaf] = int(row.s)
+            prefix_counts[leaf] = int(row.n)
         elif leaf[0] == "range":
+            per_leaf[leaf] = None
             has_range = True
-    return bound, has_range
+        if per_leaf.get(leaf) is not None:
+            bound += per_leaf[leaf]
+    return bound, has_range, per_leaf, prefix_counts
 
 
 def search_parsed(
@@ -411,7 +434,7 @@ def search_parsed(
     is a corpus metadata scan, the parsed-query analog of
     ``codesearch.allow_full_scan``)."""
     from ..sources.segments import decode_postings
-    from .query import search_phrase, search_prefix, search_sloppy_phrase
+    from .query import search_phrase, search_sloppy_phrase
 
     leaves: list = []
     _collect_leaves(tree, leaves)
@@ -426,16 +449,18 @@ def search_parsed(
         leaf: _expand_multiterm(term_stats, leaf, max_expansions)
         for leaf in leaves if leaf[0] in ("fuzzy", "wildcard", "regexterm")
     }
-    if max_candidates is not None or not allow_corpus_filter:
-        bound, has_range = _candidate_bound(term_stats, leaves, expanded)
-        if has_range and not allow_corpus_filter:
-            rng = [l for l in leaves if l[0] == "range"]
+    if not allow_corpus_filter:
+        # zero-job check: range presence is syntactic
+        rng = [l for l in leaves if l[0] == "range"]
+        if rng:
             raise QueryBudgetExceeded(
                 f"range leaves {[l[1] for l in rng]} require a corpus "
                 "metadata scan; pass allow_corpus_filter=True to run it, "
                 "or index the column as a field"
             )
-        if max_candidates is not None and bound > max_candidates:
+    if max_candidates is not None:
+        bound, _, _, _ = _candidate_bound(term_stats, leaves, expanded)
+        if bound > max_candidates:
             raise QueryBudgetExceeded(
                 f"candidate bound {bound} exceeds max_candidates "
                 f"{max_candidates} (dictionary-df upper bound on decoded "
@@ -472,7 +497,14 @@ def search_parsed(
 
     for leaf in leaves:
         if leaf[0] == "prefix":
-            hits = search_prefix(segments, leaf[1], analyzer)
+            # the leaf carries the ALREADY-analyzed prefix (parse_query) —
+            # seek directly (search_prefix's pushed-seek tail) instead of
+            # re-analyzing, which would double-stem under porter
+            from ..sources.segments import decode_docids
+
+            hits = decode_docids(
+                segments.where(F.col("term").startswith(leaf[1]))
+            ).distinct()
             tagged.append(hits.select("docId", F.lit(ids[leaf]).alias("leaf")))
         elif leaf[0] == "range":
             if corpus is None:
@@ -666,64 +698,43 @@ def explain_parsed(
     tree = parse_query(query, analyzer)
     leaves: list = []
     _collect_leaves(tree, leaves)
-
-    plain = sorted({l[1] for l in leaves if l[0] == "term"})
-    phr_terms = sorted({t for l in leaves if l[0] == "phrase" for t in l[1]})
-    dfs: dict[str, int] = {}
-    lookup = sorted(set(plain) | set(phr_terms))
-    if lookup:
-        from ..functions.predicates import isin_expr
-
-        rows = term_stats.where(isin_expr("term", lookup)).select("term", "df").collect()
-        dfs = {r.term: int(r.df) for r in rows}
+    expanded = {
+        leaf: _expand_multiterm(term_stats, leaf, max_expansions)
+        for leaf in leaves if leaf[0] in ("fuzzy", "wildcard", "regexterm")
+    }
+    # the SAME cost model the budget gate enforces — explain can never
+    # report a different bound than search_parsed(max_candidates=...) uses
+    bound, has_range, per_leaf, prefix_counts = _candidate_bound(
+        term_stats, leaves, expanded)
 
     report: list[dict] = []
-    bound = 0
-    unbounded = False
     for leaf in leaves:
         kind = leaf[0]
         if kind == "term":
-            df = dfs.get(leaf[1], 0)
-            bound += df
-            report.append({"leaf": "term", "term": leaf[1], "df": df,
+            report.append({"leaf": "term", "term": leaf[1],
+                           "df": per_leaf[leaf],
                            "plan": "shared In-pushed membership decode"})
         elif kind == "phrase":
-            per = {t: dfs.get(t, 0) for t in leaf[1]}
-            b = min(per.values()) if per else 0
-            bound += b
             report.append({"leaf": "phrase", "terms": list(leaf[1]),
-                           "slop": leaf[2], "df_by_term": per,
-                           "candidate_bound": b,
+                           "slop": leaf[2],
+                           "candidate_bound": per_leaf[leaf],
                            "plan": "shared positional decode + adjacency join"})
         elif kind == "fuzzy":
-            cands = _expand_multiterm(term_stats, leaf, max_expansions)
-            b = sum(df for _, df in cands)
-            bound += b
             report.append({"leaf": "fuzzy", "term": leaf[1], "dist": leaf[2],
-                           "expansions": [t for t, _ in cands],
-                           "candidate_bound": b,
+                           "expansions": [t for t, _ in expanded[leaf]],
+                           "candidate_bound": per_leaf[leaf],
                            "plan": "dictionary expansion -> shared In-pushed decode"})
         elif kind == "prefix":
-            rows = (
-                term_stats.where(F.col("term").startswith(leaf[1]))
-                .select("term", "df").collect()
-            )
-            b = sum(int(r.df) for r in rows)
-            bound += b
             report.append({"leaf": "prefix", "prefix": leaf[1],
-                           "n_dictionary_terms": len(rows),
-                           "candidate_bound": b,
+                           "n_dictionary_terms": prefix_counts[leaf],
+                           "candidate_bound": per_leaf[leaf],
                            "plan": "StringStartsWith-pushed dictionary range seek"})
         elif kind in ("wildcard", "regexterm"):
-            cands = _expand_multiterm(term_stats, leaf, max_expansions)
-            b = sum(df for _, df in cands)
-            bound += b
             report.append({"leaf": kind, "pattern": leaf[1],
-                           "expansions": [t for t, _ in cands],
-                           "candidate_bound": b,
+                           "expansions": [t for t, _ in expanded[leaf]],
+                           "candidate_bound": per_leaf[leaf],
                            "plan": "dictionary expansion -> shared In-pushed decode"})
         elif kind == "range":
-            unbounded = True
             report.append({"leaf": "range", "column": leaf[1],
                            "lo": leaf[2], "hi": leaf[3],
                            "lo_inclusive": leaf[4], "hi_inclusive": leaf[5],
@@ -736,7 +747,7 @@ def explain_parsed(
         "leaves": report,
         "scoring_terms": scoring_terms(tree),
         "scoring_weights": scoring_weights(tree),
-        "candidate_bound": None if unbounded else bound,
+        "candidate_bound": None if has_range else bound,
         "shuffles": 1,  # the single collect_set agg; scoring adds its own
         "plan": "tagged-leaf union -> one collect_set agg -> codegen boolean",
     }

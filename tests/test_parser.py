@@ -229,7 +229,6 @@ def test_explain_parsed(spark, parsed_index):
     # phrase bound = min df of its terms; dfs are exact
     n_table = sum(1 for d in DOCS if "table" in d.split())
     n_scan = sum(1 for d in DOCS if "scan" in d.split())
-    assert by["phrase"]["df_by_term"] == {"table": n_table, "scan": n_scan}
     assert by["phrase"]["candidate_bound"] == min(n_table, n_scan)
     # prefix seeks the dictionary (prefab)
     assert by["prefix"]["n_dictionary_terms"] == 1
@@ -389,6 +388,10 @@ def test_wildcard_and_regexterm(spark, parsed_index):
     # composes in the tree
     assert run("sc?n AND NOT /sp[aeiou]rk/") == sorted(
         set(docs_with("scan")) - set(docs_with("spark")))
+
+    # the standalone operator (CLI 'wildcard' mode shape) agrees
+    dec = S.decode_postings(segs)
+    assert _ids(Q.search_wildcard(dec, ts, "s?ark")) == docs_with("spark")
 
     # a lone zero-expansion leaf returns empty, not an error
     assert run("zzznope*x") == []
