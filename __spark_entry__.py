@@ -56,6 +56,7 @@ IVF_CENTROIDS, IVF_NPROBE = 8, 2
 Q_PREFIX = "s"
 Q_NEAR, Q_NEAR_WINDOW = ("table", "scan"), 5
 SNIPPET_TERM, SNIPPET_BEFORE, SNIPPET_AFTER = "spark", 3, 3
+MSM_MIN, HL_WINDOW = 2, 8  # q22 minimum-should-match / q23 highlight window
 PQ_M, PQ_K = 4, 16
 Q_FUZZY, Q_FUZZY_DIST, Q_FUZZY_EXP = "sow", 1, 16
 Q_SUGGEST, Q_SUGGEST_K, Q_SUGGEST_DIST = "spak", 3, 2
@@ -711,6 +712,36 @@ def q_t7_snippets(spark, sf_dir):
     return keyword_snippets(
         d, SNIPPET_TERM, text="text", id_col="doc_id",
         before=SNIPPET_BEFORE, after=SNIPPET_AFTER,
+    )
+
+
+def q_q22_min_should_match(spark, sf_dir):
+    """Lucene minimumNumberShouldMatch: docs matching >= MSM_MIN of the
+    Q_AND terms — the count-matching agg shape of Q3 with a >= threshold."""
+    from search_engine_spark.operators.query import search_min_should_match
+
+    return search_min_should_match(_postings(spark, sf_dir), Q_AND, MSM_MIN).select(
+        F.col("docId").alias("doc_id")
+    )
+
+
+def q_q23_highlight(spark, sf_dir):
+    """Query-aware multi-term highlighting over the q22 hit set: best
+    HL_WINDOW-token span by distinct-term coverage (earliest on ties),
+    matches <em>-wrapped. Serving shape: broadcast semi-join hydrates only
+    hit docs, then a pure JVM projection — zero extra shuffles."""
+    from search_engine_spark.operators.query import search_min_should_match
+    from search_engine_spark.operators.textstats import highlight_terms
+
+    hits = search_min_should_match(_postings(spark, sf_dir), Q_AND, MSM_MIN)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = d.join(
+        F.broadcast(hits.withColumnRenamed("docId", "doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    return highlight_terms(
+        docs, Q_AND, window=HL_WINDOW, text="text", id_col="doc_id"
     )
 
 
@@ -2135,6 +2166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the driver consumes this dict in order and may stop at its
         # per-round budget (r04 reached 50/91), so never-verified keys
         # must not sit behind already-green ones.
+        "q22_min_should_match": q_q22_min_should_match,
+        "q23_highlight": q_q23_highlight,
         "q19_ranked_parsed": q_q19_ranked_parsed,
         "q19b_boosted_parsed": q_q19b_boosted_parsed,
         "q20_fielded_phrase": q_q20_fielded_phrase,
@@ -2860,6 +2893,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM postings
             WHERE term IN ({", ".join(repr(t) for t in sorted(set(Q_AND)))})
             GROUP BY doc_id HAVING count(DISTINCT term) = {len(set(Q_AND))}
+        """,
+        "q22_min_should_match": f"""
+            WITH {_TOKS}
+            SELECT doc_id FROM postings
+            WHERE term IN ({", ".join(repr(t) for t in sorted(set(Q_AND)))})
+            GROUP BY doc_id HAVING count(DISTINCT term) >= {MSM_MIN}
+        """,
+        "q23_highlight": f"""
+            WITH {_TOKS},
+            msm AS (
+              SELECT doc_id FROM postings
+              WHERE term IN ({", ".join(repr(t) for t in sorted(set(Q_AND)))})
+              GROUP BY doc_id HAVING count(DISTINCT term) >= {MSM_MIN}
+            ),
+            hits AS (
+              SELECT t.doc_id, t.pos FROM tok t JOIN msm USING (doc_id)
+              WHERE t.term IN ({", ".join(repr(t) for t in sorted(set(Q_AND)))})
+            ),
+            cov AS (
+              SELECT h.doc_id, h.pos,
+                     (SELECT count(DISTINCT t2.term) FROM tok t2
+                       WHERE t2.doc_id = h.doc_id
+                         AND t2.term IN ({", ".join(repr(t) for t in sorted(set(Q_AND)))})
+                         AND t2.pos >= h.pos AND t2.pos < h.pos + {HL_WINDOW}) AS c
+              FROM hits h
+            ),
+            best AS (
+              SELECT doc_id, pos, c FROM cov
+              QUALIFY row_number() OVER (
+                PARTITION BY doc_id ORDER BY c DESC, pos ASC) = 1
+            )
+            SELECT b.doc_id,
+                   (b.pos + 1)::int AS window_start,
+                   b.c::int AS coverage,
+                   string_agg(
+                     CASE WHEN t.term IN ({", ".join(repr(t) for t in sorted(set(Q_AND)))})
+                          THEN '<em>' || t.term || '</em>' ELSE t.term END,
+                     ' ' ORDER BY t.pos) AS snippet
+            FROM best b JOIN tok t ON t.doc_id = b.doc_id
+                   AND t.pos >= b.pos AND t.pos < b.pos + {HL_WINDOW}
+            GROUP BY b.doc_id, b.pos, b.c
         """,
         "q4_or_search": f"""
             WITH {_TOKS}

@@ -85,6 +85,32 @@ def search_or(postings: DataFrame, terms: list[str]) -> DataFrame:
     return postings_for(postings, ts).select("docId").distinct()
 
 
+def search_min_should_match(
+    postings: DataFrame, terms: list[str], m: int
+) -> DataFrame:
+    """Q22: docs matching at least ``m`` of the DISTINCT query terms — the
+    Lucene ``BooleanQuery.setMinimumNumberShouldMatch`` surface, the standard
+    middle ground between the reference's strict AND (IIM:747-819) and OR
+    (IIM:827-903). ``m == 1`` degenerates to Q4, ``m == len(terms)`` to Q3;
+    ``m`` above the clause count matches nothing (Lucene semantics).
+
+    Scale shape: identical to Q3 — one In-pushed postings scan + one
+    partial/final count-matching aggregation. Exactly one shuffle for any
+    number of terms; never an iterated self-join."""
+    if m <= 0:
+        raise ValueError("minimum_should_match must be >= 1")
+    ts = sorted(set(terms))
+    if not ts or m > len(ts):
+        return postings.select("docId").limit(0)
+    return (
+        postings_for(postings, ts)
+        .groupBy("docId")
+        .agg(F.countDistinct("term").alias("_m"))
+        .where(F.col("_m") >= m)
+        .select("docId")
+    )
+
+
 def phrase_offsets(terms: list[str]) -> dict[str, int]:
     """Reference phrase dedup quirk (IIM:966-977): repeated tokens keep the
     LAST position offset."""

@@ -80,6 +80,101 @@ def keyword_snippets(
     )
 
 
+def highlight_exprs(
+    toks: Column, terms: list[str], window: int = 8
+) -> tuple[Column, Column, Column]:
+    """(window_start, coverage, snippet) for a multi-term query over a token
+    array — the Lucene Highlighter shape: pick the ``window``-token span
+    covering the most DISTINCT query terms (earliest span on ties) and wrap
+    every matched token in ``<em>`` tags.
+
+    ``window_start`` is 1-based (0 coverage ⇒ start 0); candidate spans
+    start at query-term hit positions only (a best-coverage span can always
+    be slid left until it starts on a hit, so this loses nothing). Pure JVM
+    higher-order functions (``transform``/``filter``/``exists``/
+    ``aggregate``) — whole-stage codegen, zero shuffle, no UDF; oracle-
+    mirrorable in SQL (per-hit coverage subquery + ``QUALIFY row_number``).
+    """
+    ts = sorted(set(terms))
+    arr = F.array(*[F.lit(t) for t in ts])
+    w = F.lit(window)
+    # 0-based positions of any query-term token = candidate span starts.
+    starts = F.filter(
+        F.transform(
+            toks,
+            lambda t, i: F.when(F.array_contains(arr, t), i).otherwise(F.lit(-1)),
+        ),
+        lambda i: i >= F.lit(0),
+    )
+    # Per-term hit-position lists (python-side loop over the FIXED query
+    # terms — the expression tree is len(terms) wide, the data never is).
+    def _pos_list(term: str) -> Column:
+        lit = F.lit(term)
+        return F.filter(
+            F.transform(
+                toks, lambda tok, i: F.when(tok == lit, i).otherwise(F.lit(-1))
+            ),
+            lambda i: i >= F.lit(0),
+        )
+
+    pos_lists = [_pos_list(t) for t in ts]
+
+    def cov(p: Column) -> Column:
+        c = F.lit(0)
+        for pl in pos_lists:
+            c = c + F.when(
+                F.exists(pl, lambda x: (x >= p) & (x < p + w)), F.lit(1)
+            ).otherwise(F.lit(0))
+        return c
+
+    # Fold over ascending candidate starts keeping the strictly-best
+    # coverage — ties keep the FIRST (earliest) span.
+    zero = F.struct(F.lit(-1).alias("p"), F.lit(0).alias("c"))
+    best = F.aggregate(
+        starts,
+        zero,
+        lambda acc, p: F.when(
+            cov(p) > acc["c"], F.struct(p.alias("p"), cov(p).alias("c"))
+        ).otherwise(acc),
+    )
+    win = F.slice(toks, best["p"] + F.lit(1), w)
+    wrapped = F.transform(
+        win,
+        lambda t: F.when(
+            F.array_contains(arr, t), F.concat(F.lit("<em>"), t, F.lit("</em>"))
+        ).otherwise(t),
+    )
+    return best["p"] + F.lit(1), best["c"], F.array_join(wrapped, " ")
+
+
+def highlight_terms(
+    df: DataFrame,
+    terms: list[str],
+    window: int = 8,
+    text: str = "content",
+    id_col: str = "docId",
+) -> DataFrame:
+    """Query-aware result highlighting: for every doc containing at least
+    one query term (naive tokens), the best ``window``-token span by
+    distinct-term coverage with matches ``<em>``-wrapped.
+
+    The serving-path shape at scale: run AFTER retrieval on the (small)
+    hydrated hit set — a pure projection over result rows, never a corpus
+    shuffle. Exposed over a whole doc set here so the oracle can check
+    every row."""
+    toks = tokens_expr(F.col(text))
+    start, c, snip = highlight_exprs(toks, terms, window)
+    return (
+        df.select(
+            F.col(id_col),
+            start.alias("window_start"),
+            c.alias("coverage"),
+            snip.alias("snippet"),
+        )
+        .where(F.col("coverage") >= 1)
+    )
+
+
 def lang_scores(toks: Column) -> dict[str, Column]:
     """Occurrence count of each language's marker words."""
     out = {}

@@ -561,3 +561,78 @@ def test_delete_by_query(spark, tmp_path_factory):
     assert alive == sorted(set(range(len(DOCS))) - deleted)
     with pytest.raises(ValueError):
         delete_by_query(spark, p, "NOT scan", analyzer="naive")
+
+
+HL_DOCS = [
+    "the spark join runs a filter on the table then spark again",
+    "filter only here",
+    "nothing relevant",
+    "join spark",
+    "spark x0 x1 x2 x3 x4 x5 x6 join filter end",
+]
+HL_TERMS = ["spark", "join", "filter"]
+
+
+def test_min_should_match(spark):
+    corpus = corpus_from_texts(spark, HL_DOCS)
+    postings = build_postings(corpus, "naive")
+
+    def msm(m):
+        return sorted(
+            r.docId for r in Q.search_min_should_match(postings, HL_TERMS, m).collect()
+        )
+
+    assert msm(1) == [0, 1, 3, 4]  # degenerates to OR (Q4)
+    assert msm(2) == [0, 3, 4]
+    assert msm(3) == [0, 4]  # degenerates to AND (Q3)
+    assert msm(4) == []  # m above clause count matches nothing (Lucene)
+    # cross-check the degenerate ends against Q3/Q4 themselves
+    assert msm(1) == sorted(r.docId for r in Q.search_or(postings, HL_TERMS).collect())
+    assert msm(3) == sorted(r.docId for r in Q.search_and(postings, HL_TERMS).collect())
+    with pytest.raises(ValueError):
+        Q.search_min_should_match(postings, HL_TERMS, 0)
+    assert Q.search_min_should_match(postings, [], 1).collect() == []
+
+
+def test_highlight_terms(spark):
+    from search_engine_spark.operators.textstats import highlight_terms
+
+    corpus = corpus_from_texts(spark, HL_DOCS)
+    got = {
+        r.docId: r
+        for r in highlight_terms(corpus, HL_TERMS, window=8).collect()
+    }
+    # no-match docs are excluded
+    assert set(got) == {0, 1, 3, 4}
+    # best window covers all 3 terms, starts at the first hit that reaches it
+    assert got[0].window_start == 2 and got[0].coverage == 3
+    assert got[0].snippet == (
+        "<em>spark</em> <em>join</em> runs a <em>filter</em> on the table"
+    )
+    # doc shorter than the window: clipped slice, every match wrapped
+    assert got[3].coverage == 2
+    assert got[3].snippet == "<em>join</em> <em>spark</em>"
+    # the early lone hit (coverage 1) loses to the later 2-term window;
+    # ties inside equal coverage keep the EARLIEST span
+    assert got[4].window_start == 9 and got[4].coverage == 2
+    assert got[4].snippet == "<em>join</em> <em>filter</em> end"
+    # single-match doc still gets its window
+    assert got[1].coverage == 1 and got[1].snippet == "<em>filter</em> only here"
+
+
+def test_highlight_duplicate_terms_and_window_edge(spark):
+    from search_engine_spark.operators.textstats import highlight_terms
+
+    corpus = corpus_from_texts(
+        spark, ["spark spark spark", "a b spark c d join e f g h filter"]
+    )
+    got = {
+        r.docId: r for r in highlight_terms(corpus, HL_TERMS, window=4).collect()
+    }
+    # duplicates: coverage counts DISTINCT terms, every occurrence wrapped
+    assert got[0].coverage == 1
+    assert got[0].snippet == "<em>spark</em> <em>spark</em> <em>spark</em>"
+    # window too small for all three: picks the best-covering 4-token span
+    assert got[1].coverage == 2
+    assert got[1].window_start == 3
+    assert got[1].snippet == "<em>spark</em> c d <em>join</em>"
