@@ -14,7 +14,9 @@ regex / wildcard (RegexpQuery / WildcardQuery dictionary expansion,
 bool (nested AND/OR/NOT with parentheses, one quoted expression),
 sloppy (ordered phrase with --slop extra tokens between terms),
 suggest (did-you-mean term corrections), mlt (--corpus more-like-this: the
-single positional arg is the seed docId). and/keyword accept repeatable
+single positional arg is the seed docId), msm (--min-match N of the terms,
+Lucene minimumShouldMatch). --highlight adds a query-aware <em>-wrapped
+snippet per result (needs --corpus). and/keyword accept repeatable
 --field col=value constraints against a fielded index
 (build_index(fields=…)). Prints one JSON line with results + latency.
 
@@ -41,6 +43,33 @@ def _load_corpus(spark, path: str):
     return corpus
 
 
+def _highlight_words(a) -> list[str]:
+    """Literal lowercased words to highlight: the positional terms, or for
+    --q queries the bare-word / quoted-phrase leaves (operators, regex and
+    range leaves dropped; field prefixes, boosts, fuzzy/wildcard suffixes
+    stripped). Intentionally pre-analysis: the snippet marks the USER'S
+    words in the raw text, independent of the index analyzer."""
+    import re as _re
+
+    if a.terms:
+        return [w.lower() for w in a.terms]
+    words: list[str] = []
+    for tok in _re.findall(r'"[^"]*"|\S+', a.q or ""):
+        if tok.startswith('"'):
+            words.extend(_re.findall(r"[a-z0-9_]+", tok.lower()))
+            continue
+        if tok.upper() in ("AND", "OR", "NOT", "TO") or tok.startswith("/"):
+            continue
+        body = tok.rpartition(":")[2]  # strip field prefix
+        if body.startswith(("[", "{")):  # range leaf remnants
+            continue
+        body = body.split("~")[0].split("^")[0].rstrip("*?")
+        body = _re.sub(r"[^a-z0-9_]", "", body.lower())
+        if body:
+            words.append(body)
+    return words
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
@@ -48,7 +77,7 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["bm25", "tfidf", "and", "or", "phrase", "keyword",
                              "not", "near", "prefix", "fuzzy", "suggest",
                              "mlt", "regex", "wildcard", "bool", "sloppy", "substring",
-                             "regexcontent", "grep", "parsed", "ranked"])
+                             "regexcontent", "grep", "parsed", "ranked", "msm"])
     ap.add_argument("--q", default=None,
                     help="unified Lucene-style query string (implies "
                          "--mode parsed unless --mode ranked, which "
@@ -95,6 +124,17 @@ def main(argv: list[str] | None = None) -> int:
                          "upper bound) instead of executing; parsed/ranked "
                          "modes: per-leaf strategy + df bounds + scoring "
                          "weights (dictionary lookups only)")
+    ap.add_argument("--min-match", type=int, default=2,
+                    help="msm mode: minimum number of distinct query terms "
+                         "a doc must contain (Lucene minimumShouldMatch)")
+    ap.add_argument("--highlight", action="store_true",
+                    help="add a query-aware <em>-wrapped snippet per result "
+                         "(best --hl-window-token span by distinct-term "
+                         "coverage; matches the literal lowercased query "
+                         "words against naive tokens). Needs --corpus; "
+                         "docs where no word matches literally get null")
+    ap.add_argument("--hl-window", type=int, default=8,
+                    help="--highlight: snippet span length in tokens")
     ap.add_argument("--master", default=None, help="local testing only")
     ap.add_argument(
         "--ignore-deleted", action="store_true",
@@ -379,6 +419,17 @@ def main(argv: list[str] | None = None) -> int:
             top_terms=a.top_terms, k=a.k, analyzer=analyzer, deleted=deleted,
         )
         rows = [{"docId": r.docId, "score": round(r.score, 6)} for r in out.collect()]
+    elif a.mode == "msm":
+        from search_engine_spark.operators.query import search_min_should_match
+
+        terms = analyze_query(a.terms, analyzer)
+        dec = live(decode_postings(segs, sorted(set(terms))), tomb)
+        rows = [
+            {"docId": r.docId}
+            for r in search_min_should_match(dec, terms, a.min_match)
+            .limit(a.k)
+            .collect()
+        ]
     elif a.mode == "not":
         terms = analyze_query(a.terms, analyzer)
         neg = analyze_query(a.exclude, analyzer)
@@ -426,6 +477,23 @@ def main(argv: list[str] | None = None) -> int:
             ),
         }[a.mode]
         rows = [{"docId": r.docId} for r in fn().limit(a.k).collect()]
+    if a.highlight and rows and "docId" in rows[0]:
+        if not a.corpus:
+            ap.error("--highlight requires --corpus (raw doc text source)")
+        words = _highlight_words(a)
+        if words:
+            from pyspark.sql import functions as F
+
+            from search_engine_spark.operators.textstats import highlight_terms
+
+            ids = [r["docId"] for r in rows]  # bounded by --k
+            sub = _load_corpus(spark, a.corpus).where(F.col("docId").isin(ids))
+            hl = {
+                r.docId: r.snippet
+                for r in highlight_terms(sub, words, window=a.hl_window).collect()
+            }
+            for r in rows:
+                r["snippet"] = hl.get(r["docId"])
     print(json.dumps({
         "mode": a.mode, "terms": a.terms, "k": a.k,
         "latency_sec": round(time.time() - t0, 3), "results": rows,

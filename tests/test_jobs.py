@@ -587,3 +587,37 @@ def test_query_job_parsed_explain(built, capsys):
     kinds = sorted(l["leaf"] for l in rep["leaves"])
     assert kinds == ["prefix", "term"]
     assert rep["scoring_weights"] and rep["candidate_bound"] > 0
+
+
+def test_query_job_msm_and_highlight(built, capsys):
+    """msm mode containment laws (min-match 1 == or, n == and) and
+    --highlight snippets through the spark-submit surface."""
+    from jobs.query import main as query_main
+
+    src, idx = built
+
+    def run(args):
+        rc = query_main(["--index", idx, "--master", "local[4]", *args])
+        assert rc == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    def ids(out):
+        return {r["docId"] for r in out["results"]}
+
+    or_set = ids(run(["--mode", "or", "--k", "1000", "rotten", "apple"]))
+    and_set = ids(run(["--mode", "and", "--k", "1000", "rotten", "apple"]))
+    msm1 = ids(run(["--mode", "msm", "--min-match", "1", "--k", "1000",
+                    "rotten", "apple"]))
+    msm2 = ids(run(["--mode", "msm", "--min-match", "2", "--k", "1000",
+                    "rotten", "apple"]))
+    assert msm1 == or_set and msm2 == and_set and and_set < or_set
+    # highlight: snippets wrap the literal user words, results unchanged
+    plain = run(["--mode", "and", "--k", "5", "rotten", "apple"])
+    out = run(["--mode", "and", "--k", "5", "--corpus", src, "--highlight",
+               "rotten", "apple"])
+    assert ids(out) == ids(plain) and out["results"]
+    snips = [r.get("snippet") for r in out["results"]]
+    assert any(s and "<em>" in s for s in snips)
+    for s in snips:
+        if s:
+            assert "<em>rotten</em>" in s or "<em>apple</em>" in s
