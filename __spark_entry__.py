@@ -447,6 +447,25 @@ def q_q5_phrase(spark, sf_dir):
     return search_phrase(dec, Q_PHRASE).select(F.col("docId").alias("doc_id"))
 
 
+SPAN_FIRST_LIMIT = 12  # q24: term within the first N token positions
+
+
+def q_q24_span_first(spark, sf_dir):
+    """Lucene SpanFirstQuery: docs where the keyword occurs within the
+    first SPAN_FIRST_LIMIT positions — the Q5 positional decode path with
+    a JVM exists() over the position array instead of adjacency."""
+    from search_engine_spark.operators.query import search_span_first
+    from search_engine_spark.sources.segments import decode_postings, load_segments
+
+    idx, _ = _index(spark, sf_dir)
+    dec = decode_postings(
+        load_segments(spark, idx), [Q_KEYWORD], with_positions=True
+    )
+    return search_span_first(dec, Q_KEYWORD, SPAN_FIRST_LIMIT).select(
+        F.col("docId").alias("doc_id")
+    )
+
+
 PARSED_QUERY = '(sow~1 OR "table scan") AND n_chars:[150 TO 450] AND NOT zebra'
 
 
@@ -2168,6 +2187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # must not sit behind already-green ones.
         "q22_min_should_match": q_q22_min_should_match,
         "q23_highlight": q_q23_highlight,
+        "q24_span_first": q_q24_span_first,
         "q19_ranked_parsed": q_q19_ranked_parsed,
         "q19b_boosted_parsed": q_q19b_boosted_parsed,
         "q20_fielded_phrase": q_q20_fielded_phrase,
@@ -2945,6 +2965,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id
             FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
             WHERE a.term = '{Q_PHRASE[0]}' AND b.term = '{Q_PHRASE[1]}'
+        """,
+        "q24_span_first": f"""
+            WITH {_TOKS}
+            SELECT DISTINCT doc_id FROM tok
+            WHERE term = '{Q_KEYWORD}' AND pos < {SPAN_FIRST_LIMIT}
         """,
         "q2p_prefix_search": f"""
             WITH {_TOKS}

@@ -15,7 +15,8 @@ bool (nested AND/OR/NOT with parentheses, one quoted expression),
 sloppy (ordered phrase with --slop extra tokens between terms),
 suggest (did-you-mean term corrections), mlt (--corpus more-like-this: the
 single positional arg is the seed docId), msm (--min-match N of the terms,
-Lucene minimumShouldMatch). --highlight adds a query-aware <em>-wrapped
+Lucene minimumShouldMatch), spanfirst (term within the first --window
+positions, Lucene SpanFirstQuery). --highlight adds a query-aware <em>-wrapped
 snippet per result (needs --corpus). and/keyword accept repeatable
 --field col=value constraints against a fielded index
 (build_index(fields=…)). Prints one JSON line with results + latency.
@@ -77,7 +78,8 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["bm25", "tfidf", "and", "or", "phrase", "keyword",
                              "not", "near", "prefix", "fuzzy", "suggest",
                              "mlt", "regex", "wildcard", "bool", "sloppy", "substring",
-                             "regexcontent", "grep", "parsed", "ranked", "msm"])
+                             "regexcontent", "grep", "parsed", "ranked", "msm",
+                             "spanfirst"])
     ap.add_argument("--q", default=None,
                     help="unified Lucene-style query string (implies "
                          "--mode parsed unless --mode ranked, which "
@@ -87,7 +89,9 @@ def main(argv: list[str] | None = None) -> int:
                          "--corpus)")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--window", type=int, default=5,
-                    help="near mode: max positions between the two terms")
+                    help="near mode: max positions between the two terms; "
+                         "spanfirst mode: the term must occur within the "
+                         "first N token positions (SpanFirstQuery)")
     ap.add_argument("--slop", type=int, default=0,
                     help="sloppy mode: max extra tokens between consecutive terms")
     ap.add_argument("--exclude", nargs="*", default=[],
@@ -419,6 +423,19 @@ def main(argv: list[str] | None = None) -> int:
             top_terms=a.top_terms, k=a.k, analyzer=analyzer, deleted=deleted,
         )
         rows = [{"docId": r.docId, "score": round(r.score, 6)} for r in out.collect()]
+    elif a.mode == "spanfirst":
+        from search_engine_spark.operators.query import search_span_first
+
+        terms = analyze_query(a.terms, analyzer)
+        if len(terms) != 1:
+            ap.error("spanfirst mode takes exactly one term")
+        dec = live(decode_postings(segs, terms, with_positions=True), tomb)
+        rows = [
+            {"docId": r.docId}
+            for r in search_span_first(dec, terms[0], a.window)
+            .limit(a.k)
+            .collect()
+        ]
     elif a.mode == "msm":
         from search_engine_spark.operators.query import search_min_should_match
 

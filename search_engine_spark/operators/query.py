@@ -111,6 +111,27 @@ def search_min_should_match(
     )
 
 
+def search_span_first(
+    postings_pos: DataFrame, term: str, limit: int
+) -> DataFrame:
+    """Q24: docs where ``term`` occurs within the first ``limit`` token
+    positions (0-based) — the Lucene ``SpanFirstQuery`` surface, the
+    title/lead-paragraph matching primitive. Uses the SAME positional
+    postings the phrase path decodes (Q5, IIM:951-1101), so at scale this
+    is one In-pushed seek + a JVM ``exists`` over the (delta-decoded)
+    position array — zero joins; the trailing distinct mirrors Q2 (a no-op
+    on the unique (term, docId) invariant, kept for defensive parity)."""
+    if limit <= 0:
+        return postings_pos.select("docId").limit(0)
+    lim = F.lit(limit)
+    return (
+        postings_pos.where(F.col("term") == term)
+        .where(F.exists("positions", lambda p: p < lim))
+        .select("docId")
+        .distinct()
+    )
+
+
 def phrase_offsets(terms: list[str]) -> dict[str, int]:
     """Reference phrase dedup quirk (IIM:966-977): repeated tokens keep the
     LAST position offset."""

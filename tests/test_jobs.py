@@ -621,3 +621,24 @@ def test_query_job_msm_and_highlight(built, capsys):
     for s in snips:
         if s:
             assert "<em>rotten</em>" in s or "<em>apple</em>" in s
+
+
+def test_query_job_spanfirst(built, capsys):
+    """spanfirst containment laws: hits are a subset of keyword hits and
+    grow monotonically with the window."""
+    from jobs.query import main as query_main
+
+    _, idx = built
+
+    def run(args):
+        rc = query_main(["--index", idx, "--master", "local[4]", *args])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        return {r["docId"] for r in out["results"]}
+
+    keyword = run(["--mode", "keyword", "--k", "1000", "appl"])
+    sf2 = run(["--mode", "spanfirst", "--window", "2", "--k", "1000", "appl"])
+    sf50 = run(["--mode", "spanfirst", "--window", "50", "--k", "1000", "appl"])
+    big = run(["--mode", "spanfirst", "--window", "100000", "--k", "1000",
+               "appl"])
+    assert sf2 <= sf50 <= big == keyword

@@ -636,3 +636,20 @@ def test_highlight_duplicate_terms_and_window_edge(spark):
     assert got[1].coverage == 2
     assert got[1].window_start == 3
     assert got[1].snippet == "<em>spark</em> c d <em>join</em>"
+
+
+def test_search_span_first(spark, ext_index):
+    p, _, _ = ext_index
+    segs = S.load_segments(spark, p)
+    dec = S.decode_postings(segs, ["scan", "spark", "zebra"], with_positions=True)
+    # 'scan' positions per DOCS: doc0 @1,3; doc1 @6; doc2 @0; doc4 @2,6
+    got = sorted(r.docId for r in Q.search_span_first(dec, "scan", 2).collect())
+    assert got == [0, 2]
+    got = sorted(r.docId for r in Q.search_span_first(dec, "scan", 7).collect())
+    assert got == [0, 1, 2, 4]
+    # limit 1 == term at position 0 only
+    got = sorted(r.docId for r in Q.search_span_first(dec, "scan", 1).collect())
+    assert got == [2]
+    # absent term / non-positive limit -> empty
+    assert Q.search_span_first(dec, "qqq", 5).collect() == []
+    assert Q.search_span_first(dec, "scan", 0).collect() == []
