@@ -57,6 +57,7 @@ Q_PREFIX = "s"
 Q_NEAR, Q_NEAR_WINDOW = ("table", "scan"), 5
 SNIPPET_TERM, SNIPPET_BEFORE, SNIPPET_AFTER = "spark", 3, 3
 MSM_MIN, HL_WINDOW = 2, 8  # q22 minimum-should-match / q23 highlight window
+DISMAX_TIE = 0.3  # q25 DisjunctionMax tie_breaker
 PQ_M, PQ_K = 4, 16
 Q_FUZZY, Q_FUZZY_DIST, Q_FUZZY_EXP = "sow", 1, 16
 Q_SUGGEST, Q_SUGGEST_K, Q_SUGGEST_DIST = "spak", 3, 2
@@ -908,6 +909,31 @@ def q_q8_bm25_topk(spark, sf_dir):
         Scorer("bm25", BM25_K1, BM25_B), k=TOPK, analyzer="naive", ties="asc",
     )
     return out.select(F.col("docId").alias("doc_id"), F.round("score", 6).alias("score"))
+
+
+def q_q25_dismax(spark, sf_dir):
+    """Lucene DisjunctionMaxQuery ranking: best single-term BM25
+    contribution + DISMAX_TIE x the rest — the declarative scoring plan
+    with a max+sum aggregate over the SAME shared contribution expression
+    as q8/q8x (so the oracle reuses the q8 scoring CTEs verbatim)."""
+    from search_engine_spark.operators.rank import Scorer, score_query_dismax
+    from search_engine_spark.sources.segments import (
+        decode_postings,
+        load_segments,
+        load_term_stats,
+    )
+
+    idx, m = _index(spark, sf_dir)
+    dec = decode_postings(load_segments(spark, idx), sorted(set(Q_RANKED)))
+    out = score_query_dismax(
+        spark, dec, load_term_stats(spark, idx), Q_RANKED,
+        m["stats"]["n_docs"], m["stats"]["avgdl"],
+        Scorer("bm25", BM25_K1, BM25_B), tie_breaker=DISMAX_TIE, k=TOPK,
+        analyzer="naive", ties="asc",
+    )
+    return out.select(
+        F.col("docId").alias("doc_id"), F.round("score", 6).alias("score")
+    )
 
 
 _SHARDED_CACHE: dict = {}
@@ -2188,6 +2214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_min_should_match": q_q22_min_should_match,
         "q23_highlight": q_q23_highlight,
         "q24_span_first": q_q24_span_first,
+        "q25_dismax": q_q25_dismax,
         "q19_ranked_parsed": q_q19_ranked_parsed,
         "q19b_boosted_parsed": q_q19b_boosted_parsed,
         "q20_fielded_phrase": q_q20_fielded_phrase,
@@ -2394,6 +2421,36 @@ scored AS (
 _BM25_SQL = f"""
 WITH {_TOKS},
 {_bm25_scored_ctes(_qterm_values(Q_RANKED))}
+SELECT doc_id, round(score, 6) AS score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
+"""
+
+# q25: same per-(doc, term) contribution as _bm25_scored_ctes, aggregated
+# dismax-style (max + tie * (sum - max)) instead of summed.
+_DISMAX_SQL = f"""
+WITH {_TOKS},
+qterms(qt, qtf) AS (VALUES {_qterm_values(Q_RANKED)}),
+ndocs AS (SELECT count(*)::double AS n FROM documents),
+dlsum AS (SELECT sum(tf)::double AS tot FROM postings),
+stats AS (SELECT ndocs.n AS n, dlsum.tot / ndocs.n AS avgdl FROM ndocs, dlsum),
+tstats AS (
+  SELECT term, count(*)::double AS df FROM postings GROUP BY term
+),
+contrib AS (
+  SELECT p.doc_id, p.term,
+    q.qtf * ln((s.n - t.df + 0.5) / (t.df + 0.5) + 1.0)
+        * p.tf * ({BM25_K1} + 1.0)
+        / (p.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * p.dl / s.avgdl)) AS c
+  FROM postings p
+  JOIN qterms q ON p.term = q.qt
+  JOIN tstats t ON p.term = t.term
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT doc_id,
+    max(c) + {DISMAX_TIE} * (sum(c ORDER BY term) - max(c)) AS score
+  FROM contrib GROUP BY doc_id
+)
 SELECT doc_id, round(score, 6) AS score FROM scored
 ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
 """
@@ -3360,6 +3417,7 @@ def oracle_sql() -> dict[str, str]:
         "q11_combined_pagerank": _q11_sql(),
         "q8_tfidf_scores": _TFIDF_SQL,
         "q8_bm25_topk": _BM25_SQL,
+        "q25_dismax": _DISMAX_SQL,
         "q8s_sharded_bm25": _BM25_SQL,
         "q8_bm25_batch": _BM25_BATCH_SQL,
         "q8_bm25_batch_daat": _BM25_BATCH_SQL,

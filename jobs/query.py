@@ -79,7 +79,7 @@ def main(argv: list[str] | None = None) -> int:
                              "not", "near", "prefix", "fuzzy", "suggest",
                              "mlt", "regex", "wildcard", "bool", "sloppy", "substring",
                              "regexcontent", "grep", "parsed", "ranked", "msm",
-                             "spanfirst"])
+                             "spanfirst", "dismax"])
     ap.add_argument("--q", default=None,
                     help="unified Lucene-style query string (implies "
                          "--mode parsed unless --mode ranked, which "
@@ -128,6 +128,10 @@ def main(argv: list[str] | None = None) -> int:
                          "upper bound) instead of executing; parsed/ranked "
                          "modes: per-leaf strategy + df bounds + scoring "
                          "weights (dictionary lookups only)")
+    ap.add_argument("--tie", type=float, default=0.0,
+                    help="dismax mode: tie_breaker in [0,1] — 0 scores the "
+                         "best single-term BM25 contribution, 1 the plain "
+                         "sum (DisjunctionMaxQuery)")
     ap.add_argument("--min-match", type=int, default=2,
                     help="msm mode: minimum number of distinct query terms "
                          "a doc must contain (Lucene minimumShouldMatch)")
@@ -423,6 +427,18 @@ def main(argv: list[str] | None = None) -> int:
             top_terms=a.top_terms, k=a.k, analyzer=analyzer, deleted=deleted,
         )
         rows = [{"docId": r.docId, "score": round(r.score, 6)} for r in out.collect()]
+    elif a.mode == "dismax":
+        from search_engine_spark.operators.rank import score_query_dismax
+
+        dec = live(
+            decode_postings(segs, analyze_query(a.terms, analyzer)), tomb
+        )
+        out = score_query_dismax(
+            spark, dec, stats, a.terms, n_docs, avgdl, Scorer("bm25"),
+            tie_breaker=a.tie, k=a.k, analyzer=analyzer,
+        )
+        rows = [{"docId": r.docId, "score": round(r.score, 6)}
+                for r in out.collect()]
     elif a.mode == "spanfirst":
         from search_engine_spark.operators.query import search_span_first
 

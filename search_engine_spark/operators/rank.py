@@ -172,6 +172,52 @@ def score_query(
     return scores.limit(k) if k is not None else scores
 
 
+def score_query_dismax(
+    spark: SparkSession,
+    decoded: DataFrame,
+    term_stats: DataFrame,
+    keywords: list[str],
+    n_docs: int,
+    avgdl: float,
+    scorer: Scorer = Scorer(),
+    tie_breaker: float = 0.0,
+    k: int | None = 10,
+    analyzer: str = "porter",
+    ties: str = "desc",
+) -> DataFrame:
+    """Lucene ``DisjunctionMaxQuery`` ranking over single-term disjuncts:
+    a doc scores its BEST per-term BM25 contribution plus ``tie_breaker``
+    times the remaining contributions. ``tie_breaker=0`` is the pure
+    "best matching clause wins" semantics (the dismax antidote to the
+    sum's length-ish bias across near-synonym clauses); ``1.0`` recovers
+    the plain BM25 sum of :func:`score_query`.
+
+    Plan shape is IDENTICAL to :func:`score_query` — In-pushed postings
+    scan, broadcast idf map, ONE partial+final aggregation (max + sum
+    over the shared :func:`_bm25_contrib` expression, so dismax can never
+    drift from the scorer it reweights), TakeOrderedAndProject(k)."""
+    if not 0.0 <= tie_breaker <= 1.0:
+        raise ValueError("tie_breaker must be in [0, 1]")
+    qtfs = query_tfs(keywords, analyzer)
+    rows = _idf_rows(term_stats, qtfs, scorer, n_docs)
+    if not rows:
+        return spark.createDataFrame([], SCORE_SCHEMA)
+    qdf = spark.createDataFrame(rows, "term string, df long, idf double, qtf int")
+    p = postings_for(decoded, [r[0] for r in rows]).join(F.broadcast(qdf), "term")
+    c = _bm25_contrib(scorer, avgdl)
+    agg = p.groupBy("docId").agg(F.max(c).alias("_mx"), F.sum(c).alias("_sm"))
+    scores = agg.select(
+        "docId",
+        (
+            F.col("_mx")
+            + F.lit(float(tie_breaker)) * (F.col("_sm") - F.col("_mx"))
+        ).alias("score"),
+    )
+    order = [F.desc("score"), F.desc("docId") if ties == "desc" else F.asc("docId")]
+    scores = scores.orderBy(*order)
+    return scores.limit(k) if k is not None else scores
+
+
 EXPLAIN_SCHEMA = StructType(
     [
         StructField("docId", LongType(), False),

@@ -642,3 +642,25 @@ def test_query_job_spanfirst(built, capsys):
     big = run(["--mode", "spanfirst", "--window", "100000", "--k", "1000",
                "appl"])
     assert sf2 <= sf50 <= big == keyword
+
+
+def test_query_job_dismax(built, capsys):
+    """dismax CLI: --tie 1.0 equals bm25 scores; --tie 0.0 scores below."""
+    from jobs.query import main as query_main
+
+    _, idx = built
+
+    def run(args):
+        rc = query_main(["--index", idx, "--master", "local[4]", *args])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        return {r["docId"]: r["score"] for r in out["results"]}
+
+    bm25 = run(["--mode", "bm25", "--k", "1000", "appl", "rotten"])
+    tie1 = run(["--mode", "dismax", "--tie", "1.0", "--k", "1000",
+                "appl", "rotten"])
+    tie0 = run(["--mode", "dismax", "--tie", "0.0", "--k", "1000",
+                "appl", "rotten"])
+    assert tie1 == bm25
+    assert set(tie0) == set(bm25)
+    assert all(tie0[d] <= bm25[d] for d in bm25)

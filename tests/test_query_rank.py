@@ -730,3 +730,43 @@ def test_explain_score_sums_to_score(spark, tfidf_index):
     with _pytest.raises(NotImplementedError):
         R.explain_score(spark, decoded, stats, q, nd, avg,
                         scorer=R.Scorer("tfidf_cosine"))
+
+
+def test_dismax_laws(spark, tfidf_index):
+    """DisjunctionMax: tie=1.0 recovers the BM25 sum of score_query,
+    tie=0.0 is the per-term max, and scores interpolate monotonically."""
+    p, m, _ = tfidf_index
+    segs, stats = S.load_segments(spark, p), S.load_term_stats(spark, p)
+    nd, avg = m["stats"]["n_docs"], m["stats"]["avgdl"]
+    q = ["apple", "apple", "rotten"]
+    dec = S.decode_postings(segs, Q.analyze_query(q, "porter"))
+
+    def dismax(tie):
+        return {
+            r.docId: r.score
+            for r in R.score_query_dismax(
+                spark, dec, stats, q, nd, avg, R.Scorer("bm25"),
+                tie_breaker=tie, k=None,
+            ).collect()
+        }
+
+    full = {
+        r.docId: r.score
+        for r in R.score_query(
+            spark, dec, stats, q, nd, avg, R.Scorer("bm25"), k=None
+        ).collect()
+    }
+    d0, d3, d1 = dismax(0.0), dismax(0.3), dismax(1.0)
+    assert set(d0) == set(d3) == set(d1) == set(full)
+    for doc in full:
+        assert d1[doc] == pytest.approx(full[doc], abs=1e-12)  # tie=1 == sum
+        assert d0[doc] <= d3[doc] <= d1[doc] + 1e-12  # monotone in tie
+        # tie=0 == the best single-term contribution: <= the sum, and equal
+        # to it only when one term carries the whole score
+        assert d0[doc] <= full[doc] + 1e-12
+    # at least one doc matches BOTH terms, so max < sum strictly somewhere
+    assert any(d0[doc] < full[doc] - 1e-12 for doc in full)
+    with pytest.raises(ValueError):
+        R.score_query_dismax(
+            spark, dec, stats, q, nd, avg, tie_breaker=1.5
+        )
