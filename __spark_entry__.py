@@ -58,6 +58,11 @@ Q_NEAR, Q_NEAR_WINDOW = ("table", "scan"), 5
 SNIPPET_TERM, SNIPPET_BEFORE, SNIPPET_AFTER = "spark", 3, 3
 MSM_MIN, HL_WINDOW = 2, 8  # q22 minimum-should-match / q23 highlight window
 DISMAX_TIE = 0.3  # q25 DisjunctionMax tie_breaker
+PERCO_QUERIES = {  # q26 standing percolator queries (boolean-AND)
+    1: ["spark", "join"],
+    2: ["table", "scan"],
+    3: ["filter", "query", "spark"],
+}
 PQ_M, PQ_K = 4, 16
 Q_FUZZY, Q_FUZZY_DIST, Q_FUZZY_EXP = "sow", 1, 16
 Q_SUGGEST, Q_SUGGEST_K, Q_SUGGEST_DIST = "spak", 3, 2
@@ -934,6 +939,17 @@ def q_q25_dismax(spark, sf_dir):
     return out.select(
         F.col("docId").alias("doc_id"), F.round("score", 6).alias("score")
     )
+
+
+def q_q26_percolate(spark, sf_dir):
+    """Reverse search (Percolator): every (doc, standing query) pair where
+    the doc contains ALL the query's terms — one tokenize pass, broadcast
+    query table, one count-matching agg for all queries at once."""
+    from search_engine_spark.operators.query import percolate, percolate_queries
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qt = percolate_queries(spark, PERCO_QUERIES, analyzer="naive")
+    return percolate(d, qt, analyzer="naive", text="text", id_col="doc_id")
 
 
 _SHARDED_CACHE: dict = {}
@@ -2215,6 +2231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_highlight": q_q23_highlight,
         "q24_span_first": q_q24_span_first,
         "q25_dismax": q_q25_dismax,
+        "q26_percolate": q_q26_percolate,
         "q19_ranked_parsed": q_q19_ranked_parsed,
         "q19b_boosted_parsed": q_q19b_boosted_parsed,
         "q20_fielded_phrase": q_q20_fielded_phrase,
@@ -3418,6 +3435,22 @@ def oracle_sql() -> dict[str, str]:
         "q8_tfidf_scores": _TFIDF_SQL,
         "q8_bm25_topk": _BM25_SQL,
         "q25_dismax": _DISMAX_SQL,
+        "q26_percolate": f"""
+            WITH {_TOKS},
+            q(qid, term) AS (VALUES {", ".join(
+                f"({qid}, '{t}')"
+                for qid, kws in sorted(PERCO_QUERIES.items())
+                for t in sorted({k.lower() for k in kws})
+            )}),
+            qn AS (SELECT qid, count(DISTINCT term) AS n FROM q GROUP BY qid),
+            hits AS (
+              SELECT p.doc_id, q.qid, count(DISTINCT p.term) AS m
+              FROM postings p JOIN q ON p.term = q.term
+              GROUP BY p.doc_id, q.qid
+            )
+            SELECT h.doc_id, h.qid
+            FROM hits h JOIN qn ON h.qid = qn.qid AND h.m = qn.n
+        """,
         "q8s_sharded_bm25": _BM25_SQL,
         "q8_bm25_batch": _BM25_BATCH_SQL,
         "q8_bm25_batch_daat": _BM25_BATCH_SQL,

@@ -132,6 +132,61 @@ def search_span_first(
     )
 
 
+def percolate_queries(
+    spark, queries: dict, analyzer: str = "naive"
+) -> DataFrame:
+    """Standing-query table for :func:`percolate`: ``{qid: [keywords]}`` →
+    analyzed DISTINCT (qid, term) rows. Tiny by construction (the
+    registered-alerts table), always broadcast by the consumer."""
+    rows = [
+        (qid, t)
+        for qid, kws in sorted(queries.items())
+        for t in sorted(set(analyze_query(list(kws), analyzer)))
+    ]
+    return spark.createDataFrame(rows, "qid long, term string")
+
+
+def percolate(
+    docs: DataFrame,
+    qterms: DataFrame,
+    analyzer: str = "naive",
+    text: str = "content",
+    id_col: str = "docId",
+) -> DataFrame:
+    """Reverse search — the Lucene/Elasticsearch Percolator shape: given
+    standing boolean-AND queries as (qid, term) rows, emit (docId, qid)
+    for every doc that contains ALL of a query's terms. The alerting
+    primitive: docs stream in, queries stand still.
+
+    Spark shape: tokenize each doc ONCE, explode its DISTINCT terms,
+    broadcast-join the (tiny) standing-query table, then ONE
+    count-matching aggregation on (docId, qid) — the Q3 AND aggregation
+    (IIM:747-819) generalized across all registered queries in a single
+    pass over the corpus/batch. One shuffle total for ANY number of
+    standing queries; no per-query jobs, no index required (so it
+    composes directly with a streaming foreachBatch over incoming docs).
+    """
+    # (qid, term) made unique up front (tiny table), so the per-(doc, qid)
+    # match count can be a plain count(*) — exploded doc terms are DISTINCT
+    # per doc by construction — avoiding countDistinct's two-phase agg.
+    qterms = qterms.dropDuplicates(["qid", "term"])
+    qn = qterms.groupBy("qid").agg(F.count("term").alias("_n"))
+    terms = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(tokens_column(F.col(text), analyzer))
+        ).alias("term"),
+    )
+    return (
+        terms.join(F.broadcast(qterms), "term")
+        .groupBy(id_col, "qid")
+        .agg(F.count("term").alias("_m"))
+        .join(F.broadcast(qn), "qid")
+        .where(F.col("_m") == F.col("_n"))
+        .select(id_col, "qid")
+    )
+
+
 def phrase_offsets(terms: list[str]) -> dict[str, int]:
     """Reference phrase dedup quirk (IIM:966-977): repeated tokens keep the
     LAST position offset."""

@@ -653,3 +653,21 @@ def test_search_span_first(spark, ext_index):
     # absent term / non-positive limit -> empty
     assert Q.search_span_first(dec, "qqq", 5).collect() == []
     assert Q.search_span_first(dec, "scan", 0).collect() == []
+
+
+def test_percolate_matches_search_and(spark, ext_index):
+    """Percolate == search_and per standing query, in one pass."""
+    from search_engine_spark.operators.query import percolate, percolate_queries
+
+    _, _, corpus = ext_index
+    queries = {1: ["spark", "join"], 2: ["table", "scan"], 3: ["zebra"],
+               4: ["nosuchterm"]}
+    qt = percolate_queries(spark, queries, analyzer="naive")
+    got = {}
+    for r in percolate(corpus, qt, analyzer="naive").collect():
+        got.setdefault(r.qid, set()).add(r.docId)
+    postings = build_postings(corpus, "naive")
+    for qid, kws in queries.items():
+        want = {r.docId for r in Q.search_and(postings, kws).collect()}
+        assert got.get(qid, set()) == want, f"qid={qid}"
+    assert 4 not in got  # absent term -> the query matches nothing
