@@ -160,3 +160,49 @@ def serving_sink(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def percolate_sink(
+    spark: SparkSession,
+    stream: DataFrame,
+    queries: dict,
+    out_dir: str,
+    analyzer: str = "naive",
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+    text: str = "content",
+    id_col: str = "docId",
+):
+    """Streaming reverse search (the Percolator deployment): DOCUMENTS
+    stream in, registered queries stand still, every micro-batch is ONE
+    :func:`~..operators.query.percolate` job — tokenize the batch once,
+    broadcast the standing-query table, one count-matching aggregation
+    answers every registered alert at once. Matches land as parquet
+    ``(batch_id, docId, qid)`` under ``out_dir/batch=<id>/``
+    (self-overwriting on replay = exactly-once downstream, same sink
+    contract as :func:`serving_sink`).
+
+    Scale shape: the standing-query table is built ONCE at stream start
+    and captured by the closure (tiny — it broadcasts inside percolate);
+    nothing per-document ever touches the driver. ``queries``:
+    ``{qid: [keywords]}`` boolean-AND alerts."""
+    from ..operators.query import percolate, percolate_queries
+
+    qt = percolate_queries(spark, queries, analyzer)
+
+    def handle(batch_df: DataFrame, batch_id: int):
+        hits = percolate(batch_df, qt, analyzer=analyzer, text=text, id_col=id_col)
+        (
+            hits.withColumn("batch_id", F.lit(int(batch_id)))
+            .select("batch_id", id_col, "qid")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch={batch_id}"))
+        )
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation",
+        checkpoint_dir or os.path.join(out_dir, "_checkpoint"),
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -697,3 +697,34 @@ def test_stream_serving_micro_batch_row_cap(spark, tmp_path):
     q2.awaitTermination(120)
     got = spark.read.parquet(str(tmp_path / "cap_out_ok") + "/batch=0")
     assert {int(r.qid) for r in got.collect()} == {0, 1, 2}
+
+
+def test_stream_percolate_equals_batch(spark, tmp_path):
+    """Streaming reverse search: percolate_sink over a doc stream must
+    produce exactly the batch percolate matches, unioned across batches."""
+    from search_engine_spark.operators.query import percolate, percolate_queries
+    from search_engine_spark.streaming.serve import percolate_sink
+
+    corpus = corpus_from_texts(spark, TEXTS)
+    src = tmp_path / "perc_incoming"
+    src.mkdir()
+    pdf = corpus.select("docId", "content").toPandas()
+    pdf.iloc[:2].to_parquet(src / "p1.parquet", index=False)
+    pdf.iloc[2:].to_parquet(src / "p2.parquet", index=False)
+
+    queries = {1: ["apple", "banana"], 2: ["fig"], 3: ["egg", "date"],
+               4: ["nosuchterm"]}
+    out = str(tmp_path / "perc_out")
+    stream = stream_corpus_from_files(spark, str(src), STREAM_SCHEMA)
+    q = percolate_sink(spark, stream, queries, out, analyzer="naive")
+    q.awaitTermination(120)
+
+    got = {
+        (r.docId, r.qid)
+        for r in spark.read.parquet(f"{out}/batch=*").collect()
+    }
+    qt = percolate_queries(spark, queries, analyzer="naive")
+    want = {(r.docId, r.qid) for r in percolate(corpus, qt).collect()}
+    assert got == want and want  # non-trivial match set
+    # alert 4 (absent term) never fires
+    assert not any(qid == 4 for _, qid in got)
