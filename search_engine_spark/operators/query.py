@@ -737,6 +737,112 @@ def facet_counts(
     )
 
 
+def stats_agg(
+    result: DataFrame, docs: DataFrame, cols: list[str], id_col: str = "docId"
+) -> DataFrame:
+    """Metric stats aggregation scoped to a search result: for each numeric
+    field in ``cols``, the (n, ndv, min, max, sum, avg) of matching docs —
+    the ES ``stats`` + ``cardinality`` aggregation pair next to
+    :func:`facet_counts`' bucket one (the reference has no numeric metadata;
+    this is the standard results-page summary over a corpus that does).
+
+    Nulls are excluded per-field (the ES rule: missing values don't count),
+    which is why ``n`` can differ across fields.
+
+    Scale shape: same as facets — broadcast semi-join prune (result ≪
+    corpus, only ``cols`` + id in ReadSchema), ALL fields unpivot via
+    ``stack`` before ONE partial+final aggregation keyed on the field name
+    (bounded groups = len(cols)); the distinct count rewrites to the
+    standard two-phase expand, still one job. No windows, no Python."""
+    if not cols:
+        return docs.sparkSession.createDataFrame(
+            [], "col string, n long, ndv long, min double, max double, "
+                "sum double, avg double",
+        )
+    hit = docs.join(F.broadcast(result), id_col, "left_semi")
+    stacked = hit.select(
+        F.expr(
+            "stack({}, {})".format(
+                len(cols),
+                ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols),
+            )
+        ).alias("col", "v")
+    ).where(F.col("v").isNotNull())
+    return stacked.groupBy("col").agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("v").cast("long").alias("ndv"),
+        F.min("v").alias("min"),
+        F.max("v").alias("max"),
+        F.sum("v").alias("sum"),
+        F.avg("v").alias("avg"),
+    )
+
+
+def percentiles_agg(
+    result: DataFrame,
+    docs: DataFrame,
+    col: str,
+    percentiles: list[float],
+    id_col: str = "docId",
+) -> DataFrame:
+    """Exact percentiles of ``col`` over the matching docs — the ES
+    ``percentiles`` aggregation, computed exactly (SQL-standard
+    PERCENTILE_CONT linear interpolation, the R-7 rule) rather than with
+    t-digest: result sets are hydration-sized (the S4 assumption), so the
+    exact sort is affordable and oracle-comparable.
+
+    Output: ``(p double, value double)`` one row per requested fraction.
+
+    Scale shape: broadcast semi-join prune, then ONE ``percentile`` agg
+    computes every requested fraction in a single sort-based pass over the
+    hit values (never one job per fraction); ``posexplode`` of the
+    len(percentiles)-element array maps back to rows driver-free. The
+    sort is bounded by |hits|, not the corpus — for corpus-scale inputs
+    swap in ``percentile_approx`` (same plan shape, sketch-based)."""
+    ps = [float(p) for p in percentiles]
+    if not ps or any(not (0.0 <= p <= 1.0) for p in ps):
+        raise ValueError("percentiles must be non-empty fractions in [0, 1]")
+    pcol = F.array(*[F.lit(p) for p in ps])
+    v = F.col(col).cast("double")
+    hit = docs.join(F.broadcast(result), id_col, "left_semi").where(v.isNotNull())
+    return (
+        hit.agg(F.percentile(v, pcol).alias("vals"))
+        .select(F.posexplode("vals").alias("i", "value"))
+        .select(F.element_at(pcol, F.col("i") + 1).alias("p"), "value")
+    )
+
+
+def date_histogram(
+    events: DataFrame,
+    ts_col: str,
+    interval: str = "day",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Calendar-interval date histogram — the ES ``date_histogram``
+    aggregation: per-bucket event count plus an optional metric sum, with
+    buckets anchored by ``date_trunc`` (so 'day'/'hour'/'month' are true
+    calendar buckets, not fixed-width epochs). Callers scope the input with
+    an ordinary filter first (query context), keeping the predicate inside
+    the scan pushdown.
+
+    Output: ``(bucket string 'yyyy-MM-dd HH:mm:ss', n long[, sum_value
+    double])`` — the bucket is formatted, not a raw timestamp, so oracle
+    comparison is timezone-stable.
+
+    Scale shape: one partial+final aggregation keyed on the truncated
+    timestamp (pure JVM projection); bucket cardinality is time-range /
+    interval, independent of row count, so the final stage is tiny. Null
+    timestamps are excluded (the ES missing rule)."""
+    b = F.date_trunc(interval, F.col(ts_col))
+    g = events.where(F.col(ts_col).isNotNull()).groupBy(
+        F.date_format(b, "yyyy-MM-dd HH:mm:ss").alias("bucket")
+    )
+    aggs = [F.count("*").cast("long").alias("n")]
+    if value_col is not None:
+        aggs.append(F.sum(F.col(value_col).cast("double")).alias("sum_value"))
+    return g.agg(*aggs)
+
+
 def full_scan_search(corpus: DataFrame, keywords: list[str], analyzer: str = "porter") -> DataFrame:
     """Q1 oracle: docs whose analyzed token set contains ALL query tokens."""
     terms = analyze_query(keywords, analyzer)

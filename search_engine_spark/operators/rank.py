@@ -1701,6 +1701,61 @@ def collapse_results(
     return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
+def rescore_phrase(
+    spark: SparkSession,
+    segments: DataFrame,
+    term_stats: DataFrame,
+    keywords: list[str],
+    phrase: list[str],
+    n_docs: int,
+    avgdl: float,
+    scorer: Scorer = Scorer(),
+    window: int = 50,
+    k: int = 10,
+    boost: float = 1.0,
+    analyzer: str = "porter",
+    ties: str = "desc",
+    deleted: np.ndarray | None = None,
+) -> DataFrame:
+    """Rescore window — the Lucene ``QueryRescorer`` / ES ``rescore`` API:
+    rank with the cheap primary scorer (block-max DAAT BM25), then re-rank
+    ONLY the top-``window`` hits with a more expensive secondary signal —
+    here an exact positional phrase match adding ``boost`` to the primary
+    score — and return the top-``k`` of the rescored window. Docs outside
+    the window are never rescored (the rescore contract: the expensive
+    signal's cost is O(window), not O(matches)).
+
+    Scale shape: the primary pass is :func:`score_query_daat` (term-pushed,
+    pruned, TakeOrdered at ``window``); the phrase pass decodes ONLY the
+    phrase terms' postings (``In`` pushdown on L terms) and its doc set
+    joins the window via broadcast (window rows ≪ corpus); the final
+    re-sort of ``window`` rows is a TakeOrderedAndProject. Ties in the
+    rescored order break docId asc — deterministic and oracle-comparable.
+    """
+    from ..sources.segments import decode_postings
+    from .query import analyze_query, search_phrase
+
+    primary = score_query_daat(
+        spark, segments, term_stats, keywords, n_docs, avgdl, scorer,
+        k=window, analyzer=analyzer, ties=ties, deleted=deleted,
+    )
+    ph_terms = analyze_query(phrase, analyzer)
+    dec = decode_postings(segments, sorted(set(ph_terms)), with_positions=True)
+    ph = search_phrase(dec, ph_terms).select("docId", F.lit(1).alias("_ph"))
+    return (
+        primary.join(F.broadcast(ph), "docId", "left")
+        .select(
+            "docId",
+            (
+                F.col("score")
+                + F.lit(float(boost)) * F.coalesce(F.col("_ph"), F.lit(0))
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("docId"))
+        .limit(k)
+    )
+
+
 def score_with_boosts(
     scored: DataFrame,
     meta: DataFrame,

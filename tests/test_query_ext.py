@@ -671,3 +671,117 @@ def test_percolate_matches_search_and(spark, ext_index):
         want = {r.docId for r in Q.search_and(postings, kws).collect()}
         assert got.get(qid, set()) == want, f"qid={qid}"
     assert 4 not in got  # absent term -> the query matches nothing
+
+
+def test_stats_agg(spark, ext_index):
+    _, _, corpus = ext_index
+    postings = build_postings(corpus, "naive")
+    # numeric metadata with a NULL (excluded per-field, the ES missing rule)
+    vals = [10.0, None, 7.5, 3.0, 7.5, 1.0, 2.0]
+    docs = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "docId long, size double"
+    )
+    hits = Q.search_keyword(postings, "scan")  # docs 0,1,2,4
+    got = {r.col: r for r in Q.stats_agg(hits, docs, ["size", "docId"]).collect()}
+    matched = [i for i, d in enumerate(DOCS) if "scan" in _toks(d)]
+    sv = [vals[i] for i in matched if vals[i] is not None]
+    assert got["size"].n == len(sv)
+    assert got["size"].ndv == len(set(sv))
+    assert got["size"].min == min(sv) and got["size"].max == max(sv)
+    assert abs(got["size"].sum - sum(sv)) < 1e-9
+    assert abs(got["size"].avg - sum(sv) / len(sv)) < 1e-9
+    assert got["docId"].n == len(matched)  # id col has no nulls
+    assert got["docId"].ndv == len(matched)
+    # empty field list -> empty result, schema intact
+    empty = Q.stats_agg(hits, docs, [])
+    assert empty.columns == ["col", "n", "ndv", "min", "max", "sum", "avg"]
+    assert empty.collect() == []
+
+
+def test_percentiles_agg(spark, ext_index):
+    import numpy as np
+
+    _, _, corpus = ext_index
+    postings = build_postings(corpus, "naive")
+    vals = [10.0, 4.0, 7.5, 3.0, 6.0, 1.0, 2.0]
+    docs = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "docId long, size double"
+    )
+    hits = Q.search_keyword(postings, "scan")
+    matched = [vals[i] for i, d in enumerate(DOCS) if "scan" in _toks(d)]
+    ps = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got = {r.p: r.value for r in
+           Q.percentiles_agg(hits, docs, "size", ps).collect()}
+    for p in ps:  # Spark exact percentile == numpy linear (R-7) interpolation
+        assert abs(got[p] - float(np.percentile(matched, p * 100))) < 1e-9
+    for bad in ([], [1.5], [-0.1]):
+        with pytest.raises(ValueError):
+            Q.percentiles_agg(hits, docs, "size", bad)
+
+
+def test_date_histogram(spark):
+    from datetime import datetime
+
+    rows = [
+        (datetime(2026, 1, 1, 3, 0), 1.0),
+        (datetime(2026, 1, 1, 23, 59), 2.5),
+        (datetime(2026, 1, 2, 0, 0), 4.0),
+        (None, 99.0),  # null ts excluded
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = {r.bucket: (r.n, r.sum_value)
+           for r in Q.date_histogram(ev, "ts", "day", "value").collect()}
+    assert got == {
+        "2026-01-01 00:00:00": (2, 3.5),
+        "2026-01-02 00:00:00": (1, 4.0),
+    }
+    # hour interval, count-only shape
+    byh = Q.date_histogram(ev, "ts", "hour")
+    assert byh.columns == ["bucket", "n"]
+    assert {r.bucket: r.n for r in byh.collect()} == {
+        "2026-01-01 03:00:00": 1, "2026-01-01 23:00:00": 1,
+        "2026-01-02 00:00:00": 1,
+    }
+
+
+def test_rescore_phrase(spark, ext_index):
+    """Rescore == primary DAAT top-window + boost on exact phrase match,
+    re-sorted — derived oracle from the (independently tested) primary."""
+    from search_engine_spark.operators.rank import (
+        Scorer, rescore_phrase, score_query_daat,
+    )
+
+    p, m, corpus = ext_index
+    segs = S.load_segments(spark, p)
+    ts = S.load_term_stats(spark, p)
+    n_docs, avgdl = m["stats"]["n_docs"], m["stats"]["avgdl"]
+    sc = Scorer("bm25", 1.2, 0.75)
+    window, k, boost = 5, 3, 0.5
+    primary = {
+        r.docId: r.score
+        for r in score_query_daat(
+            spark, segs, ts, ["scan"], n_docs, avgdl, sc, k=window,
+            analyzer="naive", ties="asc",
+        ).collect()
+    }
+    phrase = ["table", "scan"]
+    ph_docs = {
+        i for i, d in enumerate(DOCS)
+        if any(_toks(d)[j:j + 2] == phrase for j in range(len(_toks(d))))
+    }
+    want = sorted(
+        ((s + (boost if d in ph_docs else 0.0), d) for d, s in primary.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:k]
+    got = [
+        (r.score, r.docId)
+        for r in rescore_phrase(
+            spark, segs, ts, ["scan"], phrase, n_docs, avgdl, sc,
+            window=window, k=k, boost=boost, analyzer="naive", ties="asc",
+        ).collect()
+    ]
+    assert len(got) == k
+    for (ws, wd), (gs, gd) in zip(want, got):
+        assert wd == gd and abs(ws - gs) < 1e-9
+    # the boost must actually reorder: at least one phrase doc in the window
+    assert any(d in ph_docs for d in primary)
