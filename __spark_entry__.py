@@ -16,6 +16,7 @@ Cross-engine hash: ``int64(md5(s)[:15 hex])`` (= Spark
 
 from __future__ import annotations
 
+import math
 import os
 import tempfile
 from collections.abc import Callable
@@ -83,6 +84,9 @@ STATS_COLS = ["n_chars", "doc_id"]  # q14s metric-stats fields
 PCT_FRACTIONS = [0.25, 0.5, 0.75, 0.95]  # q14p exact percentiles
 DH_EVENT_TYPE, DH_INTERVAL = "click", "day"  # q14d date-histogram scope
 RESCORE_WINDOW, RESCORE_BOOST = 40, 0.5  # q27 rescore window / phrase boost
+SIG_K, SIG_MIN_FG = 10, 2  # q28 significant-terms cap / noise floor
+DECAY_ORIGIN, DECAY_SCALE, DECAY_RATE = 300.0, 200.0, 0.5  # q29 gauss decay
+_DECAY_SIGMA2 = -(DECAY_SCALE ** 2) / (2.0 * math.log(DECAY_RATE))
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -791,6 +795,55 @@ def q_q27_rescore_phrase(spark, sf_dir):
         Q_RANKED, Q_PHRASE, m["stats"]["n_docs"], m["stats"]["avgdl"],
         Scorer("bm25", BM25_K1, BM25_B), window=RESCORE_WINDOW, k=TOPK,
         boost=RESCORE_BOOST, analyzer="naive", ties="asc",
+    )
+    return out.select(
+        F.col("docId").alias("doc_id"), F.round("score", 6).alias("score")
+    )
+
+
+def q_q28_significant_terms(spark, sf_dir):
+    """q28: significant-terms aggregation (ES JLH heuristic) over the
+    Q_KEYWORD result set — terms over-represented in the hits vs the corpus
+    background; broadcast semi-join + one distinct-count agg + TakeOrdered."""
+    from search_engine_spark.operators.query import (
+        search_keyword,
+        significant_terms,
+    )
+
+    postings = _postings(spark, sf_dir)
+    ts = postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    hits = search_keyword(postings, Q_KEYWORD)
+    n_fg = hits.count()
+    n_docs = _docs(spark, sf_dir).count()
+    out = significant_terms(
+        hits, postings, ts, n_fg, n_docs, k=SIG_K, min_fg=SIG_MIN_FG
+    )
+    return out.select("term", "fg_df", "df", F.round("score", 6).alias("score"))
+
+
+def q_q29_decay_score(spark, sf_dir):
+    """q29: function-score gauss decay — exhaustive BM25 scores multiplied
+    by exp decay of |n_chars − origin|, top-TOPK of the product (the ES
+    recency/proximity re-ranking shape)."""
+    from search_engine_spark.operators.rank import (
+        Scorer,
+        decay_score,
+        score_query_daat,
+    )
+    from search_engine_spark.sources.segments import load_segments, load_term_stats
+
+    idx, m = _index(spark, sf_dir)
+    scored = score_query_daat(
+        spark, load_segments(spark, idx), load_term_stats(spark, idx),
+        Q_RANKED, m["stats"]["n_docs"], m["stats"]["avgdl"],
+        Scorer("bm25", BM25_K1, BM25_B), k=None, analyzer="naive", ties="asc",
+    )
+    meta = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("docId"), "n_chars"
+    )
+    out = decay_score(
+        scored, meta, "n_chars", DECAY_ORIGIN, DECAY_SCALE,
+        decay=DECAY_RATE, kind="gauss", k=TOPK,
     )
     return out.select(
         F.col("docId").alias("doc_id"), F.round("score", 6).alias("score")
@@ -2296,6 +2349,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the driver consumes this dict in order and may stop at its
         # per-round budget (r04 reached 50/91), so never-verified keys
         # must not sit behind already-green ones.
+        "q28_significant_terms": q_q28_significant_terms,
+        "q29_decay_score": q_q29_decay_score,
         "q14s_stats_agg": q_q14s_stats_agg,
         "q14p_percentiles": q_q14p_percentiles,
         "q14d_date_histogram": q_q14d_date_histogram,
@@ -3066,6 +3121,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM postings
             WHERE term IN ({", ".join(repr(t) for t in sorted(set(Q_AND)))})
             GROUP BY doc_id HAVING count(DISTINCT term) >= {MSM_MIN}
+        """,
+        "q28_significant_terms": f"""
+            WITH {_TOKS},
+            hits AS (
+              SELECT DISTINCT doc_id FROM postings WHERE term = '{Q_KEYWORD}'
+            ),
+            nfg AS (SELECT count(*)::double AS n FROM hits),
+            nd AS (SELECT count(*)::double AS n FROM documents),
+            fg AS (
+              SELECT p.term, count(DISTINCT p.doc_id)::int64 AS fg_df
+              FROM postings p JOIN hits h USING (doc_id)
+              GROUP BY p.term
+              HAVING count(DISTINCT p.doc_id) >= {SIG_MIN_FG}
+            ),
+            bg AS (SELECT term, count(*)::int64 AS df FROM postings GROUP BY term),
+            sig AS (
+              SELECT f.term, f.fg_df, b.df,
+                     (f.fg_df / nfg.n - b.df / nd.n)
+                       * ((f.fg_df / nfg.n) / (b.df / nd.n)) AS s
+              FROM fg f JOIN bg b USING (term), nfg, nd
+            )
+            SELECT term, fg_df, df, round(s, 6) AS score FROM sig
+            ORDER BY s DESC, term ASC LIMIT {SIG_K}
+        """,
+        "q29_decay_score": f"""
+            WITH {_TOKS},
+            {_bm25_scored_ctes(_qterm_values(Q_RANKED))},
+            dec AS (
+              SELECT s.doc_id,
+                     s.score * exp(
+                       -pow(abs(d.n_chars::double - {DECAY_ORIGIN}), 2)
+                       / (2.0 * {_DECAY_SIGMA2!r})
+                     ) AS s2
+              FROM scored s JOIN documents d USING (doc_id)
+            )
+            SELECT doc_id, round(s2, 6) AS score FROM dec
+            ORDER BY s2 DESC, doc_id ASC LIMIT {TOPK}
         """,
         "q14s_stats_agg": f"""
             WITH {_TOKS},

@@ -16,7 +16,13 @@ sloppy (ordered phrase with --slop extra tokens between terms),
 suggest (did-you-mean term corrections), mlt (--corpus more-like-this: the
 single positional arg is the seed docId), msm (--min-match N of the terms,
 Lucene minimumShouldMatch), spanfirst (term within the first --window
-positions, Lucene SpanFirstQuery). --highlight adds a query-aware <em>-wrapped
+positions, Lucene SpanFirstQuery), rescore (BM25 top ``--rescore-window``
+re-ranked with an exact ``--phrase`` match adding ``--boost`` — the Lucene
+QueryRescorer), decay (function-score gauss/exp/linear decay of
+``--stat-field`` around ``--origin``/``--scale``, needs --corpus),
+sigterms (significant-terms JLH over the AND-hit set), stats / percentiles
+(metric aggregations of ``--stat-field`` over the AND-hit set, need
+--corpus). --highlight adds a query-aware <em>-wrapped
 snippet per result (needs --corpus). and/keyword accept repeatable
 --field col=value constraints against a fielded index
 (build_index(fields=…)). Prints one JSON line with results + latency.
@@ -79,7 +85,8 @@ def main(argv: list[str] | None = None) -> int:
                              "not", "near", "prefix", "fuzzy", "suggest",
                              "mlt", "regex", "wildcard", "bool", "sloppy", "substring",
                              "regexcontent", "grep", "parsed", "ranked", "msm",
-                             "spanfirst", "dismax"])
+                             "spanfirst", "dismax", "rescore", "decay",
+                             "sigterms", "stats", "percentiles"])
     ap.add_argument("--q", default=None,
                     help="unified Lucene-style query string (implies "
                          "--mode parsed unless --mode ranked, which "
@@ -143,6 +150,31 @@ def main(argv: list[str] | None = None) -> int:
                          "docs where no word matches literally get null")
     ap.add_argument("--hl-window", type=int, default=8,
                     help="--highlight: snippet span length in tokens")
+    ap.add_argument("--phrase", nargs="*", default=[],
+                    help="rescore mode: the exact phrase whose match adds "
+                         "--boost to the primary BM25 score")
+    ap.add_argument("--rescore-window", type=int, default=50,
+                    help="rescore mode: only the top-N primary hits are "
+                         "rescored (the Lucene QueryRescorer window)")
+    ap.add_argument("--boost", type=float, default=1.0,
+                    help="rescore mode: score added on phrase match")
+    ap.add_argument("--stat-field", action="append", default=[],
+                    help="stats/percentiles/decay modes: numeric corpus "
+                         "column (repeatable for stats)")
+    ap.add_argument("--fractions", type=float, nargs="*",
+                    default=[0.25, 0.5, 0.75, 0.95],
+                    help="percentiles mode: fractions in [0,1]")
+    ap.add_argument("--origin", type=float, default=0.0,
+                    help="decay mode: field value with multiplier 1.0")
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="decay mode: distance at which the multiplier "
+                         "reaches --decay-rate")
+    ap.add_argument("--decay-rate", type=float, default=0.5,
+                    help="decay mode: multiplier at origin+scale")
+    ap.add_argument("--decay-kind", default="gauss",
+                    choices=["gauss", "exp", "linear"])
+    ap.add_argument("--min-fg", type=int, default=2,
+                    help="sigterms mode: min foreground doc count")
     ap.add_argument("--master", default=None, help="local testing only")
     ap.add_argument(
         "--ignore-deleted", action="store_true",
@@ -439,6 +471,75 @@ def main(argv: list[str] | None = None) -> int:
         )
         rows = [{"docId": r.docId, "score": round(r.score, 6)}
                 for r in out.collect()]
+    elif a.mode == "rescore":
+        from search_engine_spark.operators.rank import rescore_phrase
+
+        if len(a.phrase) < 2:
+            ap.error("rescore mode requires --phrase with >= 2 words")
+        out = rescore_phrase(
+            spark, segs, stats, a.terms, a.phrase, n_docs, avgdl,
+            Scorer("bm25"), window=a.rescore_window, k=a.k, boost=a.boost,
+            analyzer=analyzer, ties="asc", deleted=deleted,
+        )
+        rows = [{"docId": r.docId, "score": round(r.score, 6)}
+                for r in out.collect()]
+    elif a.mode == "decay":
+        from search_engine_spark.operators.rank import decay_score
+
+        if not a.corpus or len(a.stat_field) != 1:
+            ap.error("decay mode requires --corpus and exactly one --stat-field")
+        scored = score_query_daat(
+            spark, segs, stats, a.terms, n_docs, avgdl, Scorer("bm25"),
+            k=None, analyzer=analyzer, ties="asc", deleted=deleted,
+            docid_span=span,
+        )
+        meta = _load_corpus(spark, a.corpus)
+        out = decay_score(
+            scored, meta, a.stat_field[0], a.origin, a.scale,
+            decay=a.decay_rate, kind=a.decay_kind, k=a.k,
+        )
+        rows = [{"docId": r.docId, "score": round(r.score, 6)}
+                for r in out.collect()]
+    elif a.mode in ("stats", "percentiles", "sigterms"):
+        from search_engine_spark.operators.query import (
+            percentiles_agg,
+            significant_terms,
+            stats_agg,
+        )
+
+        terms = analyze_query(a.terms, analyzer)
+        hits = live(
+            search_and(decode_postings(segs, terms), terms), tomb
+        )
+        if a.mode == "sigterms":
+            n_fg = hits.count()
+            out = significant_terms(
+                hits, decode_postings(segs), stats, n_fg, n_docs,
+                k=a.k, min_fg=a.min_fg,
+            )
+            rows = [
+                {"term": r.term, "fg_df": r.fg_df, "df": r.df,
+                 "score": round(r.score, 6)}
+                for r in out.collect()
+            ]
+        else:
+            if not a.corpus or not a.stat_field:
+                ap.error(f"{a.mode} mode requires --corpus and --stat-field")
+            docs = _load_corpus(spark, a.corpus)
+            if a.mode == "stats":
+                out = stats_agg(hits, docs, a.stat_field)
+                rows = [
+                    {"col": r.col, "n": r.n, "ndv": r.ndv, "min": r.min,
+                     "max": r.max, "sum": round(r.sum, 6),
+                     "avg": round(r.avg, 6)}
+                    for r in out.collect()
+                ]
+            else:
+                out = percentiles_agg(
+                    hits, docs, a.stat_field[0], a.fractions
+                )
+                rows = [{"p": r.p, "value": round(r.value, 6)}
+                        for r in out.collect()]
     elif a.mode == "spanfirst":
         from search_engine_spark.operators.query import search_span_first
 

@@ -702,6 +702,60 @@ def related_terms(
     )
 
 
+def significant_terms(
+    result: DataFrame,
+    postings: DataFrame,
+    term_stats: DataFrame,
+    n_fg: int,
+    n_docs: int,
+    k: int = 10,
+    min_fg: int = 2,
+    id_col: str = "docId",
+) -> DataFrame:
+    """Significant-terms aggregation (the ES ``significant_terms`` JLH
+    heuristic): terms over-represented in the result set relative to the
+    corpus background — unlike :func:`related_terms` (PMI around ONE seed
+    term) this scores every term of an ARBITRARY result set, the
+    "what makes these hits special" panel.
+
+    JLH = (fg_pct − bg_pct) · (fg_pct / bg_pct) with fg_pct = fg_df/n_fg
+    and bg_pct = df/N — the absolute-lift × relative-lift product that
+    suppresses both stopwords (high fg_pct but no lift) and one-off rarities
+    (huge lift but no weight). ``min_fg`` drops noise terms seen in fewer
+    than that many hits. ``n_fg`` is the caller's result-set size (they
+    usually know it; one bounded scalar count otherwise).
+
+    Scale shape: the result broadcasts into a semi-join that prunes the
+    posting scan to hit docs, ONE partial+final distinct-doc count per term,
+    then a broadcast-joinable term-stats lookup for bg df and a TakeOrdered
+    cap — no windows, no self-joins, nothing corpus-sized past the first
+    semi-join."""
+    if n_fg <= 0 or n_docs <= 0:
+        raise ValueError("n_fg and n_docs must be positive")
+    fg = (
+        postings.join(
+            F.broadcast(result.select(F.col(id_col).alias("docId"))),
+            "docId", "left_semi",
+        )
+        .groupBy("term")
+        .agg(F.countDistinct("docId").cast("long").alias("fg_df"))
+        .where(F.col("fg_df") >= min_fg)
+    )
+    fg_pct = F.col("fg_df") / F.lit(float(n_fg))
+    bg_pct = F.col("df").cast("double") / F.lit(float(n_docs))
+    return (
+        fg.join(term_stats.select("term", "df"), "term")
+        .select(
+            "term",
+            "fg_df",
+            F.col("df").cast("long").alias("df"),
+            ((fg_pct - bg_pct) * (fg_pct / bg_pct)).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(k)
+    )
+
+
 def facet_counts(
     result: DataFrame, docs: DataFrame, fields: list[str], id_col: str = "docId"
 ) -> DataFrame:

@@ -33,6 +33,7 @@ Execution paths:
 
 from __future__ import annotations
 
+import math
 from collections import Counter
 from dataclasses import dataclass
 
@@ -1695,6 +1696,61 @@ def collapse_results(
     # grouped_topk output: (_grp, id_col, score); re-expose the group column
     out = best.select(
         F.col(id_col), F.col("_grp").alias(group_col), F.col("score")
+    )
+    if k is None:
+        return out
+    return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def decay_score(
+    scored: DataFrame,
+    meta: DataFrame,
+    col: str,
+    origin: float,
+    scale: float,
+    decay: float = 0.5,
+    offset: float = 0.0,
+    kind: str = "gauss",
+    id_col: str = "docId",
+    k: int | None = 10,
+) -> DataFrame:
+    """Function-score decay (the ES ``function_score`` gauss/linear/exp
+    decay): multiply each hit's score by a factor that decays with the
+    distance of a numeric/temporal field from ``origin`` — the standard
+    recency / proximity / price-closeness re-ranking. At distance
+    ``offset + scale`` the multiplier is exactly ``decay``.
+
+    d = max(0, |v − origin| − offset);
+    gauss: exp(−d² / (2σ²)), σ² = −scale² / (2·ln decay)
+    exp:   exp(λ·d), λ = ln(decay)/scale
+    linear: max(0, (s − d)/s), s = scale / (1 − decay)
+    Docs with a NULL field keep multiplier 1 (the ES ``missing`` default).
+
+    Scale shape: hydrate only (id, col) via an equi-join (AQE broadcasts
+    the scored side — result sets are top-k-sized), the multiplier is a
+    pure JVM projection, and the re-cut is TakeOrderedAndProject. No
+    windows, no Python, nothing corpus-sized past the join."""
+    if scale <= 0 or not (0.0 < decay < 1.0):
+        raise ValueError("need scale > 0 and 0 < decay < 1")
+    v = F.col("_dv").cast("double")
+    d = F.greatest(F.abs(v - F.lit(float(origin))) - F.lit(float(offset)), F.lit(0.0))
+    if kind == "gauss":
+        sigma2 = -(scale ** 2) / (2.0 * math.log(decay))
+        mult = F.exp(-(d * d) / F.lit(2.0 * sigma2))
+    elif kind == "exp":
+        lam = math.log(decay) / scale
+        mult = F.exp(F.lit(lam) * d)
+    elif kind == "linear":
+        s = scale / (1.0 - decay)
+        mult = F.greatest((F.lit(s) - d) / F.lit(s), F.lit(0.0))
+    else:
+        raise ValueError(f"unknown decay kind: {kind!r}")
+    m = meta.select(F.col(id_col).alias(id_col), F.col(col).alias("_dv"))
+    out = scored.join(m, id_col, "left").select(
+        id_col,
+        (F.col("score") * F.when(v.isNull(), F.lit(1.0)).otherwise(mult)).alias(
+            "score"
+        ),
     )
     if k is None:
         return out

@@ -664,3 +664,62 @@ def test_query_job_dismax(built, capsys):
     assert tie1 == bm25
     assert set(tie0) == set(bm25)
     assert all(tie0[d] <= bm25[d] for d in bm25)
+
+
+def test_query_job_agg_and_rescore_modes(built, capsys):
+    """rescore / decay / sigterms / stats / percentiles through the
+    spark-submit surface: law checks against the established modes."""
+    from jobs.query import main as query_main
+
+    src, idx = built
+
+    def run(args):
+        rc = query_main(["--index", idx, "--master", "local[4]", *args])
+        assert rc == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    # rescore with boost 0 == plain bm25 top-k (same scores, same order)
+    base = run(["--mode", "bm25", "--k", "5", "apple"])["results"]
+    re0 = run(["--mode", "rescore", "--phrase", "rotten", "apple",
+               "--boost", "0", "--rescore-window", "50", "--k", "5",
+               "apple"])["results"]
+    assert [(r["docId"], r["score"]) for r in re0] == [
+        (r["docId"], r["score"]) for r in base
+    ]
+    # positive boost never lowers any doc's score
+    re1 = run(["--mode", "rescore", "--phrase", "rotten", "apple",
+               "--boost", "2.5", "--rescore-window", "50", "--k", "50",
+               "apple"])["results"]
+    s0 = {r["docId"]: r["score"] for r in
+          run(["--mode", "bm25", "--k", "50", "apple"])["results"]}
+    for r in re1:
+        assert r["score"] >= s0[r["docId"]] - 1e-9
+
+    # decay at huge scale ~ multiplier 1 => equals bm25 ranking (docIds are
+    # sparse 64-bit, so the scale must dwarf ~1e19 distances)
+    dec = run(["--mode", "decay", "--corpus", src, "--stat-field", "docId",
+               "--origin", "0", "--scale", "1e30", "--k", "5",
+               "apple"])["results"]
+    assert [r["docId"] for r in dec] == [r["docId"] for r in base]
+
+    # sigterms over the 'apple' hit set: every query term itself appears
+    # with fg_pct 1 (it is in every hit), scores sorted desc
+    sig = run(["--mode", "sigterms", "--k", "8", "apple"])["results"]
+    assert sig and any(r["term"] == "appl" for r in sig)  # porter stem
+    sc = [r["score"] for r in sig]
+    assert sc == sorted(sc, reverse=True)
+
+    # stats/percentiles over hit docIds: n == |hits|, median within min/max
+    hits = {r["docId"] for r in
+            run(["--mode", "keyword", "--k", "1000", "apple"])["results"]}
+    st = run(["--mode", "stats", "--corpus", src, "--stat-field", "docId",
+              "apple"])["results"]
+    row = next(r for r in st if r["col"] == "docId")
+    # values pass through a double cast: compare at double precision
+    assert row["n"] == len(hits) and row["ndv"] == len(hits)
+    assert row["min"] == float(min(hits)) and row["max"] == float(max(hits))
+    pc = run(["--mode", "percentiles", "--corpus", src, "--stat-field",
+              "docId", "--fractions", "0", "0.5", "1", "--", "apple"])["results"]
+    vals = {r["p"]: r["value"] for r in pc}
+    assert vals[0.0] == float(min(hits)) and vals[1.0] == float(max(hits))
+    assert min(hits) <= vals[0.5] <= max(hits)

@@ -785,3 +785,91 @@ def test_rescore_phrase(spark, ext_index):
         assert wd == gd and abs(ws - gs) < 1e-9
     # the boost must actually reorder: at least one phrase doc in the window
     assert any(d in ph_docs for d in primary)
+
+
+def test_significant_terms(spark, ext_index):
+    _, _, corpus = ext_index
+    postings = build_postings(corpus, "naive")
+    ts = postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    hits = Q.search_keyword(postings, "scan")
+    matched = [i for i, d in enumerate(DOCS) if "scan" in _toks(d)]
+    n_fg, n_docs = len(matched), len(DOCS)
+    got = [
+        (r.term, r.fg_df, r.df, r.score)
+        for r in Q.significant_terms(
+            hits, postings, ts, n_fg, n_docs, k=5, min_fg=2
+        ).collect()
+    ]
+    # python truth: JLH over the same tokenization
+    fg: dict[str, int] = {}
+    df: dict[str, int] = {}
+    for i, d in enumerate(DOCS):
+        for t in set(_toks(d)):
+            df[t] = df.get(t, 0) + 1
+            if i in matched:
+                fg[t] = fg.get(t, 0) + 1
+    want = []
+    for t, f_ in fg.items():
+        if f_ < 2:
+            continue
+        fp, bp = f_ / n_fg, df[t] / n_docs
+        want.append((t, f_, df[t], (fp - bp) * (fp / bp)))
+    want.sort(key=lambda r: (-r[3], r[0]))
+    want = want[:5]
+    assert [(t, f_, d_) for t, f_, d_, _ in want] == [
+        (t, f_, d_) for t, f_, d_, _ in got
+    ]
+    for (_, _, _, ws), (_, _, _, gs) in zip(want, got):
+        assert abs(ws - gs) < 1e-9
+    # 'scan' itself has fg_pct 1.0 and max lift of any full-coverage term
+    assert got[0][0] == "scan"
+    with pytest.raises(ValueError):
+        Q.significant_terms(hits, postings, ts, 0, n_docs)
+
+
+def test_decay_score(spark):
+    import math
+
+    from search_engine_spark.operators.rank import decay_score
+
+    scored = spark.createDataFrame(
+        [(0, 10.0), (1, 10.0), (2, 10.0), (3, 8.0)], "docId long, score double"
+    )
+    meta = spark.createDataFrame(
+        [(0, 100.0), (1, 300.0), (2, None), (3, 100.0)],
+        "docId long, v double",
+    )
+    origin, scale, decay = 100.0, 200.0, 0.5
+
+    def gauss(v):
+        if v is None:
+            return 1.0  # missing field keeps multiplier 1
+        s2 = -(scale ** 2) / (2.0 * math.log(decay))
+        return math.exp(-((abs(v - origin)) ** 2) / (2.0 * s2))
+
+    got = {r.docId: r.score
+           for r in decay_score(scored, meta, "v", origin, scale,
+                                decay=decay, k=None).collect()}
+    assert abs(got[0] - 10.0) < 1e-9            # at origin: x1
+    assert abs(got[1] - 10.0 * decay) < 1e-9     # at origin+scale: x decay
+    assert abs(got[2] - 10.0) < 1e-9            # NULL field: x1
+    assert abs(got[3] - 8.0) < 1e-9
+    # exp kind: multiplier decay^(d/scale); linear hits 0 beyond s
+    ge = {r.docId: r.score
+          for r in decay_score(scored, meta, "v", origin, scale,
+                               decay=decay, kind="exp", k=None).collect()}
+    assert abs(ge[1] - 10.0 * decay) < 1e-9
+    gl = {r.docId: r.score
+          for r in decay_score(scored, meta, "v", origin, 100.0,
+                               decay=0.5, kind="linear", k=None).collect()}
+    assert abs(gl[1] - 0.0) < 1e-9  # d=200 = s -> 0
+    # top-k cut: deterministic (score desc, docId asc)
+    top = decay_score(scored, meta, "v", origin, scale, decay=decay, k=2).collect()
+    assert [(r.docId) for r in top] == [0, 2]
+    for bad in (dict(scale=-1.0), dict(decay=0.0), dict(decay=1.0),
+                dict(kind="nope")):
+        kw = dict(decay=0.5, kind="gauss")
+        kw.update(bad)
+        with pytest.raises(ValueError):
+            decay_score(scored, meta, "v", origin,
+                        kw.pop("scale", scale), **kw)
