@@ -85,6 +85,8 @@ PCT_FRACTIONS = [0.25, 0.5, 0.75, 0.95]  # q14p exact percentiles
 DH_EVENT_TYPE, DH_INTERVAL = "click", "day"  # q14d date-histogram scope
 RESCORE_WINDOW, RESCORE_BOOST = 40, 0.5  # q27 rescore window / phrase boost
 SIG_K, SIG_MIN_FG = 10, 2  # q28 significant-terms cap / noise floor
+COMPLETE_PREFIX, COMPLETE_K = "s", 8  # q6c completion suggester
+VEC_RESCORE_W = 0.5  # q30 hybrid semantic-rescore cosine weight
 DECAY_ORIGIN, DECAY_SCALE, DECAY_RATE = 300.0, 200.0, 0.5  # q29 gauss decay
 _DECAY_SIGMA2 = -(DECAY_SCALE ** 2) / (2.0 * math.log(DECAY_RATE))
 
@@ -845,6 +847,41 @@ def q_q29_decay_score(spark, sf_dir):
         scored, meta, "n_chars", DECAY_ORIGIN, DECAY_SCALE,
         decay=DECAY_RATE, kind="gauss", k=TOPK,
     )
+    return out.select(
+        F.col("docId").alias("doc_id"), F.round("score", 6).alias("score")
+    )
+
+
+def q_q6c_complete(spark, sf_dir):
+    """q6c: completion suggester — top-COMPLETE_K dictionary terms extending
+    COMPLETE_PREFIX by (df desc, term asc); dictionary-only seek, no
+    posting decode."""
+    from search_engine_spark.operators.query import complete_prefix
+
+    p = _postings(spark, sf_dir)
+    stats = p.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    return complete_prefix(stats, COMPLETE_PREFIX, COMPLETE_K)
+
+
+def q_q30_rescore_vector(spark, sf_dir):
+    """q30: hybrid semantic rescore — BM25 top-RESCORE_WINDOW (the q27
+    primary), each hit's score + VEC_RESCORE_W x cosine(query embedding,
+    doc embedding), top-TOPK re-cut. Query vector = embedding of vec_id 0
+    (dataset-derived, so the oracle references the same row)."""
+    from search_engine_spark.operators.rank import Scorer, score_query_daat
+    from search_engine_spark.operators.similarity import rescore_vector
+    from search_engine_spark.sources.segments import load_segments, load_term_stats
+
+    idx, m = _index(spark, sf_dir)
+    win = score_query_daat(
+        spark, load_segments(spark, idx), load_term_stats(spark, idx),
+        Q_RANKED, m["stats"]["n_docs"], m["stats"]["avgdl"],
+        Scorer("bm25", BM25_K1, BM25_B), k=RESCORE_WINDOW, analyzer="naive",
+        ties="asc",
+    )
+    e = _emb(spark, sf_dir)
+    qv = list(e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0])
+    out = rescore_vector(win, e, qv, weight=VEC_RESCORE_W, k=TOPK)
     return out.select(
         F.col("docId").alias("doc_id"), F.round("score", 6).alias("score")
     )
@@ -2349,6 +2386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the driver consumes this dict in order and may stop at its
         # per-round budget (r04 reached 50/91), so never-verified keys
         # must not sit behind already-green ones.
+        "q6c_complete": q_q6c_complete,
+        "q30_rescore_vector": q_q30_rescore_vector,
         "q28_significant_terms": q_q28_significant_terms,
         "q29_decay_score": q_q29_decay_score,
         "q14s_stats_agg": q_q14s_stats_agg,
@@ -3121,6 +3160,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM postings
             WHERE term IN ({", ".join(repr(t) for t in sorted(set(Q_AND)))})
             GROUP BY doc_id HAVING count(DISTINCT term) >= {MSM_MIN}
+        """,
+        "q6c_complete": f"""
+            WITH {_TOKS},
+            stats AS (SELECT term, count(*)::int64 AS df FROM postings GROUP BY term)
+            SELECT term, df FROM stats
+            WHERE term LIKE '{COMPLETE_PREFIX}%'
+            ORDER BY df DESC, term ASC LIMIT {COMPLETE_K}
+        """,
+        "q30_rescore_vector": f"""
+            WITH {_TOKS},
+            {_bm25_scored_ctes(_qterm_values(Q_RANKED))},
+            win AS (
+              SELECT doc_id, score FROM scored
+              ORDER BY score DESC, doc_id ASC LIMIT {RESCORE_WINDOW}
+            ),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            cos AS (
+              SELECT e.vec_id AS doc_id,
+                     {_cosine_sql("e.embedding", "q.qv")} AS c
+              FROM embeddings e, q
+            ),
+            resc AS (
+              SELECT w.doc_id,
+                     w.score + {VEC_RESCORE_W} * coalesce(c.c, 0) AS s2
+              FROM win w LEFT JOIN cos c USING (doc_id)
+            )
+            SELECT doc_id, round(s2, 6) AS score FROM resc
+            ORDER BY s2 DESC, doc_id ASC LIMIT {TOPK}
         """,
         "q28_significant_terms": f"""
             WITH {_TOKS},

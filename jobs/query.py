@@ -22,7 +22,9 @@ QueryRescorer), decay (function-score gauss/exp/linear decay of
 ``--stat-field`` around ``--origin``/``--scale``, needs --corpus),
 sigterms (significant-terms JLH over the AND-hit set), stats / percentiles
 (metric aggregations of ``--stat-field`` over the AND-hit set, need
---corpus). --highlight adds a query-aware <em>-wrapped
+--corpus), complete (autocomplete: dictionary terms extending the prefix,
+df-ranked), vrescore (hybrid semantic rescore: BM25 top ``--rescore-window``
++ ``--vec-weight`` x cosine vs the ``--seed-vec`` embedding from ``--emb``). --highlight adds a query-aware <em>-wrapped
 snippet per result (needs --corpus). and/keyword accept repeatable
 --field col=value constraints against a fielded index
 (build_index(fields=…)). Prints one JSON line with results + latency.
@@ -86,7 +88,8 @@ def main(argv: list[str] | None = None) -> int:
                              "mlt", "regex", "wildcard", "bool", "sloppy", "substring",
                              "regexcontent", "grep", "parsed", "ranked", "msm",
                              "spanfirst", "dismax", "rescore", "decay",
-                             "sigterms", "stats", "percentiles"])
+                             "sigterms", "stats", "percentiles", "complete",
+                             "vrescore"])
     ap.add_argument("--q", default=None,
                     help="unified Lucene-style query string (implies "
                          "--mode parsed unless --mode ranked, which "
@@ -175,6 +178,14 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["gauss", "exp", "linear"])
     ap.add_argument("--min-fg", type=int, default=2,
                     help="sigterms mode: min foreground doc count")
+    ap.add_argument("--emb", default=None,
+                    help="vrescore mode: embeddings parquet "
+                         "(vec_id, embedding)")
+    ap.add_argument("--seed-vec", type=int, default=None,
+                    help="vrescore mode: vec_id whose embedding is the "
+                         "query vector")
+    ap.add_argument("--vec-weight", type=float, default=1.0,
+                    help="vrescore mode: cosine weight added to BM25")
     ap.add_argument("--master", default=None, help="local testing only")
     ap.add_argument(
         "--ignore-deleted", action="store_true",
@@ -497,6 +508,34 @@ def main(argv: list[str] | None = None) -> int:
         out = decay_score(
             scored, meta, a.stat_field[0], a.origin, a.scale,
             decay=a.decay_rate, kind=a.decay_kind, k=a.k,
+        )
+        rows = [{"docId": r.docId, "score": round(r.score, 6)}
+                for r in out.collect()]
+    elif a.mode == "complete":
+        from search_engine_spark.operators.query import complete_prefix
+
+        out = complete_prefix(stats, a.terms[0].lower(), k=a.k)
+        rows = [{"term": r.term, "df": r.df} for r in out.collect()]
+    elif a.mode == "vrescore":
+        from search_engine_spark.operators.similarity import rescore_vector
+
+        if not a.emb or a.seed_vec is None:
+            ap.error("vrescore mode requires --emb and --seed-vec")
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(a.emb)
+        seed = emb.where(F.col("vec_id") == a.seed_vec).select(
+            "embedding"
+        ).collect()
+        if not seed:
+            ap.error(f"--seed-vec {a.seed_vec} not found in {a.emb}")
+        win = score_query_daat(
+            spark, segs, stats, a.terms, n_docs, avgdl, Scorer("bm25"),
+            k=a.rescore_window, analyzer=analyzer, ties="asc",
+            deleted=deleted, docid_span=span,
+        )
+        out = rescore_vector(
+            win, emb, list(seed[0][0]), weight=a.vec_weight, k=a.k
         )
         rows = [{"docId": r.docId, "score": round(r.score, 6)}
                 for r in out.collect()]

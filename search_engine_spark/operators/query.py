@@ -646,6 +646,29 @@ def suggest_terms(
     return fuzzy_candidates(term_stats, term, max_dist, k)
 
 
+def complete_prefix(
+    term_stats: DataFrame, prefix: str, k: int = 8
+) -> DataFrame:
+    """Completion suggester: the top-``k`` dictionary terms extending
+    ``prefix``, ranked by document frequency desc (ties term asc) — the
+    autocomplete box (ES ``completion`` suggester ranked by popularity),
+    next to :func:`suggest_terms`' typo-correction.
+
+    Scale shape: pure dictionary work — a ``StringStartsWith`` predicate
+    pushed to the term-sorted stats parquet (contiguous row-group range, the
+    same seek as :func:`search_prefix`) and a TakeOrderedAndProject cap.
+    Posting lists are never touched; an empty prefix is refused rather than
+    ranking the whole vocabulary."""
+    if not prefix:
+        raise ValueError("completion needs a non-empty prefix")
+    return (
+        term_stats.where(F.col("term").startswith(prefix))
+        .select("term", F.col("df").cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+
+
 def related_terms(
     postings: DataFrame,
     term_stats: DataFrame,

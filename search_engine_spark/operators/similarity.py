@@ -235,6 +235,52 @@ def cosine_topk(
     )
 
 
+def rescore_vector(
+    scored: DataFrame,
+    emb: DataFrame,
+    query_vec: list[float],
+    weight: float = 1.0,
+    k: int | None = 10,
+    id_col: str = "docId",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid semantic rescore — the ES knn-rescore / second-stage hybrid
+    shape: add ``weight × cosine(query_vec, doc embedding)`` to each
+    already-windowed lexical hit's score and re-cut top-``k``. Docs without
+    an embedding keep their primary score (multiplicatively neutral miss,
+    the ES ``missing`` rule). The counterpart of
+    :func:`..operators.rank.rescore_phrase` with a dense signal, and of
+    :func:`..operators.rank.rrf_fuse` with score- rather than rank-level
+    fusion.
+
+    Scale shape: the window's ids broadcast into a LEFT-SEMI prune of the
+    embedding scan (window ≪ corpus; only id + vector in ReadSchema), the
+    cosine is the deterministic JVM double fold of :func:`cosine_expr`
+    computed ONLY for surviving rows, and the ≤window-row (id, cosine)
+    relation broadcast-left-joins back onto the window — the embedding
+    corpus is never shuffled. On an id-sorted/bucketed embedding store the
+    semi-join becomes an ``In`` pushdown; either way nothing downstream
+    scales with corpus size."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    ids = scored.select(F.col(id_col).alias(vec_id_col))
+    pruned = emb.join(F.broadcast(ids), vec_id_col, "left_semi")
+    hc = pruned.select(
+        F.col(vec_id_col).alias(id_col),
+        cosine_expr(F.col(vec_col), q).alias("_cos"),
+    )
+    out = scored.join(F.broadcast(hc), id_col, "left").select(
+        id_col,
+        (
+            F.col("score")
+            + F.lit(float(weight)) * F.coalesce(F.col("_cos"), F.lit(0.0))
+        ).alias("score"),
+    )
+    if k is None:
+        return out
+    return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
 def lsh_topk(
     emb: DataFrame, query_vec: list[float], k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",

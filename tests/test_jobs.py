@@ -723,3 +723,49 @@ def test_query_job_agg_and_rescore_modes(built, capsys):
     vals = {r["p"]: r["value"] for r in pc}
     assert vals[0.0] == float(min(hits)) and vals[1.0] == float(max(hits))
     assert min(hits) <= vals[0.5] <= max(hits)
+
+
+def test_query_job_complete_and_vrescore(built, capsys, tmp_path):
+    """complete / vrescore modes through the spark-submit surface."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jobs.query import main as query_main
+
+    src, idx = built
+
+    def run(args):
+        rc = query_main(["--index", idx, "--master", "local[4]", *args])
+        assert rc == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    comp = run(["--mode", "complete", "--k", "5", "app"])["results"]
+    assert comp and all(r["term"].startswith("app") for r in comp)
+    dfs = [r["df"] for r in comp]
+    assert dfs == sorted(dfs, reverse=True)
+
+    # embeddings fixture: every corpus doc gets a non-negative 2-d vector,
+    # so cosine vs a non-negative seed is >= 0 and vrescore never demotes
+    ids = pq.read_table(src, columns=["docId"]).column(0).to_pylist()
+    emb_path = str(tmp_path / "emb.parquet")
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [[float(i % 5) + 0.5, 1.0] for i in range(len(ids))],
+                pa.list_(pa.float32()),
+            ),
+        }),
+        emb_path,
+    )
+    base = {r["docId"]: r["score"] for r in
+            run(["--mode", "bm25", "--k", "50", "apple"])["results"]}
+    vr0 = run(["--mode", "vrescore", "--emb", emb_path, "--seed-vec",
+               str(ids[0]), "--vec-weight", "0", "--rescore-window", "50",
+               "--k", "50", "apple"])["results"]
+    assert {r["docId"]: r["score"] for r in vr0} == base
+    vr1 = run(["--mode", "vrescore", "--emb", emb_path, "--seed-vec",
+               str(ids[0]), "--vec-weight", "1.5", "--rescore-window", "50",
+               "--k", "50", "apple"])["results"]
+    for r in vr1:
+        assert r["score"] >= base[r["docId"]] - 1e-9

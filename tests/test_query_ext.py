@@ -873,3 +873,48 @@ def test_decay_score(spark):
         with pytest.raises(ValueError):
             decay_score(scored, meta, "v", origin,
                         kw.pop("scale", scale), **kw)
+
+
+def test_complete_prefix(spark, ext_index):
+    _, _, corpus = ext_index
+    postings = build_postings(corpus, "naive")
+    ts = postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    got = [(r.term, r.df) for r in Q.complete_prefix(ts, "s", k=3).collect()]
+    df: dict[str, int] = {}
+    for d in DOCS:
+        for t in set(_toks(d)):
+            df[t] = df.get(t, 0) + 1
+    want = sorted(
+        ((t, n) for t, n in df.items() if t.startswith("s")),
+        key=lambda r: (-r[1], r[0]),
+    )[:3]
+    assert got == want
+    assert Q.complete_prefix(ts, "zzz").collect() == []
+    with pytest.raises(ValueError):
+        Q.complete_prefix(ts, "")
+
+
+def test_rescore_vector(spark):
+    import math
+
+    from search_engine_spark.operators.similarity import rescore_vector
+
+    scored = spark.createDataFrame(
+        [(0, 5.0), (1, 5.0), (2, 4.0)], "docId long, score double"
+    )
+    # doc0 aligned with the query, doc1 orthogonal, doc2 has NO embedding
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 2.0]), (9, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.docId: r.score
+           for r in rescore_vector(scored, emb, [2.0, 0.0], weight=1.0,
+                                   k=None).collect()}
+    assert abs(got[0] - 6.0) < 1e-6      # cos=1
+    assert abs(got[1] - 5.0) < 1e-6      # cos=0
+    assert abs(got[2] - 4.0) < 1e-6      # missing embedding -> unchanged
+    # negative cosine can demote; top-k cut is deterministic
+    got2 = [r.docId for r in
+            rescore_vector(scored, emb, [-1.0, 0.0], weight=2.0, k=2).collect()]
+    # doc0: 5-2=3, doc1: 5+0=5, doc2: 4 -> top2 = [1, 2]
+    assert got2 == [1, 2]
