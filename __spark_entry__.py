@@ -776,6 +776,10 @@ def q_q14d_date_histogram(spark, sf_dir):
     partial+final agg keyed on date_trunc."""
     from search_engine_spark.operators.query import date_histogram
 
+    # bucket boundaries follow the session tz; the DuckDB oracle reads the
+    # parquet timestamps as naive UTC, so pin UTC (idempotent under the
+    # engine's own get_spark, and the same dependency st1 already has)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
         F.col("event_type") == DH_EVENT_TYPE
     )
@@ -792,11 +796,13 @@ def q_q27_rescore_phrase(spark, sf_dir):
     from search_engine_spark.sources.segments import load_segments, load_term_stats
 
     idx, m = _index(spark, sf_dir)
+    lo, hi = m["stats"].get("docid_lo"), m["stats"].get("docid_hi")
     out = rescore_phrase(
         spark, load_segments(spark, idx), load_term_stats(spark, idx),
         Q_RANKED, Q_PHRASE, m["stats"]["n_docs"], m["stats"]["avgdl"],
         Scorer("bm25", BM25_K1, BM25_B), window=RESCORE_WINDOW, k=TOPK,
         boost=RESCORE_BOOST, analyzer="naive", ties="asc",
+        docid_span=(lo, hi) if lo is not None and hi is not None else None,
     )
     return out.select(
         F.col("docId").alias("doc_id"), F.round("score", 6).alias("score")

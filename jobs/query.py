@@ -490,7 +490,7 @@ def main(argv: list[str] | None = None) -> int:
         out = rescore_phrase(
             spark, segs, stats, a.terms, a.phrase, n_docs, avgdl,
             Scorer("bm25"), window=a.rescore_window, k=a.k, boost=a.boost,
-            analyzer=analyzer, ties="asc", deleted=deleted,
+            analyzer=analyzer, ties="asc", deleted=deleted, docid_span=span,
         )
         rows = [{"docId": r.docId, "score": round(r.score, 6)}
                 for r in out.collect()]
@@ -499,6 +499,8 @@ def main(argv: list[str] | None = None) -> int:
 
         if not a.corpus or len(a.stat_field) != 1:
             ap.error("decay mode requires --corpus and exactly one --stat-field")
+        if a.scale <= 0 or not (0.0 < a.decay_rate < 1.0):
+            ap.error("decay mode needs --scale > 0 and 0 < --decay-rate < 1")
         scored = score_query_daat(
             spark, segs, stats, a.terms, n_docs, avgdl, Scorer("bm25"),
             k=None, analyzer=analyzer, ties="asc", deleted=deleted,
@@ -514,6 +516,8 @@ def main(argv: list[str] | None = None) -> int:
     elif a.mode == "complete":
         from search_engine_spark.operators.query import complete_prefix
 
+        if not a.terms[0]:
+            ap.error("complete mode needs a non-empty prefix")
         out = complete_prefix(stats, a.terms[0].lower(), k=a.k)
         rows = [{"term": r.term, "df": r.df} for r in out.collect()]
     elif a.mode == "vrescore":
@@ -551,16 +555,22 @@ def main(argv: list[str] | None = None) -> int:
             search_and(decode_postings(segs, terms), terms), tomb
         )
         if a.mode == "sigterms":
+            # persist: the hit set feeds both the count and the semi-join
+            hits = hits.persist()
             n_fg = hits.count()
-            out = significant_terms(
-                hits, decode_postings(segs), stats, n_fg, n_docs,
-                k=a.k, min_fg=a.min_fg,
-            )
-            rows = [
-                {"term": r.term, "fg_df": r.fg_df, "df": r.df,
-                 "score": round(r.score, 6)}
-                for r in out.collect()
-            ]
+            if n_fg == 0:
+                rows = []
+            else:
+                out = significant_terms(
+                    hits, decode_postings(segs), stats, n_fg, n_docs,
+                    k=a.k, min_fg=a.min_fg,
+                )
+                rows = [
+                    {"term": r.term, "fg_df": r.fg_df, "df": r.df,
+                     "score": round(r.score, 6)}
+                    for r in out.collect()
+                ]
+            hits.unpersist()
         else:
             if not a.corpus or not a.stat_field:
                 ap.error(f"{a.mode} mode requires --corpus and --stat-field")
@@ -568,12 +578,16 @@ def main(argv: list[str] | None = None) -> int:
             if a.mode == "stats":
                 out = stats_agg(hits, docs, a.stat_field)
                 rows = [
-                    {"col": r.col, "n": r.n, "ndv": r.ndv, "min": r.min,
-                     "max": r.max, "sum": round(r.sum, 6),
-                     "avg": round(r.avg, 6)}
+                    {"col": r.col, "n": r.n, "ndv": r.ndv,
+                     "min": round(r.min, 6), "max": round(r.max, 6),
+                     "sum": round(r.sum, 6), "avg": round(r.avg, 6)}
                     for r in out.collect()
                 ]
             else:
+                if not a.fractions or any(
+                    not (0.0 <= p <= 1.0) for p in a.fractions
+                ):
+                    ap.error("--fractions must be non-empty values in [0, 1]")
                 out = percentiles_agg(
                     hits, docs, a.stat_field[0], a.fractions
                 )

@@ -827,8 +827,9 @@ def stats_agg(
     which is why ``n`` can differ across fields.
 
     Scale shape: same as facets — broadcast semi-join prune (result ≪
-    corpus, only ``cols`` + id in ReadSchema), ALL fields unpivot via
-    ``stack`` before ONE partial+final aggregation keyed on the field name
+    corpus, only ``cols`` + id in ReadSchema), ALL fields unpivot via a
+    struct-array explode before ONE partial+final aggregation keyed on the
+    field name
     (bounded groups = len(cols)); the distinct count rewrites to the
     standard two-phase expand, still one job. No windows, no Python."""
     if not cols:
@@ -837,14 +838,20 @@ def stats_agg(
                 "sum double, avg double",
         )
     hit = docs.join(F.broadcast(result), id_col, "left_semi")
-    stacked = hit.select(
-        F.expr(
-            "stack({}, {})".format(
-                len(cols),
-                ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols),
-            )
-        ).alias("col", "v")
-    ).where(F.col("v").isNotNull())
+    # struct-array unpivot (not a stack() SQL string): column names are
+    # data here — user-supplied names with quotes/backticks must not be
+    # parsed as SQL
+    pairs = F.array(*[
+        F.struct(
+            F.lit(c).alias("col"), F.col(c).cast("double").alias("v")
+        )
+        for c in cols
+    ])
+    stacked = (
+        hit.select(F.explode(pairs).alias("_p"))
+        .select(F.col("_p.col").alias("col"), F.col("_p.v").alias("v"))
+        .where(F.col("v").isNotNull())
+    )
     return stacked.groupBy("col").agg(
         F.count("*").cast("long").alias("n"),
         F.countDistinct("v").cast("long").alias("ndv"),
@@ -903,8 +910,10 @@ def date_histogram(
     the scan pushdown.
 
     Output: ``(bucket string 'yyyy-MM-dd HH:mm:ss', n long[, sum_value
-    double])`` — the bucket is formatted, not a raw timestamp, so oracle
-    comparison is timezone-stable.
+    double])``. Bucket boundaries follow ``spark.sql.session.timeZone``
+    (how Spark's ``date_trunc`` interprets instants) — pin it (the
+    engine's ``get_spark`` sets UTC) when results must match an engine
+    that reads the same timestamps as naive UTC, e.g. the DuckDB oracle.
 
     Scale shape: one partial+final aggregation keyed on the truncated
     timestamp (pure JVM projection); bucket cardinality is time-range /

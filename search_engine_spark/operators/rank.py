@@ -1772,6 +1772,7 @@ def rescore_phrase(
     analyzer: str = "porter",
     ties: str = "desc",
     deleted: np.ndarray | None = None,
+    docid_span: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Rescore window — the Lucene ``QueryRescorer`` / ES ``rescore`` API:
     rank with the cheap primary scorer (block-max DAAT BM25), then re-rank
@@ -1794,6 +1795,7 @@ def rescore_phrase(
     primary = score_query_daat(
         spark, segments, term_stats, keywords, n_docs, avgdl, scorer,
         k=window, analyzer=analyzer, ties=ties, deleted=deleted,
+        docid_span=docid_span,
     )
     ph_terms = analyze_query(phrase, analyzer)
     dec = decode_postings(segments, sorted(set(ph_terms)), with_positions=True)

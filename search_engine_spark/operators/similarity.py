@@ -262,13 +262,24 @@ def rescore_vector(
     corpus is never shuffled. On an id-sorted/bucketed embedding store the
     semi-join becomes an ``In`` pushdown; either way nothing downstream
     scales with corpus size."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     ids = scored.select(F.col(id_col).alias(vec_id_col))
     pruned = emb.join(F.broadcast(ids), vec_id_col, "left_semi")
-    hc = pruned.select(
-        F.col(vec_id_col).alias(id_col),
-        cosine_expr(F.col(vec_col), q).alias("_cos"),
-    )
+    # zero-norm vectors (doc or query side) make the plain cosine 0/0 —
+    # a DIVIDE_BY_ZERO error under ANSI mode, NaN (which sorts above every
+    # double under desc) otherwise. Both sides are guarded: a zero query
+    # vector short-circuits to 0 (no per-row work at all), a zero doc
+    # vector takes the otherwise-branch — "no signal", the same neutrality
+    # as a missing embedding.
+    qn = float(np.sqrt(sum(float(x) * float(x) for x in query_vec)))
+    if qn == 0.0:
+        cos = F.lit(0.0)
+    else:
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        v = F.col(vec_col)
+        cos = F.when(
+            norm_expr(v) > 0, dot_expr(v, q) / (norm_expr(v) * F.lit(qn))
+        ).otherwise(F.lit(0.0))
+    hc = pruned.select(F.col(vec_id_col).alias(id_col), cos.alias("_cos"))
     out = scored.join(F.broadcast(hc), id_col, "left").select(
         id_col,
         (

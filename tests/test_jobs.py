@@ -769,3 +769,29 @@ def test_query_job_complete_and_vrescore(built, capsys, tmp_path):
                "--k", "50", "apple"])["results"]
     for r in vr1:
         assert r["score"] >= base[r["docId"]] - 1e-9
+
+
+def test_query_job_mode_edge_guards(built, capsys):
+    """Zero-hit sigterms returns empty cleanly; bad decay/fraction args are
+    argparse usage errors, not raw operator tracebacks."""
+    from jobs.query import main as query_main
+
+    src, idx = built
+    rc = query_main(["--index", idx, "--master", "local[4]",
+                     "--mode", "sigterms", "zzznosuchterm"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["results"] == []
+    for bad in (
+        ["--mode", "decay", "--corpus", src, "--stat-field", "docId",
+         "--scale", "0", "appl"],
+        ["--mode", "decay", "--corpus", src, "--stat-field", "docId",
+         "--decay-rate", "1.0", "appl"],
+        ["--mode", "percentiles", "--corpus", src, "--stat-field", "docId",
+         "--fractions", "1.5", "--", "appl"],
+        ["--mode", "complete", ""],
+    ):
+        with pytest.raises(SystemExit) as e:
+            query_main(["--index", idx, "--master", "local[4]", *bad])
+        assert e.value.code == 2
+        capsys.readouterr()

@@ -918,3 +918,20 @@ def test_rescore_vector(spark):
             rescore_vector(scored, emb, [-1.0, 0.0], weight=2.0, k=2).collect()]
     # doc0: 5-2=3, doc1: 5+0=5, doc2: 4 -> top2 = [1, 2]
     assert got2 == [1, 2]
+    # zero-norm embeddings (doc or query side) would make the cosine
+    # 0/0 = NaN, which sorts ABOVE every double under desc — must be
+    # treated as "no signal", never propagate into scores
+    embz = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    gz = {r.docId: r.score
+          for r in rescore_vector(scored, embz, [2.0, 0.0], weight=1.0,
+                                  k=None).collect()}
+    assert abs(gz[0] - 5.0) < 1e-6 and not math.isnan(gz[0])
+    assert abs(gz[1] - 6.0) < 1e-6
+    gq = {r.docId: r.score
+          for r in rescore_vector(scored, emb, [0.0, 0.0], weight=1.0,
+                                  k=None).collect()}  # zero QUERY vector
+    assert all(not math.isnan(v) for v in gq.values())
+    assert abs(gq[0] - 5.0) < 1e-6
